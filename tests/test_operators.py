@@ -1,0 +1,160 @@
+"""Unit tests for reconcile, quality gates, segmentation, events, and
+document assembly on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators import events as ev
+from xero_api_etl_utilities_spark.operators.quality import (
+    QualityGateError,
+    all_true,
+    enforce_empty,
+    require_nonempty,
+    split_exactly_one,
+)
+from xero_api_etl_utilities_spark.operators.reconcile import reconcile
+from xero_api_etl_utilities_spark.plans.documents_out import (
+    assemble_documents,
+    documents_to_json,
+    validate_required,
+)
+
+
+def test_reconcile_split(spark):
+    probe = spark.createDataFrame(
+        [(1, Decimal("10.00"), "x"), (2, Decimal("20.00"), "y"), (3, Decimal("5.00"), "z")],
+        "k int, amount decimal(12,2), note string",
+    )
+    build = spark.createDataFrame(
+        [(1, Decimal("10.00"), "db1"), (2, Decimal("99.99"), "db2")],
+        "k int, amount decimal(12,2), extra string",
+    )
+    matched, unverified = reconcile(probe, build, on=["k", "amount"])
+    m = matched.collect()
+    assert len(m) == 1 and m[0]["k"] == 1 and m[0]["extra"] == "db1" and m[0]["note"] == "x"
+    assert sorted(r["k"] for r in unverified.collect()) == [2, 3]
+
+
+def test_reconcile_round2_probe_key(spark):
+    # the probe side rounds to 2dp (src/queries.ts:15); build side as stored
+    probe = spark.createDataFrame([(1, 10.004)], "k int, amt double").select(
+        "k", F.round(F.col("amt").cast("decimal(12,3)"), 2).alias("amount")
+    )
+    build = spark.createDataFrame(
+        [(1, Decimal("10.00"))], "k int, amount decimal(12,2)"
+    )
+    matched, unverified = reconcile(probe, build, on=["k", "amount"])
+    assert matched.count() == 1 and unverified.count() == 0
+
+
+def test_quality_gates(spark):
+    empty = spark.createDataFrame([], "a int")
+    nonempty = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(QualityGateError):
+        require_nonempty(empty, "tenants")
+    require_nonempty(nonempty)
+    with pytest.raises(QualityGateError):
+        enforce_empty(nonempty, "unverified")
+    enforce_empty(empty)
+
+
+def test_split_exactly_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], "k int, v string"
+    )
+    unique, violations = split_exactly_one(df, ["k"])
+    assert [r["v"] for r in unique.collect()] == ["a"]
+    assert sorted(r["v"] for r in violations.collect()) == ["b", "c"]
+
+
+def test_all_true(spark):
+    df = spark.createDataFrame([(True,), (True,)], "ok boolean")
+    assert all_true(df, "ok") is True
+    df2 = spark.createDataFrame([(True,), (False,)], "ok boolean")
+    assert all_true(df2, "ok") is False
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+
+
+def test_sessionize_gap(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + datetime.timedelta(minutes=10), 1, "click"),
+        (3, t0 + datetime.timedelta(minutes=50), 1, "view"),   # 40min gap → new session
+        (4, t0, 2, "view"),
+    ]
+    got = {r["event_id"]: r["session_seq"] for r in ev.sessionize(_events(spark, rows), 30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_dedup_keep_latest(spark):
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + datetime.timedelta(seconds=5), 1, "view"),
+        (3, t0, 1, "click"),
+    ]
+    got = sorted(
+        r["event_id"]
+        for r in ev.dedup_keep_latest(_events(spark, rows), ["user_id", "event_type"]).collect()
+    )
+    assert got == [2, 3]
+
+
+@pytest.fixture()
+def charge_rows(spark):
+    return spark.createDataFrame(
+        [
+            (
+                datetime.date(2024, 1, 1), Decimal("100.00"), "10643", "0012",
+                "note", "T1", datetime.datetime(2024, 1, 1, 9, 30), "xero-abc",
+                "DAYSAFTERBILLDATE", 14,
+            ),
+            (
+                datetime.date(2024, 1, 1), Decimal("-25.00"), "45678", "0013",
+                None, "T1", datetime.datetime(2024, 1, 1, 9, 31), "xero-def",
+                None, None,
+            ),
+            (None, Decimal("5.00"), "10643", "0014", None, "T1", None, "xero-abc", None, None),
+        ],
+        "date date, amount decimal(12,2), customer_id string, seq_no string,"
+        " notes string, terminal_id string, tran_timestamp timestamp,"
+        " xero_id string, terms_type string, terms_days int",
+    )
+
+
+def test_validate_and_assemble_documents(charge_rows):
+    ok, bad = validate_required(charge_rows)
+    assert ok.count() == 2 and bad.count() == 1  # P10 side-output
+    docs = {r["reference"]: r for r in assemble_documents(ok).collect()}
+    inv = docs["T1/0012"]
+    assert inv["doc_type"] == "ACCREC"
+    assert inv["doc_date"] == "2024-01-01"
+    assert inv["doc_due_date"] == "2024-01-15"  # DAYSAFTERBILLDATE +14
+    assert inv["line_items"][0]["account_code"] == "41010"
+    assert inv["line_items"][0]["unit_amount"] == Decimal("100.00")
+    cr = docs["T1/0013"]
+    assert cr["doc_type"] == "ACCRECCREDIT"  # P9 sign split
+    assert cr["doc_due_date"] == "2024-02-29"  # EOM-after default, leap year
+    assert cr["line_items"][0]["account_code"] == "42010"  # P12 routing
+    assert cr["line_items"][0]["unit_amount"] == Decimal("25.00")  # F17 abs
+
+
+def test_documents_to_json(charge_rows):
+    ok, _ = validate_required(charge_rows)
+    payloads = documents_to_json(assemble_documents(ok)).collect()
+    import json
+
+    parsed = json.loads(payloads[0]["payload"])
+    assert parsed["status"] == "SUBMITTED"
+    assert isinstance(parsed["line_items"], list)

@@ -32,9 +32,13 @@ def receipt_ref(terminal_id: Column, seq_no: Column) -> Column:
 
 
 def lpad4(col: Column | str) -> Column:
-    """F2: `` `0000${v}`.slice(-4) `` (src/parse.ts:94)."""
+    """F2: `` `0000${v}`.slice(-4) `` (src/parse.ts:94).
+
+    NOT F.lpad: for inputs longer than 4 chars lpad keeps the FIRST 4,
+    but the reference's slice(-4) keeps the LAST 4.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.lpad(c.cast("string"), 4, "0")
+    return F.substring(F.concat(F.lit("0000"), c.cast("string")), -4, 4)
 
 
 def strip_dashes(col: Column | str) -> Column:

@@ -1,0 +1,200 @@
+"""X1 — deduplication operators for large-scale text corpora.
+
+No reference counterpart (the reference dedups nothing); mandated by
+the north-star training-data-pipeline surface. All variants are
+expressed with built-in column functions — token/shingle explosion,
+integer hash arithmetic, groupBy joins — so the hot path stays in
+whole-stage codegen; no Python UDFs anywhere.
+
+Scale design:
+- exact dedup: hash-shuffle groupBy on the text digest, not the text
+  itself (100 TB of text never shuffles raw).
+- n-gram Jaccard: pairwise only within LSH/blocking buckets — the
+  all-pairs form exists for oracle-checking on small slices.
+- MinHash: k independent permutations via the (a*x+b) mod p trick over
+  a 32-bit murmur base hash; LSH bands turn near-dup detection into an
+  equi-join on (band_id, band_hash) — shuffle is O(docs*bands), never
+  O(docs^2).
+- SimHash: 64-bit fingerprint via per-bit weighted majority over token
+  hashes; near-dups = same fingerprint (or banded by 16-bit chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus for the universal-hash family.
+# 31-bit operands keep a*x+b under 2^63 — no long overflow (Spark runs
+# ANSI mode by default and would raise on overflow, and silent wrap
+# would break the permutation property anyway).
+_P = (1 << 31) - 1
+
+
+def tokens(text, pattern: str = "[a-z0-9]+"):
+    """Lowercased word tokens as an array column."""
+    return F.regexp_extract_all(F.lower(text), F.lit(pattern), 0)
+
+
+def token_ngrams(tok_col, n: int):
+    """Word n-gram shingles (space-joined) from a token array column.
+
+    Built-ins only: transform over a sliding index sequence.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keeping the smallest id per distinct text.
+
+    GroupBy on a 256-bit digest of the text so the shuffle carries
+    32-byte keys instead of document bodies; the min-id winner makes
+    the survivor deterministic (dropDuplicates keeps an arbitrary row).
+    """
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_sim_num: int = 5,
+    min_sim_den: int = 10,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity (exact, for small slices /
+    oracle checks — the scale path is ``minhash_lsh_candidates``).
+
+    Jaccard is kept as exact integers (intersection, union sizes);
+    the threshold test is cross-multiplied (den*inter >= num*union) so
+    no float division enters the hashed result.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias("sh"),
+    )
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_size", F.col("sz_a") + F.col("sz_b") - F.col("inter_size"))
+        .filter(min_sim_den * F.col("inter_size") >= min_sim_num * F.col("union_size"))
+        .select("doc_a", "doc_b", "inter_size", "union_size")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes``
+    universal-hash permutations h_i(x) = (a_i*x + b_i) mod P over the
+    murmur3 hash of each shingle, keep the minimum.
+
+    One explode + one groupBy — the signature computation is a single
+    map-side-combinable aggregation.
+    """
+    # Deterministic per-function coefficients derived from the seed
+    # (driver-side python, tiny) — odd multipliers, nonzero offsets.
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _P) | 1, rng.randrange(1, _P)) for _ in range(num_hashes)]
+
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias("sh"),
+    )
+    base = shingled.withColumn("hx", F.abs(F.xxhash64(F.col("sh"))) % _P)
+    mins = [
+        F.min((F.col("hx") * F.lit(a) + F.lit(b)) % _P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return base.groupBy("doc").agg(*mins)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding over a MinHash signature DataFrame → candidate pairs.
+
+    Each band hashes ``rows_per_band`` signature slots; documents
+    agreeing on any band become a candidate pair. The self-join is an
+    equi-join on (band, band_hash): shuffle cost O(docs*bands); at
+    100 TB the band buckets are also the unit of skew-salting if a
+    degenerate bucket appears.
+    """
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col("doc"), *band_cols)
+    pairs = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
+        ).alias("e"),
+    ).select("doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Per-bit weighted majority over xxhash64 of each distinct token:
+    bit_j(doc) = 1 iff sum_t sign(bit_j(hash(t))) > 0. Expressed as 64
+    conditional sums in ONE aggregation pass (map-side combinable).
+    """
+    one = F.lit(1).cast("long")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("th", F.xxhash64(F.col("tok")))
+    # shiftleft wraps to the sign bit at j=63, which is exactly the
+    # two's-complement bit mask we want on a signed long.
+    bit_sums = [
+        F.sum(
+            F.when(F.col("th").bitwiseAND(F.shiftleft(one, j)) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc", fp.alias("simhash"))

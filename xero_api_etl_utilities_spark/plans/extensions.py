@@ -1,1 +1,274 @@
-"""Extension operator catalog (SURVEY.md §2.12). Populated incrementally."""
+"""Extension operator catalog (SURVEY.md §2.12 / north-star mandate):
+dedup, similarity search, text analysis over the documents/embeddings
+tables.
+
+Oracle notes:
+- Jaccard similarities are emitted as exact integer (intersection,
+  union) pairs — no float division in hashed columns.
+- MinHash/SimHash/LSH queries depend on xxhash64, which DuckDB lacks →
+  registered without oracle (driver records rows-only checks); their
+  CORRECTNESS is pinned by pytest unit tests against hand-computed
+  fixtures plus recall tests against the exact-Jaccard oracle query.
+- Cosine top-k emits (query_id, neighbor_id, rank) only: ranks are
+  stable under the float-ulp differences between engines' summation
+  order; the sim value itself is validated in unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators import dedup as dd
+from xero_api_etl_utilities_spark.operators import similarity as sim
+from xero_api_etl_utilities_spark.operators import textstats as tx
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# X1 — dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup: survivor = min doc_id per distinct text, dup
+    count per group. GroupBy on the sha256 digest so the shuffle never
+    carries document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id")
+
+
+register(
+    "dedup_exact",
+    dedup_exact,
+    """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY sha256(text)
+""",
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 near-dup: exact token-set (1-gram) Jaccard pairs at
+    threshold 0.7 over a deterministic 1-in-5 document slice (the
+    all-pairs exact form exists for oracle checking; the corpus-scale
+    path is dedup_minhash_lsh). The synthetic corpus shares a small
+    vocabulary, so token-set Jaccard is the discriminative shingle
+    choice (word-3-grams max out at 0.04 similarity here)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dd.jaccard_pairs(docs, "doc_id", "text", n=1, min_sim_num=7, min_sim_den=10)
+
+
+register(
+    "dedup_ngram_jaccard",
+    dedup_ngram_jaccard,
+    """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), shingled AS (
+  SELECT DISTINCT doc_id AS doc, sh FROM docs, UNNEST(toks) AS t(sh)
+), sizes AS (
+  SELECT doc, COUNT(*) AS sz FROM shingled GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter_size
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(sa.sz + sb.sz - inter_size AS BIGINT) AS union_size
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE 10 * inter_size >= 7 * (sa.sz + sb.sz - inter_size)
+""",
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 scale path: MinHash(64) + LSH(16 bands × 4 rows) candidate
+    pairs over the full corpus (token-set shingles, matching the exact
+    query's choice; band threshold ≈ (1/8)^(1/8) ≈ 0.77, aligned with
+    the 0.7 exact-query threshold). Shuffle is
+    O(docs × bands) — never the O(docs²) cross join. Rows-only driver
+    check (xxhash64 has no DuckDB twin); recall vs exact Jaccard is
+    unit-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    return dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8)
+
+
+register("dedup_minhash_lsh", dedup_minhash_lsh, None)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: 64-bit SimHash fingerprint per document (rows-only check;
+    bit math unit-tested against a pure-python reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash64(docs, "doc_id", "text")
+
+
+register("dedup_simhash", dedup_simhash, None)
+
+
+# --------------------------------------------------------------------------
+# X2 — similarity search
+# --------------------------------------------------------------------------
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 baseline: exact brute-force cosine top-5 neighbors for a
+    deterministic 20-vector query set against the full corpus. The
+    query set broadcasts; the corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.topk_bruteforce(queries, emb, k=5)
+
+
+register(
+    "similarity_topk",
+    similarity_topk,
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.embedding) AS s
+  FROM q, embeddings c
+  WHERE q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+
+
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: random-hyperplane LSH bucketing then exact rank
+    within bucket (rows-only; recall vs similarity_topk unit-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.topk_lsh(queries, emb, k=5, n_planes=6)
+
+
+register("similarity_topk_lsh", similarity_topk_lsh, None)
+
+
+# --------------------------------------------------------------------------
+# X3 — text analysis
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality scoring: token/char-class counts and integer-ratio
+    quality gates per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = tx.quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        flags["n_tokens"].alias("n_tokens"),
+        flags["n_stopwords"].alias("n_stopwords"),
+        flags["n_chars"].alias("n_chars"),
+        flags["n_punct"].alias("n_punct"),
+        flags["n_space"].alias("n_space"),
+        flags["len_ok"].alias("len_ok"),
+        flags["punct_ok"].alias("punct_ok"),
+        flags["stopword_ok"].alias("stopword_ok"),
+    )
+
+
+register(
+    "text_quality",
+    text_quality,
+    """
+WITH c AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t))) AS BIGINT) AS n_stopwords,
+    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct,
+    CAST(length(text) - length(regexp_replace(text, '[ \\t\\n]', '', 'g')) AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stopwords, n_chars, n_punct, n_space,
+       n_chars >= 50 AS len_ok,
+       100 * n_punct <= 20 * n_chars AS punct_ok,
+       100 * n_stopwords >= 1 * greatest(n_tokens, 1) AS stopword_ok
+FROM c
+""",
+)
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 language ID: marker-word heuristic, argmax hits with
+    largest-code tie-break, 'und' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("detected_lang"))
+
+
+register(
+    "text_lang_id",
+    text_lang_id,
+    """
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(['der','und','die','das','ist'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+    len(list_filter(toks, x -> list_contains(['el','los','las','una','es'], x))) AS h_es
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END AS detected_lang
+FROM hits
+""",
+)
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 token counting: whitespace tokens + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        tx.token_count(F.col("text")).alias("bpeish_tokens"),
+    )
+
+
+register(
+    "text_token_counts",
+    text_token_counts,
+    """
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpeish_tokens
+FROM documents
+""",
+)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 fingerprinting: md5 content identity (the partial-overlap
+    rolling-hash variant is dedup_simhash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+register(
+    "text_fingerprint",
+    text_fingerprint,
+    "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+)

