@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is fully
+materialized executor-side via the noop sink (no driver collect cost in
+the measurement). Prints:
+
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "daily_pnl_rollup",
+    "scan_project_filter",
+    "reconcile_matched",
+    "reconcile_unverified",
+    "dim_join_enrich",
+    "join_exactly_one",
+    "agg_conditional_sums",
+    "agg_string_receipts",
+    "agg_balance_check",
+    "window_segmentation",
+    "window_rank_topk",
+    "sort_limit_topk",
+    "union_tagged_streams",
+    "invoice_line_assembly",
+    "scalar_string_pack",
+    "scalar_date_pack",
+    "events_tumbling",
+    "events_sessionization",
+    "events_dedup_latest",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "text_quality",
+    "text_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from xero_api_etl_utilities_spark.plans import catalog
+    from xero_api_etl_utilities_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = catalog.queries()
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JIT/codegen + file-listing caches, not measured
+    materialize(qs["scan_project_filter"](spark, sf_dir))
+
+    # best-of-2: the box shows multi-second CPU-steal stalls that can
+    # inflate a single run 10-40x; the min of two runs measures the
+    # query, not the neighbor.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

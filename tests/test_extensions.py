@@ -1,0 +1,190 @@
+"""Extension-operator correctness: hand-computed fixtures for the
+hash-based operators (no DuckDB twin) plus recall checks of the
+approximate paths against the exact ones."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators import dedup as dd
+from xero_api_etl_utilities_spark.operators import similarity as sim
+from xero_api_etl_utilities_spark.operators import textstats as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different words entirely unrelated text"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "the quick brown fox leaps over the lazy dog"),   # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    got = {r["doc_id"]: r["dup_count"] for r in dd.exact_dedup(docs, "text", "doc_id").collect()}
+    assert got[0] == 2          # doc 3 collapsed into doc 0
+    assert 3 not in got
+    assert got[1] == 1 and got[2] == 1 and got[4] == 1
+
+
+def test_jaccard_pairs_exact_values(docs):
+    # token sets: doc0 ={the,quick,brown,fox,jumps,over,lazy,dog} (8)
+    # doc1 swaps dog→cat: inter=7, union=9
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"])
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", n=1, min_sim_num=1, min_sim_den=2).collect()
+    }
+    assert pairs[(0, 1)] == (7, 9)
+    assert pairs[(0, 3)] == (8, 8)  # exact dup
+    assert (0, 2) not in pairs      # dissimilar filtered by threshold
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", n=1, min_sim_num=8, min_sim_den=10).collect()
+    }
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).collect()
+    }
+    # every >=0.8-Jaccard pair must surface as an LSH candidate
+    assert exact <= cands
+    # identical docs share identical signatures → always candidates
+    assert (0, 3) in cands
+
+
+def test_minhash_identical_signatures(docs):
+    sigs = {r["doc"]: [r[f"mh_{i}"] for i in range(64)] for r in
+            dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64).collect()}
+    assert sigs[0] == sigs[3]       # exact dup → identical signature
+    assert sigs[0] != sigs[2]       # unrelated → different
+
+
+def test_simhash_properties(docs):
+    fps = {r["doc"]: r["simhash"] for r in dd.simhash64(docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[3]         # exact dup → identical fingerprint
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-dup pairs are closer than unrelated pairs
+    assert hamming(fps[0], fps[1]) < hamming(fps[0], fps[2])
+
+
+def test_simhash_against_python_reference(spark):
+    """Pin the bit math to an independent pure-python computation
+    using Spark's own xxhash64 values as the token hash source."""
+    text = "alpha beta gamma delta"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = sorted(set(text.split()))
+    th = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in toks], "t string")
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    }
+    fp = 0
+    for j in range(64):
+        s = sum(1 if (th[t] >> j) & 1 else -1 for t in toks)
+        if s > 0:
+            fp |= 1 << j
+    expected = fp - (1 << 64) if fp >= (1 << 63) else fp  # two's complement
+    [row] = dd.simhash64(df, "doc_id", "text").collect()
+    assert row["simhash"] == expected
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [1.0, 0.05, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_bruteforce_exact(vectors):
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in sim.topk_bruteforce(
+            vectors.filter(F.col("vec_id") == 0), vectors, k=2
+        ).collect()
+    ]
+    assert got == [(4, 1), (1, 2)]
+
+
+def test_topk_cosine_value(spark, vectors):
+    row = (
+        vectors.filter(F.col("vec_id") == 0)
+        .crossJoin(
+            vectors.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("e2"))
+        )
+        .select(sim.cosine(F.col("embedding"), F.col("e2")).alias("c"))
+        .collect()[0]
+    )
+    assert abs(row["c"]) < 1e-9  # orthogonal
+
+
+def test_topk_lsh_recall_on_clustered_vectors(spark):
+    """LSH recall is only meaningful when neighbors are actually close
+    (the driver's synthetic embeddings are near-random: mean top-3
+    cosine ≈ 0.34, where sign-LSH provably cannot prune). Build tight
+    clusters (intra-cluster cosine ≈ 0.99) and demand high recall."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    dim, rows = 16, []
+    for cluster in range(5):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in center))
+        center = [x / norm for x in center]
+        for i in range(20):
+            rows.append(
+                (
+                    cluster * 100 + i,
+                    [x + rng.gauss(0, 0.02) for x in center],
+                )
+            )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)  # one per cluster
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(queries, vecs, k=3, id_col="vec_id").collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_lsh(queries, vecs, k=3, n_planes=4, n_tables=4, dim=dim).collect()
+    }
+    assert len(exact & approx) >= 0.8 * len(exact)
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog of a house"),
+        (2, "der hund und die katze ist hier"),
+        (3, "le chat et la maison des les"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", tx.lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 foo-bar")], "doc_id long, text string")
+    [r] = df.select(
+        tx.whitespace_token_count(F.col("text")).alias("ws"),
+        tx.token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert r["ws"] == 4
+    # Hello , world ! 42 foo - bar → 8 BPE-ish tokens
+    assert r["bpe"] == 8

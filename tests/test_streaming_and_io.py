@@ -1,0 +1,164 @@
+"""Streaming surface, REST transport, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xero_api_etl_utilities_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_decode_features,
+    frame_sample_plan,
+)
+from xero_api_etl_utilities_spark.sources.rest import (
+    LocalJsonTransport,
+    fetch_invoices,
+    post_documents,
+)
+from xero_api_etl_utilities_spark.streaming.filestream import (
+    dedup_within_watermark,
+    run_available_now,
+    stream_drop_dir,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(path)
+
+
+def test_available_now_drains_drop_dir(spark, tmp_path):
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    _write_events(spark, drop, [(1, t0, 1, "view"), (2, t0, 2, "click")])
+
+    stream = stream_drop_dir(spark, drop, EVENT_SCHEMA)
+    assert stream.isStreaming
+    run_available_now(stream, ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+
+    # second drop: only the NEW file is processed (checkpointed source)
+    _write_events(spark, drop, [(3, t0, 3, "view")])
+    run_available_now(stream_drop_dir(spark, drop, EVENT_SCHEMA), ckpt, out)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    drop = str(tmp_path / "drop2")
+    t0 = datetime.datetime(2024, 1, 1, 10, 15, 0)
+    _write_events(
+        spark,
+        drop,
+        [
+            (1, t0, 1, "view"),
+            (2, t0 + datetime.timedelta(minutes=10), 2, "view"),
+            (3, t0 + datetime.timedelta(hours=2), 1, "click"),
+        ],
+    )
+    agg = windowed_event_counts(stream_drop_dir(spark, drop, EVENT_SCHEMA), "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == {(10, "view"): 2, (12, "click"): 1}
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    drop = str(tmp_path / "drop3")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    _write_events(
+        spark,
+        drop,
+        [(1, t0, 1, "view"), (1, t0 + datetime.timedelta(seconds=5), 1, "view"), (2, t0, 2, "click")],
+    )
+    dd = dedup_within_watermark(stream_drop_dir(spark, drop, EVENT_SCHEMA), "1 hour")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("select count(distinct event_id) c from dedup_stream").collect()[0]["c"] == 2
+    assert spark.sql("select count(*) c from dedup_stream").collect()[0]["c"] == 2
+
+
+def test_local_transport_get_filters(spark, tmp_path):
+    root = str(tmp_path / "rest")
+    os.makedirs(root)
+    with open(os.path.join(root, "invoices.json"), "w") as f:
+        json.dump(
+            [
+                {"invoice_id": "i1", "contact_name": "Day Dockets", "date_string": "2024-01-01", "status": "SUBMITTED", "reference": "T1/0001"},
+                {"invoice_id": "i2", "contact_name": "Day Dockets", "date_string": "2024-01-02", "status": "DRAFT", "reference": "T1/0002"},
+                {"invoice_id": "i3", "contact_name": "Other", "date_string": "2024-01-01", "status": "SUBMITTED", "reference": "T1/0003"},
+            ],
+            f,
+        )
+    t = LocalJsonTransport(root)
+    df = fetch_invoices(spark, t, date_string="2024-01-01")
+    rows = df.collect()
+    # S7 pushed filters: contact name + date + SUBMITTED status
+    assert [r["invoice_id"] for r in rows] == ["i1"]
+
+
+def test_post_documents_idempotent(spark, tmp_path):
+    root = str(tmp_path / "rest2")
+    docs = spark.createDataFrame(
+        [("ACCREC", "T1/0001", '{"a": 1}'), ("ACCREC", "T1/0002", '{"a": 2}')],
+        "doc_type string, reference string, payload string",
+    )
+    post_documents(docs, lambda: LocalJsonTransport(root))
+    post_documents(docs, lambda: LocalJsonTransport(root))  # retry: no dupes
+    with open(os.path.join(root, "invoices.out.jsonl")) as f:
+        lines = [json.loads(line) for line in f]
+    assert sorted(p["reference"] for p in lines) == ["T1/0001", "T1/0002"]
+
+
+def test_multimodal_feature_extraction(spark):
+    media = spark.createDataFrame(
+        [
+            (1, b"fake-image-bytes", ("image", "image/png", None, None, None, None)),
+            (2, b"", ("audio", "audio/wav", None, None, 2500, 16000)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
+    assert feats[1]["n_bytes"] == 16
+    assert len(feats[1]["features"]) == 8
+    # deterministic: same bytes → same features, independent of executor
+    assert feats[1]["features"] == [pytest.approx(x) for x in fake_decode_features(b"fake-image-bytes", 8)]
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, None, ("video", "video/mp4", None, None, 3500, None))], MEDIA_SCHEMA
+    )
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["frame_no"], r["frame_ts_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000)]

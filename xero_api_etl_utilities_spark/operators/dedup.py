@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family.
@@ -139,14 +139,21 @@ def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """LSH banding over a MinHash signature DataFrame → candidate pairs.
 
     Each band hashes ``rows_per_band`` signature slots; documents
     agreeing on any band become a candidate pair. The self-join is an
-    equi-join on (band, band_hash): shuffle cost O(docs*bands); at
-    100 TB the band buckets are also the unit of skew-salting if a
-    degenerate bucket appears.
+    equi-join on (band, band_hash): shuffle cost O(docs*bands).
+
+    ``max_bucket`` is the degenerate-bucket guard: a bucket of B docs
+    contributes B² join output, so a handful of stop-buckets (boiler-
+    plate, near-empty docs, tiny shared vocab) can turn the candidate
+    join quadratic. Buckets above the cap are dropped — the standard
+    stop-bucket practice in corpus dedup — which bounds join output at
+    O(buckets × max_bucket²) no matter how skewed the corpus. Pass
+    ``max_bucket=None`` to disable.
     """
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
@@ -161,6 +168,13 @@ def minhash_lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select("doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        pairs = (
+            pairs.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a = pairs.alias("a")
     b = pairs.alias("b")
     return (

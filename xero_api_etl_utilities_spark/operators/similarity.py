@@ -107,25 +107,41 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's
-    hyperplane bucket, then exact cosine rank within candidates.
+    """Approximate top-k: multi-table hyperplane LSH candidate
+    generation, then exact cosine rank within the candidate union.
 
-    At corpus scale the equi-join on bucket replaces the cross join:
-    expected candidate set shrinks ~2^n_planes-fold.
+    Single-table sign-LSH recall is (1-θ/π)^n_planes per neighbor —
+    poor for moderate similarities — so candidates are unioned across
+    ``n_tables`` independent hyperplane sets: recall
+    1-(1-p^planes)^tables, tunable against cost. Each table's join is
+    an equi-join on its bucket id (shrinks candidates
+    ~2^n_planes-fold); the cross join never happens.
     """
-    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
-    )
-    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
-    )
+    per_table = []
+    for t in range(n_tables):
+        qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dim, seed=7 + t).select(
+            F.col(id_col).alias("query_id"), "bucket"
+        )
+        cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim, seed=7 + t).select(
+            F.col(id_col).alias("neighbor_id"), "bucket"
+        )
+        per_table.append(
+            F.broadcast(qb).join(cb, "bucket").select("query_id", "neighbor_id")
+        )
+    cands = per_table[0]
+    for extra in per_table[1:]:
+        cands = cands.unionByName(extra)
+    cands = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
-        F.broadcast(qb)
-        .join(cb, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -97,7 +97,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-tested."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
-    return dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8)
+    return dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8, max_bucket=500)
 
 
 register("dedup_minhash_lsh", dedup_minhash_lsh, None)
@@ -150,11 +150,12 @@ FROM ranked WHERE rank <= 5
 
 
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path: random-hyperplane LSH bucketing then exact rank
-    within bucket (rows-only; recall vs similarity_topk unit-tested)."""
+    """X2 scale path: multi-table random-hyperplane LSH candidate
+    generation then exact rank within candidates (rows-only; recall vs
+    similarity_topk unit-tested)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return sim.topk_lsh(queries, emb, k=5, n_planes=6)
+    return sim.topk_lsh(queries, emb, k=5, n_planes=4, n_tables=4)
 
 
 register("similarity_topk_lsh", similarity_topk_lsh, None)

@@ -67,18 +67,34 @@ def daily_pnl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.col("price") * (F.lit(1).cast(DEC) - F.col("disc"))
     taxamt = F.col("price") * F.col("tax")
 
-    joined = li.join(od, li.l_orderkey == od.o_orderkey, "inner")
-
-    agg = joined.groupBy("order_date").agg(
-        F.countDistinct("o_custkey").alias("customer_count"),
-        F.countDistinct("l_orderkey").alias("order_count"),
+    # Two-stage rollup: pre-aggregate lineitem per order BEFORE the
+    # join (map-side combinable, shrinks the join's left side ~4x and
+    # makes it 1:1 on the unique o_orderkey), then roll orders up per
+    # date with a single distinct (custkey). The naive single groupBy
+    # after the join needs two countDistinct expansions over the full
+    # join output — measurably slower and far worse at 100 TB, where
+    # this shape also lets bucketed-by-orderkey storage elide the join
+    # shuffle entirely.
+    per_order = li.groupBy("l_orderkey").agg(
         F.sum(gross).alias("_gross"),
         F.sum(net).alias("_net"),
         F.sum(taxamt).alias("_tax"),
         # conditional splits — the tranType==13 / ==14 analog
         F.sum(F.when(F.col("l_returnflag") == "R", gross).otherwise(F.lit(0).cast(DEC))).alias("_returns"),
         F.sum(F.when(F.col("l_returnflag") == "A", gross).otherwise(F.lit(0).cast(DEC))).alias("_accepted"),
-        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        F.sum("l_quantity").alias("_qty"),
+    )
+    joined = per_order.join(od, per_order.l_orderkey == od.o_orderkey, "inner")
+
+    agg = joined.groupBy("order_date").agg(
+        F.countDistinct("o_custkey").alias("customer_count"),
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum("_gross").alias("_gross"),
+        F.sum("_net").alias("_net"),
+        F.sum("_tax").alias("_tax"),
+        F.sum("_returns").alias("_returns"),
+        F.sum("_accepted").alias("_accepted"),
+        F.sum("_qty").cast("bigint").alias("total_qty"),
     )
 
     return (
