@@ -39,6 +39,13 @@ HEADLINE = [
     "events_tumbling",
     "events_sessionization",
     "events_dedup_latest",
+    "join_asof",
+    "window_lag_lead",
+    "window_moving_frame",
+    "events_sliding",
+    "agg_rollup",
+    "set_ops_custkeys",
+    "pivot_event_values",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",

@@ -1,0 +1,75 @@
+"""Plan-quality audit: asserts the physical-plan properties PLANS.md
+documents, so a regression (lost pushdown, surprise sort-merge join,
+accidental cartesian product) fails loudly.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    # query -> list of (predicate_name, fn(plan_text) -> bool)
+    "scan_project_filter": [
+        ("filters pushed to parquet", lambda p: "PushedFilters: [" in p and "EqualTo(l_returnflag,R)" in p),
+        ("column-pruned read schema", lambda p: "ReadSchema" in p and "l_quantity" not in p.split("ReadSchema")[1].splitlines()[0]),
+    ],
+    "dim_join_enrich": [
+        ("all dim joins broadcast", lambda p: p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p),
+    ],
+    "reconcile_matched": [
+        ("broadcast probe, no SMJ", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ],
+    "daily_pnl_rollup": [
+        ("partial aggregation present", lambda p: p.count("HashAggregate") >= 4),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "sort_limit_topk": [
+        ("top-k, not global sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "window_rank_topk": [
+        ("single shuffle on partition key", lambda p: "CartesianProduct" not in p),
+    ],
+    "dedup_exact": [
+        ("no raw-text shuffle key", lambda p: "sha2" in p or "Exchange hashpartitioning(_h" in p),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from xero_api_etl_utilities_spark.plans import catalog
+    from xero_api_etl_utilities_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="explain-audit",
+        master="local[4]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = catalog.queries()
+    failures = 0
+    for name, preds in CHECKS.items():
+        plan = formatted_plan(qs[name](spark, sf_dir))
+        for label, fn in preds:
+            ok = fn(plan)
+            print(f"{'ok  ' if ok else 'FAIL'} {name}: {label}", flush=True)
+            failures += 0 if ok else 1
+    print(f"\n{failures} plan-quality failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,78 @@
+"""As-of join — point-in-time lookup Spark has no native operator for.
+
+For each left row, attach the most recent right row with the same key
+whose timestamp is <= (backward) the left timestamp. The classic
+implementations are a range join (quadratic blowup per key) or a
+per-key loop; the scale-correct Spark expression is the
+union-sort-window trick:
+
+    union both sides tagged → one window per key ordered by
+    (ts, side) → last_value(right attrs, ignorenulls) over rows
+    unbounded preceding → keep left rows
+
+One shuffle on the key, sequential scan per key group, no range
+explosion — the same shape a 100 TB backfill join wants. DuckDB ships
+a native ASOF JOIN, which serves as the oracle for this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join (latest right row at-or-before each left row).
+
+    ``right_cols`` are the right-side attributes to attach (default:
+    everything except key and timestamp). Right rows ordered before
+    left rows at equal timestamps (a right row AT the left timestamp
+    matches, mirroring DuckDB ASOF `>=` semantics).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    merged = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "_side",
+        "_lrow",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias("_r_ts"),
+    ).filter(F.col("_side") == 1)
+    return filled.select(
+        F.col("_lrow.*"),
+        *[F.col(f"_r_{c}").alias(f"{c}{suffix}" if c in left.columns else c) for c in right_cols],
+        F.col("_r_ts").alias(f"{right_ts}{suffix}"),
+    )

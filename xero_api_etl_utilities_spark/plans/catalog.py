@@ -35,6 +35,7 @@ def _load_extra_modules() -> None:
     from xero_api_etl_utilities_spark.plans import (  # noqa: F401
         relational,
         extensions,
+        windows_extra,
     )
 
 

@@ -1,0 +1,254 @@
+"""Second-wave operator catalog: as-of join, lag/lead, moving frames,
+sliding windows, rollup, set ops, pivot — the 'available natively in
+Spark' extensions SURVEY.md §2 lists as absent from the reference, each
+with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators.asof import asof_join_backward
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.plans.flagship import _money, _out
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for each purchase event, the most
+    recent signup event of the same user at-or-before it. Implemented
+    with the union-sort-window trick (operators/asof.py) — one shuffle
+    on user_id, no range-join explosion; oracled against DuckDB's
+    native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases, signups, on="user_id", right_cols=["event_id"]
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_right").alias("signup_event_id"),
+        F.col("ts_right").alias("signup_ts"),
+    )
+
+
+register(
+    "join_asof",
+    join_asof,
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       s.event_id AS signup_event_id, s.ts AS signup_ts
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead (§2.5 'not present in reference'): previous/next event
+    type and previous timestamp per user, (ts, event_id)-ordered."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+
+
+register(
+    "window_lag_lead",
+    window_lag_lead,
+    """
+SELECT event_id, user_id,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       lag(ts) OVER w AS prev_ts
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+
+
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-frame aggregate: 4-row trailing sum/avg-count of value
+    per user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        _out(F.sum(_money(F.col("value"))).over(w)).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("frame_rows"),
+    )
+
+
+register(
+    "window_moving_frame",
+    window_moving_frame,
+    """
+SELECT event_id, user_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS trailing_sum,
+  CAST(COUNT(*) OVER w AS BIGINT) AS frame_rows
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows every 30 minutes —
+    each event lands in two windows, generated timezone-free with
+    make_timestamp_ntz (F.window would round-trip NTZ through the
+    session zone)."""
+    e = load_table(spark, sf_dir, "events")
+    floor30 = F.make_timestamp_ntz(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+        F.hour("ts"), (F.minute("ts") / 30).cast("int") * 30, F.lit(0),
+    )
+    starts = F.array(floor30, floor30 - F.expr("INTERVAL 30 MINUTES"))
+    return (
+        e.select(
+            F.explode(starts).alias("window_start"),
+            "event_type",
+            _money(F.col("value")).alias("val"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _out(F.sum("val")).alias("value_sum"),
+        )
+    )
+
+
+register(
+    "events_sliding",
+    events_sliding,
+    """
+WITH floored AS (
+  SELECT date_trunc('hour', ts)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END AS s1,
+         event_type, CAST(value AS DECIMAL(12,2)) AS val
+  FROM events
+), exploded AS (
+  SELECT unnest([s1, s1 - INTERVAL 30 MINUTE]) AS window_start,
+         event_type, val
+  FROM floored
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(val), 2) AS DOUBLE) AS value_sum
+FROM exploded GROUP BY window_start, event_type
+""",
+)
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (§2.4 'Spark provides natively'):
+    year → (year, month) → grand total over order amounts."""
+    od = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        od.select(
+            F.year(d).alias("order_year"),
+            F.month(d).alias("order_month"),
+            _money(F.col("o_totalprice")).alias("amount"),
+        )
+        .rollup("order_year", "order_month")
+        .agg(
+            _out(F.sum("amount")).alias("total_amount"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+register(
+    "agg_rollup",
+    agg_rollup,
+    """
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+       CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS order_month,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_amount,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP (order_year, order_month)
+""",
+)
+
+
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7 'not present; native'): customers
+    ordering in both 1995 and 1996 vs only-1995, tagged and unioned."""
+    od = load_table(spark, sf_dir, "orders")
+    y = F.year(F.col("o_orderdate").cast("date"))
+    c95 = od.filter(y == 1995).select("o_custkey").distinct()
+    c96 = od.filter(y == 1996).select("o_custkey").distinct()
+    both = c95.intersect(c96).select("o_custkey", F.lit("both").alias("cohort"))
+    only95 = c95.subtract(c96).select("o_custkey", F.lit("only_1995").alias("cohort"))
+    return both.unionByName(only95)
+
+
+register(
+    "set_ops_custkeys",
+    set_ops_custkeys,
+    """
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+     c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+""",
+)
+
+
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-by-name (the J6/P11 dept lookup pattern,
+    src/DataObject.ts:114-122, as a native pivot): per-user event-type
+    value totals in wide form with an explicit pivot value list (never
+    an inferred one — inference is a full extra scan at 100 TB)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(_money(F.col("value"))))
+    )
+    return piv.select(
+        "user_id",
+        *[
+            _out(F.coalesce(F.col(t), F.lit(0).cast("decimal(12,2)"))).alias(f"{t}_total")
+            for t in types
+        ],
+    )
+
+
+register(
+    "pivot_event_values",
+    pivot_event_values,
+    """
+SELECT user_id,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS click_total,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS error_total,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS purchase_total,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS signup_total,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(12,2)) END), 0), 2) AS DOUBLE) AS view_total
+FROM events GROUP BY user_id
+""",
+)
