@@ -1,0 +1,110 @@
+"""Property-based spot checks (SURVEY.md §5 point 4): F15 due-date
+arithmetic and the round-2dp decimal join-key rule, driven by
+hypothesis against independent pure-python models.
+
+Strategy note: hypothesis generates the cases, but each test runs ONE
+batched Spark job over all generated rows (per-example Spark jobs
+would take minutes).
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.scalars import due_date, excel_serial_to_date
+
+DATES = st.dates(min_value=datetime.date(1992, 1, 1), max_value=datetime.date(2030, 12, 31))
+
+
+def model_due_date(bill: datetime.date, terms_type: str | None, days: int | None):
+    """Independent model of src/helpers.ts:228-259 (evident intent)."""
+    if terms_type == "DAYSAFTERBILLDATE":
+        return bill + datetime.timedelta(days=days)
+    if terms_type == "OFFOLLOWINGMONTH":
+        y, m = (bill.year + 1, 1) if bill.month == 12 else (bill.year, bill.month + 1)
+        return datetime.date(y, m, days)
+    # default: last day of the following month
+    y, m = (bill.year + 1, 1) if bill.month == 12 else (bill.year, bill.month + 1)
+    return datetime.date(y, m, calendar.monthrange(y, m)[1])
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_due_date_property(spark, data):
+    cases = data.draw(
+        st.lists(
+            st.tuples(
+                DATES,
+                st.sampled_from(["DAYSAFTERBILLDATE", "OFFOLLOWINGMONTH", None]),
+                st.integers(min_value=1, max_value=28),
+            ),
+            min_size=200,
+            max_size=200,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, b, t, d) for i, (b, t, d) in enumerate(cases)],
+        "i int, bill date, terms_type string, terms_days int",
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i", due_date(F.col("bill"), F.col("terms_type"), F.col("terms_days")).alias("v")
+        ).collect()
+    }
+    for i, (b, t, d) in enumerate(cases):
+        assert got[i] == model_due_date(b, t, d), (b, t, d)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_excel_serial_roundtrip_property(spark, data):
+    serials = data.draw(
+        st.lists(st.integers(min_value=1, max_value=80000), min_size=100, max_size=100)
+    )
+    epoch = datetime.date(1899, 12, 30)
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(serials)], "i int, s int")
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", excel_serial_to_date(F.col("s")).alias("v")).collect()
+    }
+    for i, s in enumerate(serials):
+        assert got[i] == epoch + datetime.timedelta(days=s)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_round2_join_key_property(spark, data):
+    """The J1 probe-side rule: round(x, 2) as a decimal join key must
+    equal python's Decimal HALF_UP quantization of the same double —
+    the invariant that keeps Spark, DuckDB and the reference's
+    toFixed(2) agreeing on match/no-match decisions."""
+    vals = data.draw(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            min_size=200,
+            max_size=200,
+        )
+    )
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    got = {
+        r["i"]: r["k"]
+        for r in df.select(
+            "i", F.round(F.col("v").cast("decimal(18,6)"), 2).alias("k")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        expected = (
+            Decimal(repr(v))
+            .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        )
+        assert got[i] == expected, v

@@ -1,0 +1,78 @@
+"""applyInPandasWithState sessionization: state must persist across
+micro-batches (two availableNow runs sharing one checkpoint)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import types as T
+
+from xero_api_etl_utilities_spark.streaming.filestream import stream_drop_dir
+from xero_api_etl_utilities_spark.streaming.stateful import sessionize_stream
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _run_batch(spark, drop, ckpt, out):
+    # file sink (not memory): the memory sink cannot recover from a
+    # checkpoint, and checkpoint recovery is exactly what batch 2 tests
+    q = (
+        sessionize_stream(stream_drop_dir(spark, drop, EVENT_SCHEMA), gap_minutes=30)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).collect()
+
+
+def test_sessions_close_across_batches(spark, tmp_path):
+    drop, ckpt = str(tmp_path / "drop"), str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+
+    # batch 1: user 1 has a 40-min gap → first session closes, second
+    # stays open in state; user 2 has one open session
+    spark.createDataFrame(
+        [
+            (1, t0, 1),
+            (2, t0 + 5 * mins, 1),
+            (3, t0 + 50 * mins, 1),
+            (4, t0, 2),
+        ],
+        EVENT_SCHEMA,
+    ).write.mode("append").parquet(drop)
+    out = str(tmp_path / "out")
+    rows = _run_batch(spark, drop, ckpt, out)
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["user_id"] == 1 and s["n_events"] == 2
+    epoch = datetime.datetime(1970, 1, 1)
+    us = lambda dt: int((dt - epoch).total_seconds() * 1_000_000)  # noqa: E731
+    assert s["session_start_us"] == us(t0)
+
+    # batch 2: an event 10 min after user 1's open session extends it
+    # (no close); an event 2h later closes it → emitted with 2 events
+    # (t0+50' from batch 1 + t0+60' from batch 2), proving the open
+    # session SURVIVED in the state store across the restart
+    spark.createDataFrame(
+        [(5, t0 + 60 * mins, 1), (6, t0 + 180 * mins, 1)],
+        EVENT_SCHEMA,
+    ).write.mode("append").parquet(drop)
+    rows2 = [r for r in _run_batch(spark, drop, ckpt, out) if r["session_start_us"] != us(t0)]
+    assert len(rows2) == 1
+    s2 = rows2[0]
+    assert s2["user_id"] == 1 and s2["n_events"] == 2
+    epoch = datetime.datetime(1970, 1, 1)
+    us = lambda dt: int((dt - epoch).total_seconds() * 1_000_000)  # noqa: E731
+    assert s2["session_start_us"] == us(t0 + 50 * mins)
+    assert s2["session_end_us"] == us(t0 + 60 * mins)

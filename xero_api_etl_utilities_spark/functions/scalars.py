@@ -75,9 +75,15 @@ def local_ts(col: Column | str, fmt: str = "dd/MM/yyyy, HH:mm:ss") -> Column:
 
 def weekday_upper(col: Column | str) -> Column:
     """F12+F7: `toLocaleDateString("en-AU",{weekday:"short"})` upper-cased
-    (src/queries.ts:144)."""
+    (src/queries.ts:144).
+
+    NOT date_format('EEE'): that renders via the JVM default locale,
+    which the driver's session doesn't pin. dayofweek-indexed literals
+    are locale-independent.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.upper(F.date_format(c, "EEE"))
+    names = F.array(*[F.lit(d) for d in ("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT")])
+    return names[F.dayofweek(c) - 1]
 
 
 def excel_serial_to_date(serial: Column | str) -> Column:

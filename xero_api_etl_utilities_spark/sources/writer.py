@@ -1,0 +1,52 @@
+"""Sinks: partitioned/bucketed fact layout + JSON audit writer.
+
+The storage half of the 100 TB design: facts written
+date-partitioned (dynamic partition pruning reaches the §2 scans) and
+optionally bucketed by join key (elides the shuffle in orderkey-shaped
+joins like the flagship's). The JSON audit writer is the S11 log sink
+with proper write modes instead of the reference's versioned-filename
+probing (S12, src/helpers.ts:55-66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Date/key-partitioned parquet: partition pruning makes the §2.1
+    filtered scans touch only matching directories."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 64,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggregations on the bucket key
+    skip their shuffle (the orderkey co-location the flagship plan
+    notes). Requires saveAsTable (bucketing metadata lives in the
+    catalog, not the files)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def write_json_audit(df: DataFrame, path: str, mode: str = "errorifexists") -> None:
+    """S11: JSON audit sink; `errorifexists` replaces the reference's
+    a/b/c suffix collision probing with an atomic write-mode contract."""
+    df.write.mode(mode).json(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,98 @@
+"""Custom stateful streaming operator: gap-based session tracking via
+``applyInPandasWithState`` (the north-star's custom-stateful-operator
+slot; no reference counterpart).
+
+Batch sessionization (operators/events.py:sessionize) is a window
+computation; the STREAMING version cannot be — sessions span
+micro-batches, so per-user open-session state must live in the state
+store. Each micro-batch:
+
+  1. new events for a user are appended in (ts, event_id) order,
+  2. a gap > ``gap_minutes`` closes the open session → EMIT it,
+  3. the still-open session is written back to state (timestamps kept
+     as int64 epoch-micros — Arrow-stable, timezone-free).
+
+Emitted rows are CLOSED sessions only; open sessions surface when a
+later batch closes them. State is per-user and O(1) — bounded
+regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_us", LongType(), False),
+        StructField("session_end_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+# open-session state: (start_us, last_us, n_events)
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+
+def _session_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n_events = state.get
+        else:
+            start_us = last_us = n_events = None
+
+        closed: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            ts_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+            )
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n_events = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n_events))
+                    start_us, last_us, n_events = t, t, 1
+                else:
+                    last_us, n_events = t, n_events + 1
+
+        if start_us is not None:
+            state.update((start_us, last_us, n_events))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+            )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming gap-sessionization over (user_id, ts) — emits closed
+    sessions as they close; open sessions persist in the state store
+    across micro-batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60 * 1_000_000),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
