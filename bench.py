@@ -39,6 +39,11 @@ HEADLINE = [
     "events_tumbling",
     "events_sessionization",
     "events_dedup_latest",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "parts_brand_margin",
     "join_asof",
     "window_lag_lead",
     "window_moving_frame",
@@ -48,6 +53,7 @@ HEADLINE = [
     "pivot_event_values",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_topk_lsh",
     "text_quality",

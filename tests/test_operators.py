@@ -158,3 +158,21 @@ def test_documents_to_json(charge_rows):
     parsed = json.loads(payloads[0]["payload"])
     assert parsed["status"] == "SUBMITTED"
     assert isinstance(parsed["line_items"], list)
+
+
+def test_salted_join_equivalence(spark):
+    from xero_api_etl_utilities_spark.operators.skew import salted_inner_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", f"cold{i % 5}")],
+        "k string, payload int",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold0", "C0"), ("cold3", "C3")], "k string, attr string"
+    )
+    plain = {(r["k"], r["payload"], r["attr"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["payload"], r["attr"])
+        for r in salted_inner_join(left, right, "k", salt=8).collect()
+    }
+    assert salted == plain and len(plain) == 200 + 40 + 40

@@ -36,6 +36,7 @@ def _load_extra_modules() -> None:
         relational,
         extensions,
         windows_extra,
+        tpch_like,
     )
 
 

@@ -273,3 +273,33 @@ register(
     text_fingerprint,
     "SELECT doc_id, md5(text) AS fingerprint FROM documents",
 )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: embedding-cosine near-dup pairs (cosine >= 0.35) over a
+    deterministic 1-in-5 slice. IDs only in the output: the 0.35
+    threshold sits >=7e-5 away from every pair in this corpus, far
+    beyond cross-engine float-summation ulp differences, so the pair
+    SET is engine-stable even though the raw floats are not."""
+    from xero_api_etl_utilities_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+
+register(
+    "dedup_embedding_cosine",
+    dedup_embedding_cosine,
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+""",
+)
