@@ -188,3 +188,33 @@ def test_token_counts(spark):
     assert r["ws"] == 4
     # Hello , world ! 42 foo - bar → 8 BPE-ish tokens
     assert r["bpe"] == 8
+
+
+def test_topk_ivf_recall_on_clustered_vectors(spark):
+    """IVF with nprobe=2 must recover >=80% of exact top-3 on tightly
+    clustered vectors (see LSH note above re: the random corpus)."""
+    import math
+    import random
+
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    rng = random.Random(4)
+    dim, rows = 16, []
+    for cluster in range(5):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in center))
+        center = [x / norm for x in center]
+        for i in range(20):
+            rows.append((cluster * 100 + i, [x + rng.gauss(0, 0.02) for x in center]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = ivf.train_centroids(vecs, k=5, iters=5, sample=100, seed=2)
+    queries = vecs.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(queries, vecs, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf.topk_ivf(queries, vecs, centroids, k=3, nprobe=2).collect()
+    }
+    assert len(exact & approx) >= 0.8 * len(exact)

@@ -59,9 +59,27 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from xero_api_etl_utilities_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    # A PLAIN session, deliberately NOT the tuned get_spark(): the
+    # driver runs queries() with its own default session (no pinned
+    # timezone, default shuffle partitions), so the gate must pass
+    # under those conditions. Set ORACLE_TUNED=1 to use get_spark().
+    import os as _os
+
+    if _os.environ.get("ORACLE_TUNED"):
+        from xero_api_etl_utilities_spark.session import get_spark
+
+        spark = get_spark(app_name="oracle-check")
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check")
+            .master("local[*]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -303,3 +303,18 @@ WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 """,
 )
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #2: IVF — driver-trained centroids (bounded
+    sample), JVM-side cell assignment, equi-join candidate search
+    (rows-only; recall unit-tested on clustered fixtures)."""
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf.topk_ivf(queries, emb, centroids, k=5, nprobe=4)
+
+
+register("similarity_topk_ivf", similarity_topk_ivf, None)
