@@ -218,3 +218,27 @@ def test_topk_ivf_recall_on_clustered_vectors(spark):
         for r in ivf.topk_ivf(queries, vecs, centroids, k=3, nprobe=2).collect()
     }
     assert len(exact & approx) >= 0.8 * len(exact)
+
+
+def test_simhash_near_dups_banding(spark):
+    """Banded near-dup pairs: identical fingerprints always pair at
+    hamming 0; pairs differing beyond the radius are excluded; banding
+    finds every pair within hamming<=3 (pigeonhole guarantee)."""
+    fps = spark.createDataFrame(
+        [
+            (1, 0x1234_5678_9ABC_DEF0),
+            (2, 0x1234_5678_9ABC_DEF0),          # identical to 1
+            (3, 0x1234_5678_9ABC_DEF1),          # hamming 1 from 1/2
+            (4, 0x1234_5678_9ABC_DE00 ^ 0x70),   # several bits off
+            (5, -0x0FED_CBA9_8765_4322),         # far away
+        ],
+        "doc long, simhash long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_near_dups(fps, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert all(h <= 3 for h in got.values())
+    assert not any(5 in p for p in got)

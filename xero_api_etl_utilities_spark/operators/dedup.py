@@ -185,6 +185,54 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_near_dups(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    doc_col: str = "doc",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via 16-bit banding.
+
+    Pigeonhole: two fingerprints within Hamming distance ≤3 agree on at
+    least one of four 16-bit bands, so candidates come from equi-joins
+    on (band, band_value) — O(docs×4) shuffle, never all-pairs — then
+    the exact Hamming filter (xor + bit_count) keeps true near-dups.
+    (For ``max_hamming`` ≥ 4 the 4-band pigeonhole no longer guarantees
+    full recall; callers wanting larger radii should band narrower.)
+    """
+    bands = 4
+    pairs = fps.select(
+        F.col(doc_col).alias("doc"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(fp_col), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc", "fp", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 

@@ -318,3 +318,15 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_ivf", similarity_topk_ivf, None)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: SimHash near-dup pairs (Hamming <= 3) via 16-bit banding —
+    completes the SimHash path from fingerprint to pair set
+    (rows-only; bit math + banding recall unit-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dd.simhash64(docs, "doc_id", "text")
+    return dd.simhash_near_dups(fps, max_hamming=3)
+
+
+register("dedup_simhash_pairs", dedup_simhash_pairs, None)
