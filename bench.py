@@ -49,6 +49,7 @@ HEADLINE = [
     "window_moving_frame",
     "events_sliding",
     "agg_rollup",
+    "agg_cube",
     "set_ops_custkeys",
     "pivot_event_values",
     "dedup_exact",

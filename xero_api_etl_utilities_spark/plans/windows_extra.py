@@ -252,3 +252,35 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """,
 )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations in one pass (completes the grouping-sets family next
+    to agg_rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            _money(F.col("l_extendedprice")).alias("amount"),
+        )
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            _out(F.sum("amount")).alias("total_amount"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+register(
+    "agg_cube",
+    agg_cube,
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_amount,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
