@@ -59,6 +59,45 @@ def test_minhash_lsh_recall_vs_exact(docs):
     assert (0, 3) in cands
 
 
+def test_token_ngrams_short_and_empty_docs(spark):
+    """Docs with fewer than n tokens must yield ZERO shingles, not a
+    descending-sequence slice() crash (sequence(0,-1) → [0,-1])."""
+    rows = [(0, ""), (1, "one"), (2, "two words"), (3, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", F.size(dd.token_ngrams(dd.tokens(F.col("text")), 3)).alias("n")
+    ).collect()
+    got = {r["doc_id"]: r["n"] for r in out}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2}
+    # and the full pair pipeline survives short docs
+    assert dd.jaccard_pairs(df, "doc_id", "text", n=3).count() == 0
+    assert dd.minhash_signatures(df, "doc_id", "text", n=3).count() == 1
+
+
+def test_jaccard_pairs_guard_trips(docs):
+    with pytest.raises(ValueError, match="max_rows"):
+        dd.jaccard_pairs(docs, "doc_id", "text", n=1, max_rows=3).count()
+    # a blocking column bypasses the cap and bounds the join
+    blocked = docs.withColumn("blk", F.col("doc_id") % 2)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(
+            docs.withColumn("blk", F.lit(0)), "doc_id", "text",
+            n=1, min_sim_num=1, min_sim_den=2, block_col="blk", max_rows=3,
+        ).collect()
+    }
+    assert (0, 3) in pairs
+    # cross-block pairs are excluded by construction
+    odd_even = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.jaccard_pairs(
+            blocked, "doc_id", "text", n=1, min_sim_num=1, min_sim_den=2,
+            block_col="blk", max_rows=3,
+        ).collect()
+    }
+    assert all((a % 2) == (b % 2) for a, b in odd_even)
+
+
 def test_minhash_identical_signatures(docs):
     sigs = {r["doc"]: [r[f"mh_{i}"] for i in range(64)] for r in
             dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64).collect()}
@@ -78,20 +117,16 @@ def test_simhash_properties(docs):
 
 
 def test_simhash_against_python_reference(spark):
-    """Pin the bit math to an independent pure-python computation
-    using Spark's own xxhash64 values as the token hash source."""
+    """Pin the bit math to an independent pure-python computation of
+    the md5-derived token hash (crosshash.py_h64)."""
+    from xero_api_etl_utilities_spark.functions.crosshash import py_h64
+
     text = "alpha beta gamma delta"
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     toks = sorted(set(text.split()))
-    th = {
-        r["t"]: r["h"]
-        for r in spark.createDataFrame([(t,) for t in toks], "t string")
-        .select("t", F.xxhash64("t").alias("h"))
-        .collect()
-    }
     fp = 0
     for j in range(64):
-        s = sum(1 if (th[t] >> j) & 1 else -1 for t in toks)
+        s = sum(1 if (py_h64(t) >> j) & 1 else -1 for t in toks)
         if s > 0:
             fp |= 1 << j
     expected = fp - (1 << 64) if fp >= (1 << 63) else fp  # two's complement

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join_backward(
@@ -40,21 +41,34 @@ def asof_join_backward(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
+    # The fill must carry ALL right attributes as ONE struct: filling
+    # each column independently with last(ignorenulls) would stitch
+    # together values from DIFFERENT right rows whenever a newer right
+    # row has a legitimately-NULL attribute (an older row's value would
+    # bleed through for that column only).
+    lrow_type = T.StructType(
+        [T.StructField(c, left.schema[c].dataType, True) for c in left.columns]
+    )
+    rrow_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
+        + [T.StructField("_r_ts", right.schema[right_ts].dataType, True)]
+    )
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     rt = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r_ts"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_ts).alias("_r_ts"),
+        ).alias("_rrow"),
     )
     merged = lt.unionByName(rt)
     w = (
@@ -65,14 +79,13 @@ def asof_join_backward(
     filled = merged.select(
         "_side",
         "_lrow",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in right_cols
-        ],
-        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias("_r_ts"),
+        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_rrow"),
     ).filter(F.col("_side") == 1)
     return filled.select(
         F.col("_lrow.*"),
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}" if c in left.columns else c) for c in right_cols],
-        F.col("_r_ts").alias(f"{right_ts}{suffix}"),
+        *[
+            F.col(f"_rrow.{c}").alias(f"{c}{suffix}" if c in left.columns else c)
+            for c in right_cols
+        ],
+        F.col("_rrow._r_ts").alias(f"{right_ts}{suffix}"),
     )

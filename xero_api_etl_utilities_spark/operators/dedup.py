@@ -24,11 +24,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xero_api_etl_utilities_spark.functions.crosshash import h32, h64
+
 # Mersenne prime 2^31-1: modulus for the universal-hash family.
 # 31-bit operands keep a*x+b under 2^63 — no long overflow (Spark runs
 # ANSI mode by default and would raise on overflow, and silent wrap
 # would break the permutation property anyway).
 _P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The (a, b) universal-hash coefficients, exported so the DuckDB
+    oracle SQL can be generated from the SAME permutation family the
+    Spark plan uses (driver-side python, tiny, deterministic)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P) | 1, rng.randrange(1, _P)) for _ in range(num_hashes)]
 
 
 def tokens(text, pattern: str = "[a-z0-9]+"):
@@ -39,9 +51,14 @@ def tokens(text, pattern: str = "[a-z0-9]+"):
 def token_ngrams(tok_col, n: int):
     """Word n-gram shingles (space-joined) from a token array column.
 
-    Built-ins only: transform over a sliding index sequence.
+    Built-ins only: transform over a sliding index sequence. Documents
+    with fewer than ``n`` tokens yield an empty array — sequence(0, -1)
+    would produce the DESCENDING array [0, -1] and slice(tok, 0, n)
+    throws under ANSI, so the short case is guarded explicitly.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tok_col) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(tok_col) >= n, F.sequence(F.lit(0), F.size(tok_col) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n))
     )
@@ -69,6 +86,8 @@ def jaccard_pairs(
     n: int = 3,
     min_sim_num: int = 5,
     min_sim_den: int = 10,
+    block_col: str | None = None,
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity (exact, for small slices /
     oracle checks — the scale path is ``minhash_lsh_candidates``).
@@ -76,16 +95,38 @@ def jaccard_pairs(
     Jaccard is kept as exact integers (intersection, union sizes);
     the threshold test is cross-multiplied (den*inter >= num*union) so
     no float division enters the hashed result.
+
+    Guard (mirrors ``max_bucket`` on the LSH path): the shingle
+    self-join is quadratic per shared shingle, so full-corpus input
+    must be refused, not silently accepted. Either pass ``block_col``
+    (a blocking key added to the join, bounding pair generation to
+    within-block) or stay under ``max_rows`` input rows (counted
+    eagerly — one cheap job on an op that is small-slice by contract).
+    ``max_rows=None`` with no ``block_col`` is an explicit opt-out.
     """
+    if block_col is None and max_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"jaccard_pairs got {n_rows} rows (> max_rows={max_rows}) with no"
+                " block_col: the all-pairs shingle self-join is quadratic and must"
+                " not run on a full corpus — pass block_col, raise max_rows, or"
+                " use minhash_lsh_candidates (the scale path)."
+            )
+    block = [F.col(block_col).alias("blk")] if block_col is not None else []
     shingled = df.select(
         F.col(id_col).alias("doc"),
+        *block,
         F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias("sh"),
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.alias("a")
     b = shingled.alias("b")
+    join_cond = F.col("a.sh") == F.col("b.sh")
+    if block_col is not None:
+        join_cond = join_cond & (F.col("a.blk") == F.col("b.blk"))
     inter = (
-        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        a.join(b, join_cond)
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter_size"))
@@ -111,23 +152,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for each of ``num_hashes``
     universal-hash permutations h_i(x) = (a_i*x + b_i) mod P over the
-    murmur3 hash of each shingle, keep the minimum.
+    md5-derived 32-bit hash of each shingle, keep the minimum.
 
     One explode + one groupBy — the signature computation is a single
-    map-side-combinable aggregation.
+    map-side-combinable aggregation. The base hash is crosshash.h32
+    (not xxhash64) so the ENTIRE signature pipeline has a DuckDB twin:
+    the driver oracle re-runs the same algorithm in SQL.
     """
-    # Deterministic per-function coefficients derived from the seed
-    # (driver-side python, tiny) — odd multipliers, nonzero offsets.
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _P) | 1, rng.randrange(1, _P)) for _ in range(num_hashes)]
+    coeffs = minhash_coeffs(num_hashes, seed)
 
     shingled = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias("sh"),
     )
-    base = shingled.withColumn("hx", F.abs(F.xxhash64(F.col("sh"))) % _P)
+    base = shingled.withColumn("hx", h32(F.col("sh")) % _P)
     mins = [
         F.min((F.col("hx") * F.lit(a) + F.lit(b)) % _P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -156,9 +194,11 @@ def minhash_lsh_candidates(
     ``max_bucket=None`` to disable.
     """
     band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
+        h32(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sigs.select(F.col("doc"), *band_cols)
@@ -236,7 +276,9 @@ def simhash_near_dups(
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Per-bit weighted majority over xxhash64 of each distinct token:
+    Per-bit weighted majority over the md5-derived 64-bit hash
+    (crosshash.h64 — DuckDB-reproducible, so the driver oracle re-runs
+    the algorithm in SQL) of each distinct token:
     bit_j(doc) = 1 iff sum_t sign(bit_j(hash(t))) > 0. Expressed as 64
     conditional sums in ONE aggregation pass (map-side combinable).
     """
@@ -244,7 +286,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("th", F.xxhash64(F.col("tok")))
+    ).withColumn("th", h64(F.col("tok")))
     # shiftleft wraps to the sign bit at j=63, which is exactly the
     # two's-complement bit mask we want on a signed long.
     bit_sums = [

@@ -81,8 +81,14 @@ def run_daily_import(
         "notes",
         "section",
     )
+    # persist_matched: the pipeline consumes BOTH halves (the gate reads
+    # unverified, the document path reads matched) — caching matched
+    # makes that exactly one pass over the charge fact table.
     matched, unverified = reconcile(
-        probe, charge_table, on=["date", "amount", "customer_id", "seq_no"]
+        probe,
+        charge_table,
+        on=["date", "amount", "customer_id", "seq_no"],
+        persist_matched=True,
     )
     if strict:
         enforce_empty(unverified, "unverified charges")  # hard gate Q3

@@ -44,8 +44,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Scope the legacy conf to THIS read: the nanos→long schema
+        # conversion happens at footer-schema resolution (forced below
+        # via .schema), so restoring the prior value afterwards does not
+        # break later execution of this DataFrame — verified — while a
+        # later unrelated read in the session no longer silently decodes
+        # TIMESTAMP(NANOS) columns as raw longs.
+        try:
+            prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prior = None
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
+        try:
+            raw = spark.read.parquet(path)
+            raw.schema
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         return raw.withColumn(
             "ts",
             F.expr(

@@ -24,6 +24,7 @@ Engine design:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from collections.abc import Iterator
@@ -75,19 +76,34 @@ class LocalJsonTransport:
         ]
 
     def post(self, resource: str, payloads: list[dict]) -> list[dict]:
+        """Idempotent batched POST, safe under CONCURRENT writers.
+
+        Dedup is claimed via a per-reference marker file created with
+        O_CREAT|O_EXCL (atomic on POSIX): exactly one of N racing tasks
+        (foreachPartition parallelism, or a retry racing its original)
+        wins each reference; losers record SKIPPED. A scan of the
+        output log alone would be read-then-append and double-post
+        under that race.
+        """
         path = os.path.join(self.root, f"{resource}.out.jsonl")
-        seen: set[str] = set()
-        if os.path.exists(path):
-            with open(path) as f:
-                seen = {json.loads(line).get("reference") for line in f}
+        refs_dir = os.path.join(self.root, f"{resource}.refs")
+        os.makedirs(refs_dir, exist_ok=True)
         results = []
         with open(path, "a") as f:
             for p in payloads:
-                if p.get("reference") in seen:
-                    results.append({"reference": p.get("reference"), "status": "SKIPPED"})
+                ref = p.get("reference")
+                marker = os.path.join(
+                    refs_dir, hashlib.sha256(str(ref).encode()).hexdigest()
+                )
+                try:
+                    fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    results.append({"reference": ref, "status": "SKIPPED"})
                     continue
+                os.close(fd)
                 f.write(json.dumps(p, sort_keys=True) + "\n")
-                results.append({"reference": p.get("reference"), "status": "OK"})
+                f.flush()
+                results.append({"reference": ref, "status": "OK"})
         return results
 
 

@@ -60,9 +60,13 @@ def _session_fn(gap_us: int):
             start_us = last_us = n_events = None
 
         closed: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
+        # A group larger than one Arrow batch arrives as MULTIPLE pandas
+        # chunks; sorting per-chunk would process events out of global
+        # order. Concatenate the whole group's timestamps before sorting.
+        chunks = [pdf["ts"] for pdf in pdfs]
+        if chunks:
             ts_us = (
-                pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+                pd.concat(chunks).astype("datetime64[us]").astype("int64").sort_values()
             )
             for t in ts_us:
                 t = int(t)
@@ -72,7 +76,9 @@ def _session_fn(gap_us: int):
                     closed.append((user_id, start_us, last_us, n_events))
                     start_us, last_us, n_events = t, t, 1
                 else:
-                    last_us, n_events = t, n_events + 1
+                    # max(): a cross-batch late event with t < last_us
+                    # joins the open session without rewinding its end.
+                    last_us, n_events = max(last_us, t), n_events + 1
 
         if start_us is not None:
             state.update((start_us, last_us, n_events))
