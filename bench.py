@@ -55,8 +55,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "similarity_topk",
+    # similarity_topk (brute force) is the oracle baseline, NOT a
+    # headline entry: the headline similarity routes are the two
+    # scale-safe paths (LSH, IVF) — no BroadcastNestedLoopJoin.
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
     "text_quality",
     "text_token_counts",
 ]

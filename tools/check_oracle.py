@@ -58,6 +58,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Data-dependent oracle generators (IVF centroid literals) must
+    # read the same parquet this check runs against.
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
 
     # A PLAIN session, deliberately NOT the tuned get_spark(): the

@@ -46,7 +46,26 @@ CHECKS = {
     "dedup_exact": [
         ("no raw-text shuffle key", lambda p: "sha2" in p or "Exchange hashpartitioning(_h" in p),
     ],
+    # The headline similarity routes must stay scale-safe: candidate
+    # generation via equi-join, never a nested-loop over the corpus.
+    "similarity_topk_lsh": [
+        ("no nested-loop scoring", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
+    "similarity_topk_ivf": [
+        ("no nested-loop scoring", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
 }
+
+
+def check_headline_is_scale_safe() -> int:
+    """The brute-force exactness baseline must not be a headline bench
+    entry (VERDICT r1 item 2)."""
+    import bench
+
+    bad = [q for q in bench.HEADLINE if q == "similarity_topk"]
+    ok = not bad
+    print(f"{'ok  ' if ok else 'FAIL'} bench headline: brute-force similarity demoted")
+    return 0 if ok else 1
 
 
 def main() -> int:
@@ -60,7 +79,7 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = catalog.queries()
-    failures = 0
+    failures = check_headline_is_scale_safe()
     for name, preds in CHECKS.items():
         plan = formatted_plan(qs[name](spark, sf_dir))
         for label, fn in preds:

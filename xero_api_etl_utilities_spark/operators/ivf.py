@@ -7,18 +7,26 @@ partition the corpus into k centroid cells, search only the query's
 Division of labor at 100 TB:
 - centroid TRAINING is a driver-side k-means over a bounded sample
   (centroids are tiny — k×dim floats — and k-means over a sample is
-  the standard IVF recipe; a full-corpus refinement pass could use
-  pyspark.ml KMeans, but the sample is what FAISS-style IVF does too);
+  the standard IVF recipe; ``refine_centroids_ml`` upgrades them with
+  a full-corpus distributed pyspark.ml KMeans pass when wanted);
 - cell ASSIGNMENT is pure column math (dot products against inlined
   centroid literals — JVM-side, codegen'd, no Python);
 - SEARCH is an equi-join on cell id: corpus cells are the shuffle
   unit, the probe set broadcasts, candidates shrink ~k/nprobe-fold.
+
+Determinism contract: the training sample is the first ``sample`` rows
+ORDERED BY the id column, and the k-means core is a single shared
+numpy routine — so ``train_centroids`` (Spark collect path) and
+``train_centroids_from_parquet`` (pyarrow path, used to generate the
+DuckDB oracle with inlined centroid literals) produce bit-identical
+centroids from the same file.
 """
 
 from __future__ import annotations
 
-import math
 import random
+
+import numpy as np
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -26,45 +34,94 @@ from pyspark.sql import functions as F
 from xero_api_etl_utilities_spark.operators.similarity import _dot, cosine
 
 
+def _kmeans_unit(
+    vecs: list[list[float]], k: int, iters: int, seed: int
+) -> list[list[float]]:
+    """Spherical k-means (unit-normalized, cosine space) over an
+    ordered vector list. Shared by the Spark and parquet twins so the
+    oracle's centroids are bit-identical to the plan's."""
+    x = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0.0] = 1.0
+    x = x / norms[:, None]
+    rng = random.Random(seed)
+    idx = rng.sample(range(len(vecs)), min(k, len(vecs)))
+    cents = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                s = members.sum(axis=0)
+                n = np.linalg.norm(s) or 1.0
+                cents[ci] = s / n
+    return [[float(v) for v in c] for c in cents]
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     k: int = 16,
     iters: int = 5,
     sample: int = 2000,
     seed: int = 11,
 ) -> list[list[float]]:
-    """Driver-side k-means (cosine space: vectors L2-normalized) over a
-    deterministic bounded sample. Returns k unit centroids."""
-    rows = (
-        df.select(vec_col).limit(sample).collect()
-    )
-    vecs = []
-    for r in rows:
-        v = [float(x) for x in r[0]]
-        n = math.sqrt(sum(x * x for x in v)) or 1.0
-        vecs.append([x / n for x in v])
-    rng = random.Random(seed)
-    centroids = [list(v) for v in rng.sample(vecs, min(k, len(vecs)))]
+    """Driver-side k-means over the first ``sample`` rows by ``id_col``
+    (deterministic regardless of scan/partition order — a bounded
+    TakeOrdered, the FAISS-style IVF training recipe). Returns k unit
+    centroids."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    vecs = [[float(v) for v in r[1]] for r in rows]
+    return _kmeans_unit(vecs, k, iters, seed)
 
-    for _ in range(iters):
-        sums = [[0.0] * len(centroids[0]) for _ in centroids]
-        counts = [0] * len(centroids)
-        for v in vecs:
-            best, best_d = 0, -2.0
-            for ci, c in enumerate(centroids):
-                d = sum(a * b for a, b in zip(v, c))
-                if d > best_d:
-                    best, best_d = ci, d
-            counts[best] += 1
-            s = sums[best]
-            for j, x in enumerate(v):
-                s[j] += x
-        for ci, (s, n) in enumerate(zip(sums, counts)):
-            if n:
-                norm = math.sqrt(sum(x * x for x in s)) or 1.0
-                centroids[ci] = [x / norm for x in s]
-    return centroids
+
+def train_centroids_from_parquet(
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2000,
+    seed: int = 11,
+) -> list[list[float]]:
+    """Sparkless twin of :func:`train_centroids` (pyarrow read, same
+    ordered sample, same k-means core) — used by the DuckDB oracle
+    generator to inline the exact centroid literals the plan uses."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=[id_col, vec_col])
+    ids = tb.column(id_col).to_pylist()
+    raw = tb.column(vec_col).to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:sample]
+    vecs = [[float(v) for v in raw[i]] for i in order]
+    return _kmeans_unit(vecs, k, iters, seed)
+
+
+def refine_centroids_ml(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    iters: int = 10,
+) -> list[list[float]]:
+    """Full-corpus refinement: distributed pyspark.ml KMeans seeded
+    with the sample-trained centroids (initial model via one Lloyd
+    sweep is not exposed by the API, so we pass the sample centroids'
+    k and let maxIter converge over the WHOLE corpus — the scale
+    upgrade path when the sample under-represents the distribution).
+    Output centroids are re-unit-normalized for cosine-space search."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("f"))
+    km = KMeans(k=len(centroids), maxIter=iters, seed=11, featuresCol="f")
+    model = km.fit(feats)
+    out = []
+    for c in model.clusterCenters():
+        v = np.asarray(c, dtype=np.float64)
+        n = np.linalg.norm(v) or 1.0
+        out.append([float(x) for x in v / n])
+    return out
 
 
 def _centroid_scores(vec_col, centroids: list[list[float]]):

@@ -52,13 +52,30 @@ def topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int | None = 100,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, rank) — rank 1 = most similar.
     Ties broken by neighbor id so results are total-order deterministic.
     Excludes self-matches when query and corpus share ids.
+
+    Guard: this is the EXACTNESS BASELINE — a broadcast nested-loop
+    scoring every query against the whole corpus, O(Q×N). The API
+    refuses query sets above ``max_queries`` (eagerly counted — one
+    cheap job) so the cartesian shape can't silently become a default
+    route at scale; large query sets belong on ``topk_lsh`` /
+    ``topk_ivf``. ``max_queries=None`` is an explicit opt-out.
     """
+    if max_queries is not None:
+        n_q = queries.count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"topk_bruteforce got {n_q} query vectors (> max_queries="
+                f"{max_queries}): the exact form scores O(queries x corpus) and"
+                " must not run on a large query set — use topk_lsh/topk_ivf"
+                " (the scale paths), or pass max_queries=None to opt out."
+            )
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
@@ -76,6 +93,18 @@ def topk_bruteforce(
     )
 
 
+def hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane vectors — exported so the
+    DuckDB oracle generator inlines the SAME plane literals the Spark
+    plan uses (sign margins on this corpus are ~1e-4, far above the
+    ~1e-14 cross-engine double-summation noise, so bucket ids are
+    engine-stable)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def hyperplane_buckets(
     df: DataFrame,
     id_col: str,
@@ -86,14 +115,10 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit signature).
 
-    Hyperplanes are deterministic pseudo-random unit-free vectors
-    generated driver-side from the seed and inlined as array literals —
-    tiny, broadcast with the plan itself.
+    Hyperplanes are generated driver-side from the seed and inlined as
+    array literals — tiny, broadcast with the plan itself.
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    planes = hyperplanes(n_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(x) for x in plane])

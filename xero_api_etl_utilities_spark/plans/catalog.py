@@ -16,10 +16,17 @@ from xero_api_etl_utilities_spark.plans import flagship
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
+_ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+def register(
+    name: str, fn: QueryFn, oracle: str | Callable[[], str] | None = None
+) -> None:
+    """``oracle`` may be a SQL string or a zero-arg callable returning
+    one — callables defer data-dependent oracle generation (e.g. the
+    IVF oracle inlines centroids trained from the sf0.01 parquet) to
+    ``oracle_sql()`` time, keeping ``queries()`` import cheap for
+    consumers like bench that never read oracles."""
     if name in _QUERIES:
         raise ValueError(f"duplicate query name {name!r}")
     _QUERIES[name] = fn
@@ -57,4 +64,10 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    out: dict[str, str] = {}
+    for name, o in _ORACLES.items():
+        if callable(o):
+            o = o()
+            _ORACLES[name] = o  # cache the generated SQL
+        out[name] = o
+    return out

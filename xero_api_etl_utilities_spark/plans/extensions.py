@@ -5,10 +5,11 @@ tables.
 Oracle notes:
 - Jaccard similarities are emitted as exact integer (intersection,
   union) pairs — no float division in hashed columns.
-- MinHash/SimHash/LSH queries depend on xxhash64, which DuckDB lacks →
-  registered without oracle (driver records rows-only checks); their
-  CORRECTNESS is pinned by pytest unit tests against hand-computed
-  fixtures plus recall tests against the exact-Jaccard oracle query.
+- MinHash/SimHash/LSH/IVF queries hash with crosshash (md5-derived,
+  DuckDB-reproducible), so every sketch query has a FULL algorithmic
+  DuckDB twin (plans/sketch_oracles.py) — the oracle re-runs the whole
+  algorithm in SQL, with coefficients / hyperplanes / centroids
+  generated from the single shared source of truth.
 - Cosine top-k emits (query_id, neighbor_id, rank) only: ranks are
   stable under the float-ulp differences between engines' summation
   order; the sim value itself is validated in unit tests.
@@ -22,6 +23,7 @@ from pyspark.sql import functions as F
 from xero_api_etl_utilities_spark.operators import dedup as dd
 from xero_api_etl_utilities_spark.operators import similarity as sim
 from xero_api_etl_utilities_spark.operators import textstats as tx
+from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
 from xero_api_etl_utilities_spark.plans.catalog import register
 from xero_api_etl_utilities_spark.sources.parquet import load_table
 
@@ -92,25 +94,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs over the full corpus (token-set shingles, matching the exact
     query's choice; band threshold ≈ (1/8)^(1/8) ≈ 0.77, aligned with
     the 0.7 exact-query threshold). Shuffle is
-    O(docs × bands) — never the O(docs²) cross join. Rows-only driver
-    check (xxhash64 has no DuckDB twin); recall vs exact Jaccard is
-    unit-tested."""
+    O(docs × bands) — never the O(docs²) cross join. The DuckDB oracle
+    re-runs the full integer-exact algorithm (sketch_oracles)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
     return dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8, max_bucket=500)
 
 
-register("dedup_minhash_lsh", dedup_minhash_lsh, None)
+register("dedup_minhash_lsh", dedup_minhash_lsh, sk.minhash_lsh_oracle)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: 64-bit SimHash fingerprint per document (rows-only check;
-    bit math unit-tested against a pure-python reference)."""
+    """X1: 64-bit SimHash fingerprint per document (oracle re-runs the
+    integer-exact bit algorithm; also pinned by a pure-python unit
+    reference)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash64(docs, "doc_id", "text")
 
 
-register("dedup_simhash", dedup_simhash, None)
+register("dedup_simhash", dedup_simhash, sk.simhash_oracle)
 
 
 # --------------------------------------------------------------------------
@@ -151,14 +153,15 @@ FROM ranked WHERE rank <= 5
 
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path: multi-table random-hyperplane LSH candidate
-    generation then exact rank within candidates (rows-only; recall vs
-    similarity_topk unit-tested)."""
+    generation then exact rank within candidates. Oracle re-runs the
+    algorithm with the same inlined planes (margin-checked signs);
+    recall vs similarity_topk is also unit-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return sim.topk_lsh(queries, emb, k=5, n_planes=4, n_tables=4)
 
 
-register("similarity_topk_lsh", similarity_topk_lsh, None)
+register("similarity_topk_lsh", similarity_topk_lsh, sk.topk_lsh_oracle)
 
 
 # --------------------------------------------------------------------------
@@ -307,8 +310,10 @@ WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
 
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path #2: IVF — driver-trained centroids (bounded
-    sample), JVM-side cell assignment, equi-join candidate search
-    (rows-only; recall unit-tested on clustered fixtures)."""
+    ordered sample, deterministic), JVM-side cell assignment, equi-join
+    candidate search. Oracle re-trains bit-identical centroids via the
+    Sparkless twin and re-runs the search in SQL; recall is also
+    unit-tested on clustered fixtures."""
     from xero_api_etl_utilities_spark.operators import ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -317,16 +322,16 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.topk_ivf(queries, emb, centroids, k=5, nprobe=4)
 
 
-register("similarity_topk_ivf", similarity_topk_ivf, None)
+register("similarity_topk_ivf", similarity_topk_ivf, sk.topk_ivf_oracle)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: SimHash near-dup pairs (Hamming <= 3) via 16-bit banding —
-    completes the SimHash path from fingerprint to pair set
-    (rows-only; bit math + banding recall unit-tested)."""
+    completes the SimHash path from fingerprint to pair set (oracle
+    re-runs fingerprint + banding + Hamming filter in SQL)."""
     docs = load_table(spark, sf_dir, "documents")
     fps = dd.simhash64(docs, "doc_id", "text")
     return dd.simhash_near_dups(fps, max_hamming=3)
 
 
-register("dedup_simhash_pairs", dedup_simhash_pairs, None)
+register("dedup_simhash_pairs", dedup_simhash_pairs, sk.simhash_pairs_oracle)

@@ -1,0 +1,248 @@
+"""DuckDB oracle SQL generators for the sketch/ANN catalog queries.
+
+Round 1 left five queries rows-only ("xxhash64 has no DuckDB twin").
+Round 2 removed the excuse: the sketch operators now hash with
+crosshash (md5-derived — bit-identical in Spark, DuckDB and python),
+so each oracle below RE-RUNS THE FULL ALGORITHM in DuckDB SQL — a
+strictly stronger check than the set-containment fallback:
+
+- MinHash signatures, LSH banding, the stop-bucket guard and the
+  candidate self-join are pure integer math → exactly reproducible.
+- SimHash fingerprints/pairs are integer bit math → exactly
+  reproducible (two's-complement assembly via HUGEINT).
+- Hyperplane-LSH and IVF top-k involve float dot products; bucket
+  signs / centroid argmax / rank boundaries were verified to have
+  ≥1e-4 margins on this corpus — ten orders above cross-engine
+  double-rounding noise — so the discrete outputs (ids, ranks) are
+  engine-stable. Plane and centroid literals are inlined via repr()
+  (shortest round-trip, parsed back to the identical double).
+
+The SQL strings are long (64 minhash permutations, 64 simhash bit
+sums) but machine-generated from the same parameters the Spark plans
+use — single source of truth for coefficients, planes, centroids.
+"""
+
+from __future__ import annotations
+
+import os
+
+from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+from xero_api_etl_utilities_spark.operators.dedup import _P, minhash_coeffs
+from xero_api_etl_utilities_spark.operators.similarity import hyperplanes
+
+_I64_MIN = "(-9223372036854775807 - 1)"
+
+
+def _mask(j: int) -> str:
+    """Signed-BIGINT literal for bit j (DuckDB checks 1<<63 overflow,
+    so the sign bit is written as the literal min-long)."""
+    return _I64_MIN if j == 63 else str(1 << j)
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_lsh_oracle(
+    n_hashes: int = 64,
+    seed: int = 42,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    max_bucket: int = 500,
+) -> str:
+    """Twin of dedup_minhash_lsh: token (1-gram) shingles → md5-based
+    32-bit hash mod P → 64 universal-hash minima → per-band h32 of the
+    '|'-joined slots → stop-bucket filter → candidate equi-join."""
+    coeffs = minhash_coeffs(n_hashes, seed)
+    mins = ",\n    ".join(
+        f"MIN((hx * {a} + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc, {b} AS band, CAST({h} AS BIGINT) AS bh FROM sigs".format(
+            b=b,
+            h=h32_sql(
+                "concat_ws('|', "
+                + ", ".join(
+                    f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+                )
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, t.sh AS sh
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(sh)
+), hashed AS (
+  SELECT doc, CAST({h32_sql("sh")} AS BIGINT) % {_P} AS hx FROM toks
+), sigs AS (
+  SELECT doc,
+    {mins}
+  FROM hashed GROUP BY doc
+), banded AS (
+  {band_selects}
+), kept AS (
+  SELECT doc, band, bh FROM banded
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {max_bucket}
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+"""
+
+
+# ---------------------------------------------------------------- simhash
+
+def _simhash_ctes(table: str = "documents") -> str:
+    """Shared CTE chain ending in fps(doc, fp): md5-derived 64-bit
+    token hash (signed, via HUGEINT two's complement), 64 conditional
+    bit sums, fingerprint assembly by OR of per-bit masks."""
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (th & {_mask(j)}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    assemble = "\n    | ".join(
+        f"(CASE WHEN b{j} > 0 THEN {_mask(j)} ELSE 0 END)::BIGINT" for j in range(64)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, t.tok AS tok
+  FROM {table}, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+), hpair AS (
+  SELECT doc,
+    CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS hi,
+    CAST('0x' || substr(md5(tok), 9, 8) AS UBIGINT) AS lo
+  FROM toks
+), th AS (
+  SELECT doc,
+    CAST(CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT)
+         - CASE WHEN hi >= 2147483648 THEN 18446744073709551616::HUGEINT
+                ELSE 0::HUGEINT END AS BIGINT) AS th
+  FROM hpair
+), sums AS (
+  SELECT doc,
+    {sums}
+  FROM th GROUP BY doc
+), fps AS (
+  SELECT doc,
+    {assemble} AS fp
+  FROM sums
+)"""
+
+
+def simhash_oracle() -> str:
+    """Twin of dedup_simhash (doc, simhash)."""
+    return _simhash_ctes() + "\nSELECT doc, fp AS simhash FROM fps"
+
+
+def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    """Twin of dedup_simhash_pairs: 16-bit banding (logical shift +
+    mask — identical low bits whether the engine's >> sign-extends or
+    not), pair equi-join per band, exact xor/bit_count filter."""
+    return (
+        _simhash_ctes()
+        + f""",
+banded AS (
+  SELECT doc, fp, b.band AS band, (fp >> (16 * b.band)) & 65535 AS bv
+  FROM fps, (VALUES (0), (1), (2), (3)) b(band)
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc
+) WHERE hamming <= {max_hamming}
+"""
+    )
+
+
+# ---------------------------------------------------------------- ANN
+
+def _vec_lit(v: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in v) + "]"
+
+
+def topk_lsh_oracle(
+    k: int = 5, n_planes: int = 4, n_tables: int = 4, dim: int = 64
+) -> str:
+    """Twin of similarity_topk_lsh: per-table sign-bit bucket ids from
+    the SAME inlined hyperplanes, candidate equi-joins unioned across
+    tables, exact cosine rank within the candidate set."""
+    table_selects = []
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, seed=7 + t)
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_vec_lit(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        table_selects.append(
+            f"""SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+    FROM (SELECT vec_id, {bucket} AS bkt FROM e WHERE vec_id < 20) qb
+    JOIN (SELECT vec_id, {bucket} AS bkt FROM e) cb USING (bkt)"""
+        )
+    unions = "\n    UNION ALL ".join(table_selects)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cands AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    {unions}
+  ) WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(eq.v, ec.v) AS s
+  FROM cands c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e ec ON ec.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def topk_ivf_oracle(k: int = 5, nprobe: int = 4) -> str:
+    """Twin of similarity_topk_ivf. Centroids are re-trained by the
+    Sparkless twin (pyarrow read ordered by vec_id + the same numpy
+    k-means core) from the parquet the driver's gate runs against —
+    $SPARK_GRAFT_ORACLE_SF_DIR, defaulting to the contract's sf0.01 —
+    so the inlined literals are bit-identical to the plan's. Cell
+    choice mirrors reverse(array_sort(struct(d, cell))) including the
+    (unreachable, margin-checked) tie-break via struct list_sort."""
+    from xero_api_etl_utilities_spark.operators.ivf import train_centroids_from_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = train_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), k=16, iters=4, sample=1000
+    )
+    structs = ", ".join(
+        f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cells = f"list_transform(list_reverse(list_sort([{structs}])), s -> s.cell)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, v, ({cells})[1] AS cell FROM e
+), probes AS (
+  SELECT vec_id, UNNEST(({cells})[1:{nprobe}]) AS cell
+  FROM e WHERE vec_id < 20
+), scored AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(eq.v, c.v) AS s
+  FROM probes p
+  JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+  JOIN e eq ON eq.vec_id = p.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
