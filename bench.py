@@ -50,6 +50,7 @@ HEADLINE = [
     "events_sliding",
     "agg_rollup",
     "agg_cube",
+    "agg_percentiles",
     "set_ops_custkeys",
     "pivot_event_values",
     "dedup_exact",

@@ -176,3 +176,69 @@ def test_salted_join_equivalence(spark):
         for r in salted_inner_join(left, right, "k", salt=8).collect()
     }
     assert salted == plain and len(plain) == 200 + 40 + 40
+
+
+def test_exact_percentiles_interpolation(spark):
+    """Pin the type-7 interpolation math on a hand-checkable set:
+    values 10,20,30,40 → p25 = 17.5, median = 25, p75 = 32.5; a
+    single-value group degenerates to that value for every p."""
+    from xero_api_etl_utilities_spark.operators.percentiles import (
+        approx_percentiles,
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0), ("b", 7.25)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: r
+        for r in exact_percentiles(
+            df, "v", ["g"], [("p25", 1, 4), ("median", 1, 2), ("p75", 3, 4)]
+        ).collect()
+    }
+    assert got["a"]["n_values"] == 4
+    assert got["a"]["p25"] == 17.5
+    assert got["a"]["median"] == 25.0
+    assert got["a"]["p75"] == 32.5
+    assert got["b"]["p25"] == 7.25 and got["b"]["median"] == 7.25
+
+    ap = {
+        r["g"]: r
+        for r in approx_percentiles(df, "v", ["g"], [("median", 0.5)]).collect()
+    }
+    # sketch result must land on a real value near the exact median
+    assert ap["a"]["median"] in (20.0, 30.0)
+
+
+def test_range_join_bucketed_semantics(spark):
+    """Boundary inclusivity, no duplicate pairs, bucket-width
+    invariance, and key-scoped matching."""
+    import pytest
+
+    from xero_api_etl_utilities_spark.operators.rangejoin import range_join_bucketed
+
+    points = spark.createDataFrame(
+        [("k1", 5), ("k1", 10), ("k1", 11), ("k2", 5)], "k string, p long"
+    )
+    intervals = spark.createDataFrame(
+        [("k1", 5, 10, "a"), ("k1", 0, 4, "b"), ("k2", 6, 9, "c")],
+        "k string, s long, e long, tag string",
+    )
+
+    def pairs(bucket, keys=None):
+        return {
+            (r["k"], r["p"], r["tag"])
+            for r in range_join_bucketed(
+                points, intervals, "p", "s", "e", bucket, keys=keys
+            ).collect()
+        }
+
+    expect = {("k1", 5, "a"), ("k1", 10, "a")}  # 11 excluded, k2 wrong key
+    assert pairs(3, keys=["k"]) == expect
+    assert pairs(1, keys=["k"]) == expect   # width-invariant
+    assert pairs(100, keys=["k"]) == expect
+    # keyless: points match intervals of any key
+    assert ("k2", 5, "a") in pairs(7)
+    with pytest.raises(ValueError, match="positive"):
+        range_join_bucketed(points, intervals, "p", "s", "e", 0)

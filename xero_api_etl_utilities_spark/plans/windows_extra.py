@@ -284,3 +284,106 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles/median/p90 of extended price per return flag —
+    integer-cents type-7 interpolation, one double division at the end
+    (operators/percentiles.py; cross-engine bit-stable by design)."""
+    from xero_api_etl_utilities_spark.operators.percentiles import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_percentiles(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        [("p25", 1, 4), ("median", 1, 2), ("p75", 3, 4), ("p90", 9, 10)],
+    )
+
+
+register(
+    "agg_percentiles",
+    agg_percentiles,
+    """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, vc,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v
+), a AS (
+  SELECT l_returnflag, MAX(n) AS n,
+    MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 THEN vc END) AS lo_p25,
+    MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 2 THEN vc END) AS hi_p25,
+    MAX(CASE WHEN rn = (1 * (n - 1)) // 2 + 1 THEN vc END) AS lo_median,
+    MAX(CASE WHEN rn = (1 * (n - 1)) // 2 + 2 THEN vc END) AS hi_median,
+    MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN vc END) AS lo_p75,
+    MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 2 THEN vc END) AS hi_p75,
+    MAX(CASE WHEN rn = (9 * (n - 1)) // 10 + 1 THEN vc END) AS lo_p90,
+    MAX(CASE WHEN rn = (9 * (n - 1)) // 10 + 2 THEN vc END) AS hi_p90
+  FROM r GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_values,
+  CAST(lo_p25 * (4 - (1 * (n - 1)) % 4) + coalesce(hi_p25, lo_p25) * ((1 * (n - 1)) % 4) AS DOUBLE) / 400.0 AS p25,
+  CAST(lo_median * (2 - (1 * (n - 1)) % 2) + coalesce(hi_median, lo_median) * ((1 * (n - 1)) % 2) AS DOUBLE) / 200.0 AS median,
+  CAST(lo_p75 * (4 - (3 * (n - 1)) % 4) + coalesce(hi_p75, lo_p75) * ((3 * (n - 1)) % 4) AS DOUBLE) / 400.0 AS p75,
+  CAST(lo_p90 * (10 - (9 * (n - 1)) % 10) + coalesce(hi_p90, lo_p90) * ((9 * (n - 1)) % 10) AS DOUBLE) / 1000.0 AS p90
+FROM a
+""",
+)
+
+
+def join_range_intransit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): for each distinct
+    order date, count lineitems whose delivery window
+    [l_shipdate, l_shipdate + int(l_quantity) days] contains it.
+    Dates become integer epoch-days so the bucket math is exact; the
+    plan is equi-join on bucket, never a nested loop."""
+    from xero_api_etl_utilities_spark.operators.rangejoin import range_join_bucketed
+
+    epoch = F.lit("1970-01-01").cast("date")
+    points = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("on_date"))
+        .distinct()
+        .withColumn("p_day", F.datediff(F.col("on_date"), epoch))
+    )
+    iv = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.datediff(F.col("l_shipdate"), epoch).alias("s_day"),
+            (
+                F.datediff(F.col("l_shipdate"), epoch)
+                + F.col("l_quantity").cast("int")
+            ).alias("e_day"),
+        )
+    )
+    joined = range_join_bucketed(points, iv, "p_day", "s_day", "e_day", bucket=32)
+    return (
+        joined.groupBy("on_date")
+        .agg(F.count(F.lit(1)).alias("n_in_transit"))
+    )
+
+
+register(
+    "join_range_intransit",
+    join_range_intransit,
+    """
+WITH points AS (
+  SELECT DISTINCT o_orderdate AS on_date FROM orders
+), iv AS (
+  -- l_shipdate is a midnight-aligned TIMESTAMP; interval end is
+  -- shipdate + quantity days (DATE + INT = days in DuckDB)
+  SELECT CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+  FROM lineitem WHERE l_orderkey % 20 = 0
+)
+SELECT on_date, CAST(COUNT(*) AS BIGINT) AS n_in_transit
+FROM points JOIN iv ON s <= CAST(on_date AS DATE) AND CAST(on_date AS DATE) <= e
+GROUP BY on_date
+""",
+)

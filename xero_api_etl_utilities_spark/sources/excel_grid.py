@@ -15,11 +15,11 @@ logic testable on in-memory fixtures with no Excel library present.
 
 Physical ingestion paths:
 - ``grid_from_rows``      : build the grid from fixture tuples (tests).
-- ``read_workbook_grids`` : binaryFile source + mapInPandas/openpyxl —
-  partition-parallel workbook decode for many files. The openpyxl
-  decode is import-gated: this container ships no Excel reader, so the
-  Spark-side plumbing (schema, batch shape, glob filter) is real and
-  tested while the byte-level decode raises NotImplementedError.
+- ``read_workbook_grids`` : binaryFile source + mapInPandas decode —
+  partition-parallel workbook decode for many files. The byte decode
+  is ``decode_xlsx_grid``: an xlsx is a zip of XML parts, so the
+  decoder is pure stdlib (zipfile + ElementTree) — no Excel library
+  required, runs end-to-end in this container, golden-workbook tested.
 """
 
 from __future__ import annotations
@@ -73,35 +73,111 @@ def list_day_docket_files(spark: SparkSession, drop_dir: str) -> DataFrame:
     )
 
 
-def _decode_workbook_batches(batches):
-    """mapInPandas worker: binaryFile rows → grid rows via openpyxl.
+def _col_index(ref: str) -> int:
+    """1-based column index from a cell reference like ``B3``."""
+    ci = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        ci = ci * 26 + (ord(ch.upper()) - 64)
+    return ci
 
-    Import-gated: raises NotImplementedError when no Excel reader is
-    installed (this container), keeping the distributed plumbing
-    importable and plan-checkable either way.
+
+def decode_xlsx_grid(
+    content: bytes, sheet_name: str, max_col: int = len(GRID_COLUMNS)
+) -> list[tuple[int, list[str | None]]]:
+    """Decode one worksheet of an xlsx byte blob to (row_idx, cells).
+
+    Pure stdlib: an xlsx is a zip — xl/workbook.xml names the sheets
+    (r:id), xl/_rels/workbook.xml.rels maps r:id to the worksheet part,
+    xl/sharedStrings.xml holds the string table, and each cell carries
+    a type (``t``: s=shared string, inlineStr, b=bool, default
+    numeric) plus a ``<v>`` value. Values are emitted as raw strings —
+    the grid contract keeps every cell textual (Excel serial dates are
+    decoded downstream by the S3 scalars, src/parse.ts:66-69).
+
+    Rows are returned for every index 1..max_row (absent rows become
+    all-None) so positional addressing (B3, row 21…) matches how an
+    Excel reader walks the full sheet.
     """
     import io
+    import xml.etree.ElementTree as ET
+    import zipfile
 
+    zf = zipfile.ZipFile(io.BytesIO(content))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rel_id_attr = (
+        "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    )
+    rid = None
+    for sh in wb.iterfind(".//{*}sheet"):
+        if sh.get("name") == sheet_name:
+            rid = sh.get(rel_id_attr)
+            break
+    if rid is None:
+        raise KeyError(f"worksheet {sheet_name!r} not found in workbook")
+    target = None
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    for rel in rels.iterfind(".//{*}Relationship"):
+        if rel.get("Id") == rid:
+            target = rel.get("Target").lstrip("/")
+    if target is None:
+        raise KeyError(f"no relationship target for sheet {sheet_name!r}")
+    if not target.startswith("xl/"):
+        target = f"xl/{target}"
+
+    sst: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        for si in ET.fromstring(zf.read("xl/sharedStrings.xml")).iterfind(".//{*}si"):
+            sst.append("".join(t.text or "" for t in si.iterfind(".//{*}t")))
+
+    rows: dict[int, list[str | None]] = {}
+    r_seq = 0
+    for row in ET.fromstring(zf.read(target)).iterfind(".//{*}row"):
+        r_seq = int(row.get("r", r_seq + 1))
+        vals: list[str | None] = [None] * max_col
+        c_seq = 0
+        for c in row.iterfind(".//{*}c"):
+            ref = c.get("r")
+            c_seq = _col_index(ref) if ref else c_seq + 1
+            if not 1 <= c_seq <= max_col:
+                continue
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                v: str | None = "".join(x.text or "" for x in c.iterfind(".//{*}t"))
+            else:
+                ve = c.find("{*}v")
+                if ve is None or ve.text is None:
+                    v = None
+                elif t == "s":
+                    v = sst[int(ve.text)]
+                elif t == "b":
+                    v = "True" if ve.text.strip() == "1" else "False"
+                else:
+                    v = ve.text
+            if v is not None:
+                vals[c_seq - 1] = v
+        rows[r_seq] = vals
+    if not rows:
+        return []
+    empty: list[str | None] = [None] * max_col
+    return [(r, rows.get(r, empty)) for r in range(1, max(rows) + 1)]
+
+
+def _decode_workbook_batches(batches):
+    """mapInPandas worker: binaryFile rows → grid rows via the stdlib
+    xlsx decoder (one workbook may span pandas chunks; each input row
+    is one whole workbook blob, so per-row decode is safe)."""
     import pandas as pd
-
-    try:
-        from openpyxl import load_workbook
-    except ImportError as exc:  # pragma: no cover - absent in container
-        raise NotImplementedError(
-            "workbook byte decode requires openpyxl; install it or ingest "
-            "grids via grid_from_rows/parquet"
-        ) from exc
 
     for pdf in batches:
         out: list[dict] = []
         for _, row in pdf.iterrows():
-            wb = load_workbook(io.BytesIO(row["content"]), read_only=True)
-            ws = wb["A4 Summary"]  # fixed sheet name, src/parse.ts:63
-            for r_idx, cells in enumerate(ws.iter_rows(max_col=7), start=1):
+            # fixed sheet name, src/parse.ts:63
+            for r_idx, cells in decode_xlsx_grid(row["content"], "A4 Summary"):
                 rec = {"src_file": row["file_name"], "row_idx": r_idx}
-                for c_idx, cell in enumerate(cells):
-                    v = cell.value
-                    rec[GRID_COLUMNS[c_idx]] = None if v is None else str(v)
+                for c_idx, col in enumerate(GRID_COLUMNS):
+                    rec[col] = cells[c_idx]
                 out.append(rec)
         yield pd.DataFrame(
             out, columns=["src_file", "row_idx", *GRID_COLUMNS]
@@ -110,8 +186,7 @@ def _decode_workbook_batches(batches):
 
 def read_workbook_grids(spark: SparkSession, drop_dir: str) -> DataFrame:
     """S2 at scale: one task per workbook partition, Arrow-batched
-    decode to the grid schema. (Decode itself is import-gated; see
-    module docstring.)"""
+    decode to the grid schema via the stdlib xlsx decoder."""
     files = list_day_docket_files(spark, drop_dir)
     # one workbook per task: workbooks are independent decode units
     return files.repartition("file_name").mapInPandas(
