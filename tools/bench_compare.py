@@ -37,7 +37,9 @@ def main() -> int:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        for q, sec in (data.get("queries") or {}).items():
+        # the driver wraps bench's JSON line under "parsed"
+        queries = data.get("queries") or (data.get("parsed") or {}).get("queries") or {}
+        for q, sec in queries.items():
             if isinstance(sec, (int, float)):
                 history[q] = min(history.get(q, float("inf")), float(sec))
 
