@@ -162,3 +162,51 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [(r["frame_no"], r["frame_ts_ms"]) for r in frames] == [(0, 0), (1, 1000), (2, 2000)]
+
+
+def test_stream_exact_text_dedup(spark, tmp_path):
+    """Digest-keyed streaming dedup: duplicate texts within the
+    watermark horizon are dropped across micro-batches; distinct texts
+    survive; the digest column does not leak into the output."""
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        stream_exact_text_dedup,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+        ]
+    )
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, "alpha beta", t0),
+        (2, "alpha beta", t0),               # dup of 1, same batch
+        (3, "gamma", t0),
+    ]
+    spark.createDataFrame(rows, doc_schema).write.mode("append").parquet(drop)
+
+    dd = stream_exact_text_dedup(
+        spark.readStream.schema(doc_schema).parquet(drop), watermark="1 hour"
+    )
+    run_available_now(dd, ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.columns == ["doc_id", "text", "ingest_ts"]
+    texts = sorted(r["text"] for r in got.collect())
+    assert texts == ["alpha beta", "gamma"]
+
+    # next micro-batch: a dup within the horizon is still dropped,
+    # a new text passes
+    spark.createDataFrame(
+        [(4, "alpha beta", t0), (5, "delta", t0)], doc_schema
+    ).write.mode("append").parquet(drop)
+    dd2 = stream_exact_text_dedup(
+        spark.readStream.schema(doc_schema).parquet(drop), watermark="1 hour"
+    )
+    run_available_now(dd2, ckpt, out)
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha beta", "delta", "gamma"]

@@ -142,25 +142,41 @@ def topk_lsh(
     Single-table sign-LSH recall is (1-θ/π)^n_planes per neighbor —
     poor for moderate similarities — so candidates are unioned across
     ``n_tables`` independent hyperplane sets: recall
-    1-(1-p^planes)^tables, tunable against cost. Each table's join is
-    an equi-join on its bucket id (shrinks candidates
-    ~2^n_planes-fold); the cross join never happens.
+    1-(1-p^planes)^tables, tunable against cost.
+
+    Single-pass layout: all tables' bucket ids are computed in ONE
+    projection over each side (the per-table-join formulation would
+    scan the corpus ``n_tables`` times), exploded to (tbl, bucket)
+    rows, and candidates come from ONE equi-join on that composite
+    key — shrinks candidates ~2^n_planes-fold per table; the cross
+    join never happens. Candidate SET is identical to the union of
+    per-table joins, so the algorithmic oracle is unaffected.
     """
-    per_table = []
-    for t in range(n_tables):
-        qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dim, seed=7 + t).select(
-            F.col(id_col).alias("query_id"), "bucket"
-        )
-        cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim, seed=7 + t).select(
-            F.col(id_col).alias("neighbor_id"), "bucket"
-        )
-        per_table.append(
-            F.broadcast(qb).join(cb, "bucket").select("query_id", "neighbor_id")
-        )
-    cands = per_table[0]
-    for extra in per_table[1:]:
-        cands = cands.unionByName(extra)
-    cands = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    all_planes = [hyperplanes(n_planes, dim, seed=7 + t) for t in range(n_tables)]
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        entries = []
+        for t, planes in enumerate(all_planes):
+            bucket = F.lit(0).cast("long")
+            for i, plane in enumerate(planes):
+                p = F.array(*[F.lit(x) for x in plane])
+                bucket = bucket + F.when(
+                    _dot(F.col(vec_col), p) >= 0, F.lit(1 << i)
+                ).otherwise(0)
+            entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*entries)).alias("e")
+        ).select(out_id, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
+
+    qb = bucketed(queries, "query_id")
+    cb = bucketed(corpus, "neighbor_id")
+    cands = (
+        F.broadcast(qb)
+        .join(cb, ["tbl", "bkt"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
 
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
