@@ -61,6 +61,9 @@ HEADLINE = [
     # scale-safe paths (LSH, IVF) — no BroadcastNestedLoopJoin.
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "cluster_assign",
+    "pipeline_corpus_clean",
+    "join_range_intransit",
     "text_quality",
     "text_token_counts",
 ]

@@ -335,3 +335,50 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_simhash_pairs", dedup_simhash_pairs, sk.simhash_pairs_oracle)
+
+
+def cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X1 adjunct: k-means cluster id per embedding (the corpus
+    side of IVF indexing, exposed as a first-class clustering query —
+    partitioning a 100 TB corpus into semantic shards is pure column
+    math against inlined centroids, embarrassingly parallel)."""
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+    return ivf.assign_cells(emb, centroids, "embedding", nprobe=1).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
+register("cluster_assign", cluster_assign, sk.cluster_assign_oracle)
+
+
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composite: the training-corpus cleaning pipeline as
+    ONE lazy DataFrame DAG — quality gate → exact dedup (survivor =
+    min doc_id per sha256 digest) → MinHash-LSH near-dup pruning
+    (greedy: drop the larger id of each candidate pair). Every stage
+    is the already-oracled operator; the composition is oracled
+    end-to-end too (sketch_oracles.corpus_clean_oracle).
+
+    Scale shape: filter is a scan predicate; exact dedup shuffles
+    32-byte digests; near-dedup is the banded equi-join — no stage
+    exceeds O(docs × bands) shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = tx.quality_flags(F.col("text"))
+    q = docs.filter(flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"])
+    surv_ids = (
+        q.select("doc_id", F.sha2(F.col("text"), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = q.join(surv_ids, "doc_id")
+    sigs = dd.minhash_signatures(surv, "doc_id", "text", n=1, num_hashes=64)
+    pairs = dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8, max_bucket=500)
+    near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return surv.join(near_dups, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+register("pipeline_corpus_clean", pipeline_corpus_clean, sk.corpus_clean_oracle)

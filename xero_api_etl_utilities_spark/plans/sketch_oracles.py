@@ -47,10 +47,31 @@ def minhash_lsh_oracle(
     bands: int = 8,
     rows_per_band: int = 8,
     max_bucket: int = 500,
+    source: str = "documents",
 ) -> str:
     """Twin of dedup_minhash_lsh: token (1-gram) shingles → md5-based
     32-bit hash mod P → 64 universal-hash minima → per-band h32 of the
-    '|'-joined slots → stop-bucket filter → candidate equi-join."""
+    '|'-joined slots → stop-bucket filter → candidate equi-join.
+    ``source`` is the doc relation (table or CTE name with
+    doc_id/text columns) — lets composed pipelines reuse the twin over
+    a filtered corpus."""
+    return (
+        "WITH "
+        + minhash_cand_ctes(n_hashes, seed, bands, rows_per_band, max_bucket, source)
+        + "\nSELECT doc_a, doc_b FROM cand"
+    )
+
+
+def minhash_cand_ctes(
+    n_hashes: int = 64,
+    seed: int = 42,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    max_bucket: int = 500,
+    source: str = "documents",
+) -> str:
+    """The MinHash+LSH CTE chain ending in ``cand(doc_a, doc_b)`` —
+    composable into larger oracle statements."""
     coeffs = minhash_coeffs(n_hashes, seed)
     mins = ",\n    ".join(
         f"MIN((hx * {a} + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
@@ -68,10 +89,10 @@ def minhash_lsh_oracle(
         )
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT DISTINCT doc_id AS doc, t.sh AS sh
-  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(sh)
+  FROM {source} AS srcdocs,
+       UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(sh)
 ), hashed AS (
   SELECT doc, CAST({h32_sql("sh")} AS BIGINT) % {_P} AS hx FROM toks
 ), sigs AS (
@@ -80,13 +101,14 @@ WITH toks AS (
   FROM hashed GROUP BY doc
 ), banded AS (
   {band_selects}
-), kept AS (
+), lshkept AS (
   SELECT doc, band, bh FROM banded
   QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {max_bucket}
-)
-SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-FROM kept a JOIN kept b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
-"""
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM lshkept a
+  JOIN lshkept b ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+)"""
 
 
 # ---------------------------------------------------------------- simhash
@@ -245,4 +267,61 @@ WITH e AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def cluster_assign_oracle() -> str:
+    """Twin of cluster_assign: nearest-centroid id per vector, same
+    bit-identical centroid literals as :func:`topk_ivf_oracle`."""
+    from xero_api_etl_utilities_spark.operators.ivf import train_centroids_from_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = train_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), k=16, iters=4, sample=1000
+    )
+    structs = ", ".join(
+        f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+       CAST((list_transform(list_reverse(list_sort([{structs}])),
+             s -> s.cell))[1] AS INT) AS cell
+FROM e
+"""
+
+
+def corpus_clean_oracle() -> str:
+    """Twin of pipeline_corpus_clean: quality gate (the verified
+    text_quality expressions) → exact-dedup survivors (min doc_id per
+    sha256) → MinHash-LSH near-dup pruning (drop the larger id of
+    every candidate pair) — the whole training-corpus cleaning DAG in
+    one SQL statement."""
+    chain = minhash_cand_ctes(source="surv")
+    return f"""
+WITH qdocs AS (
+  SELECT doc_id, text, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t))) AS BIGINT) AS n_stopwords,
+    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+), q AS (
+  SELECT doc_id, text, lang FROM qdocs
+  WHERE n_chars >= 50
+    AND 100 * n_punct <= 20 * n_chars
+    AND 100 * n_stopwords >= 1 * greatest(n_tokens, 1)
+), surv_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY sha256(text)
+), surv AS (
+  SELECT q.doc_id, q.text, q.lang FROM q JOIN surv_ids USING (doc_id)
+), {chain}
+SELECT s.doc_id, s.lang
+FROM surv s
+LEFT JOIN (SELECT DISTINCT doc_b FROM cand) d ON s.doc_id = d.doc_b
+WHERE d.doc_b IS NULL
 """
