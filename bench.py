@@ -47,6 +47,8 @@ HEADLINE = [
     "join_asof",
     "window_lag_lead",
     "window_moving_frame",
+    "window_distribution_ranks",
+    "join_above_avg",
     "events_sliding",
     "agg_rollup",
     "agg_cube",

@@ -387,3 +387,75 @@ FROM points JOIN iv ON s <= CAST(on_date AS DATE) AND CAST(on_date AS DATE) <= e
 GROUP BY on_date
 """,
 )
+
+
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile quartiles, percent_rank,
+    cume_dist) over order totals per priority class. The ordering key
+    includes o_orderkey so ranks are total-order deterministic; the
+    rank fractions are IEEE divisions of identical integers on both
+    engines — bit-stable."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+register(
+    "window_distribution_ranks",
+    window_distribution_ranks,
+    """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WHERE o_orderkey % 7 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+
+
+def join_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (orders above their customer's
+    average total), decorrelated to one window pass. The comparison is
+    cross-multiplied (price*n > sum) so no decimal division enters the
+    result — exact on both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("tot", F.sum("p").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("p") * F.col("n") > F.col("tot"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+register(
+    "join_above_avg",
+    join_above_avg,
+    """
+WITH t AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders
+), s AS (
+  SELECT o_custkey, SUM(p) AS tot, COUNT(*) AS n
+  FROM t GROUP BY o_custkey
+)
+SELECT t.o_orderkey, t.o_custkey
+FROM t JOIN s USING (o_custkey)
+WHERE t.p * s.n > s.tot
+""",
+)

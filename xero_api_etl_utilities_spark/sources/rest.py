@@ -107,6 +107,82 @@ class LocalJsonTransport:
         return results
 
 
+class HttpJsonTransport:
+    """Real HTTP transport (stdlib urllib — no extra dependency), same
+    protocol as the local fake, mirroring the reference client's shape
+    (/root/reference/src/apiFunctions.ts:58-147): GET with query-string
+    filters returning a JSON array, POST of a JSON payload batch
+    returning a JSON array of per-item statuses.
+
+    Retry discipline: idempotent GETs retry on 429/5xx/connection
+    errors with exponential backoff (honoring Retry-After when
+    present). POSTs retry on the same conditions — safe because the
+    sink contract is idempotent on each payload's ``reference`` key
+    (the server, like ``LocalJsonTransport``, answers SKIPPED for a
+    reference it already accepted), so a retry after an ambiguous
+    failure cannot double-apply.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        timeout: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.5,
+        headers: dict[str, str] | None = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.headers = {"Accept": "application/json", **(headers or {})}
+
+    def _request(self, url: str, data: bytes | None = None) -> list[dict]:
+        import time
+        import urllib.error
+        import urllib.request
+
+        last_exc: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(url, data=data, headers=self.headers)
+            if data is not None:
+                req.add_header("Content-Type", "application/json")
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    body = resp.read()
+                return json.loads(body) if body else []
+            except urllib.error.HTTPError as exc:
+                retry_after = exc.headers.get("Retry-After") if exc.headers else None
+                if exc.code not in (429, 500, 502, 503, 504) or attempt == self.max_retries:
+                    raise
+                last_exc = exc
+                delay = (
+                    float(retry_after)
+                    if retry_after
+                    else self.backoff_s * (2**attempt)
+                )
+            except (urllib.error.URLError, TimeoutError) as exc:
+                if attempt == self.max_retries:
+                    raise
+                last_exc = exc
+                delay = self.backoff_s * (2**attempt)
+            time.sleep(delay)
+        raise last_exc  # pragma: no cover - loop always returns/raises
+
+    def get(self, resource: str, params: dict) -> list[dict]:
+        import urllib.parse
+
+        qs = urllib.parse.urlencode(params or {})
+        url = f"{self.base_url}/{resource}" + (f"?{qs}" if qs else "")
+        return self._request(url)
+
+    def post(self, resource: str, payloads: list[dict]) -> list[dict]:
+        if not payloads:  # empty batches skipped, src/apiFunctions.ts:68
+            return []
+        body = json.dumps(payloads, sort_keys=True).encode()
+        return self._request(f"{self.base_url}/{resource}", data=body)
+
+
 def fetch_invoices(
     spark: SparkSession,
     transport: Transport,
