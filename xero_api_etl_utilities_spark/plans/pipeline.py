@@ -50,6 +50,51 @@ class EntityConfig:
     expense_gl_code: str = "6000"
 
 
+class ConfigError(ValueError):
+    """Q5: invalid job configuration — reported before any dataflow
+    starts (the reference validates its env/entity switch at startup,
+    src/helpers.ts:20-46; a bad entity there silently falls through)."""
+
+
+def validate_entity_config(config: EntityConfig) -> EntityConfig:
+    """Q5 gate: fail fast with EVERY problem listed, not just the
+    first — a driver-side pre-flight, zero cluster work."""
+    problems = []
+    if config.entity not in ("pw", "wb"):
+        problems.append(f"entity must be 'pw' or 'wb', got {config.entity!r}")
+    if not config.transport_root or not str(config.transport_root).strip():
+        problems.append("transport_root must be a non-empty path/URL")
+    if not (config.expense_gl_code.isdigit() and len(config.expense_gl_code) == 4):
+        problems.append(
+            f"expense_gl_code must be a 4-digit GL code, got {config.expense_gl_code!r}"
+        )
+    if problems:
+        raise ConfigError("; ".join(problems))
+    return config
+
+
+def fan_out(df: DataFrame, consumers: dict, storage_level=None) -> dict:
+    """D4: multi-query fan-out over one shared source — the engine
+    form of the reference's ``Promise.all`` of 5 reads over the same
+    date (src/queries.ts:55-121).
+
+    The shared upstream is persisted and force-materialized ONCE, every
+    consumer runs against the cached frame (InMemoryTableScan, no
+    re-scan of the source), and the cache is released afterwards.
+    Consumers must materialize their result (collect/write/count);
+    a consumer returning a lazy DataFrame still computes correctly but
+    re-plans from source once the cache is gone.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    cached = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    try:
+        cached.count()
+        return {name: fn(cached) for name, fn in consumers.items()}
+    finally:
+        cached.unpersist()
+
+
 def run_daily_import(
     grid: DataFrame,
     charge_table: DataFrame,
