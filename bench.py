@@ -65,6 +65,7 @@ HEADLINE = [
     "similarity_topk_ivf",
     "cluster_assign",
     "pipeline_corpus_clean",
+    "sample_split_assign",
     "join_range_intransit",
     "text_quality",
     "text_token_counts",

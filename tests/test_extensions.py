@@ -323,3 +323,31 @@ def test_ivf_refined_centroids_recall(spark):
         for r in ivf.topk_ivf(queries, vecs, refined, k=3, nprobe=2).collect()
     }
     assert len(exact & approx) >= 0.9 * len(exact)
+
+
+def test_sampling_deterministic_and_disjoint(spark):
+    """Systematic sample is rerun/partitioning-stable; split is
+    disjoint+exhaustive with roughly the requested proportions; salts
+    decorrelate; bad fractions are refused."""
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in sampling.systematic_sample(df, "k", 1, 4).collect()}
+    s2 = {
+        r["k"]
+        for r in sampling.systematic_sample(df.repartition(13), "k", 1, 4).collect()
+    }
+    assert s1 == s2 and 300 < len(s1) < 700  # stable; ~500 expected
+    sp = sampling.assign_split(df, "k", 80, 10)
+    counts = {r["split"]: r["n"] for r in sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1400 and counts["val"] < 300
+    # different salt → different sample
+    s3 = {r["k"] for r in sampling.systematic_sample(df, "k", 1, 4, salt="x").collect()}
+    assert s1 != s3
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.systematic_sample(df, "k", 5, 4)

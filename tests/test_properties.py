@@ -108,3 +108,39 @@ def test_round2_join_key_property(spark, data):
             .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
         )
         assert got[i] == expected, v
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.decimals(
+                min_value=-99999, max_value=99999, places=2, allow_nan=False
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_exact_median_matches_statistics_property(spark, groups):
+    """exact_percentiles median == python statistics.median (type-7
+    interpolation at p=0.5 IS the textbook median) for arbitrary
+    decimal groups — one Spark job over all hypothesis-generated
+    groups."""
+    import statistics
+
+    from xero_api_etl_utilities_spark.operators.percentiles import exact_percentiles
+
+    rows = [
+        (gi, float(v)) for gi, vals in enumerate(groups) for v in vals
+    ]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: r["median"]
+        for r in exact_percentiles(df, "v", ["g"], [("median", 1, 2)]).collect()
+    }
+    for gi, vals in enumerate(groups):
+        want = float(statistics.median([float(v) for v in vals]))
+        assert abs(got[gi] - want) < 1e-9, (gi, got[gi], want)

@@ -1,0 +1,60 @@
+"""Deterministic sampling & dataset-split operators.
+
+Training pipelines need REPRODUCIBLE sampling: ``df.sample()`` /
+``sampleBy()`` draw from engine-and-partitioning-dependent RNG streams
+— rerun the job, get a different corpus. These operators derive every
+decision from a content hash (crosshash — md5-based, engine-portable),
+so the same row lands in the same sample/split on any engine, any
+partitioning, any rerun; membership is a pure scan predicate (no
+shuffle, pushes into the row filter).
+
+- ``systematic_sample``: keep rows whose key hashes into the first
+  ``num/den`` fraction of hash space.
+- ``assign_split``: label each row train/val/test by hash bucket —
+  a disjoint, exhaustive, stable partition of the corpus. ``salt``
+  decorrelates split assignment from any other hash use of the key
+  (and from other experiments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.crosshash import h32
+
+
+def _bucket(key_col, salt: str, den: int):
+    """Stable bucket in [0, den) from the salted key hash."""
+    return h32(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))) % den
+
+
+def systematic_sample(
+    df: DataFrame, key_col: str, num: int, den: int, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~num/den of rows, chosen by salted key hash — deterministic
+    across engines, reruns and repartitioning."""
+    if not 0 < num <= den:
+        raise ValueError(f"need 0 < num <= den, got {num}/{den}")
+    return df.filter(_bucket(key_col, salt, den) < num)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Attach a ``split`` column (train/val/test) by hash bucket out of
+    100; test gets the remainder. Disjoint and exhaustive by
+    construction."""
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("train_pct/val_pct must be >=0 and sum to <=100")
+    b = _bucket(key_col, salt, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

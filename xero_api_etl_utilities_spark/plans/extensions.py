@@ -382,3 +382,32 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("pipeline_corpus_clean", pipeline_corpus_clean, sk.corpus_clean_oracle)
+
+
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline staple: deterministic 1-in-4 systematic
+    sample of the corpus, then stable 80/10/10 train/val/test split —
+    both pure hash predicates (operators/sampling.py), reproducible on
+    any engine/partitioning, pushed to the scan."""
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.systematic_sample(docs, "doc_id", num=1, den=4)
+    return sampling.assign_split(sampled, "doc_id").select("doc_id", "lang", "split")
+
+
+register(
+    "sample_split_assign",
+    sample_split_assign,
+    """
+WITH sampled AS (
+  SELECT doc_id, lang,
+    CAST(CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100 AS sb
+  FROM documents
+  WHERE CAST(CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 4 < 1
+)
+SELECT doc_id, lang,
+  CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split
+FROM sampled
+""",
+)
