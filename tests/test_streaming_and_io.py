@@ -210,3 +210,25 @@ def test_stream_exact_text_dedup(spark, tmp_path):
     run_available_now(dd2, ckpt, out)
     texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert texts == ["alpha beta", "delta", "gamma"]
+
+
+def test_resize_media(spark):
+    from xero_api_etl_utilities_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, b"img-a", ("image", "image/png", 640, 480, None, None)),
+            (2, b"img-b", ("image", "image/png", None, None, None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in resize_media(media, 64, 32).collect()}
+    assert out[1]["meta"]["width"] == 64 and out[1]["meta"]["height"] == 32
+    assert out[1]["meta"]["media_type"] == "image"  # other meta preserved
+    assert len(out[1]["content"]) == (64 * 32) // 64
+    # deterministic and content-dependent
+    assert bytes(out[1]["content"]) == fake_resize(b"img-a", 64, 32)
+    assert out[1]["content"] != out[2]["content"]

@@ -111,6 +111,52 @@ def extract_features(media: DataFrame, dim: int = 8, decode_fn=fake_decode_featu
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: a real codec would decode,
+    scale, re-encode; the fake derives a reproducible byte payload of
+    plausible size from (bytes, target dims) so batch shapes, schema
+    and idempotence are fully testable without image libraries."""
+    digest = hashlib.sha256((content or b"") + f"{width}x{height}".encode()).digest()
+    n = max(1, (width * height) // 64)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, resize_fn=fake_resize
+) -> DataFrame:
+    """X4 resize stage: Arrow-batched mapInPandas over the binary
+    column — content is transformed in place, metadata dims updated.
+    Same distributed shape as a real PIL/ffmpeg resize (plug one in
+    via ``resize_fn``); media rows never shuffle."""
+
+    def _resize(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [resize_fn(c, width, height) for c in pdf["content"]],
+                    "meta": [
+                        {**(m or {}), "width": width, "height": height}
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: explodes per-media sample timestamps
     from metadata (pure column math; the frame decode itself would ride
