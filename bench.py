@@ -69,7 +69,22 @@ HEADLINE = [
     "join_range_intransit",
     "text_quality",
     "text_token_counts",
+    # completing the catalog (everything except the two deliberately
+    # small-slice exact baselines, so per-round history covers every
+    # production-shaped query)
+    "agg_all_balanced",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "filter_negation_membership_routing",
+    "filter_null_and_zero",
+    "join_cardinality_violations",
+    "scalar_null_conditional_pack",
+    "text_fingerprint",
+    "text_lang_id",
 ]
+# NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
+# exact baselines whose cartesian/all-pairs shapes exist only as
+# oracle generators (see VERDICT r1 items 2-3).
 
 
 def main() -> None:

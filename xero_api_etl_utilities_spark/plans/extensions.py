@@ -90,7 +90,7 @@ WHERE 10 * inter_size >= 7 * (sa.sz + sb.sz - inter_size)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 scale path: MinHash(64) + LSH(16 bands × 4 rows) candidate
+    """X1 scale path: MinHash(64) + LSH(8 bands × 8 rows) candidate
     pairs over the full corpus (token-set shingles, matching the exact
     query's choice; band threshold ≈ (1/8)^(1/8) ≈ 0.77, aligned with
     the 0.7 exact-query threshold). Shuffle is
