@@ -182,16 +182,26 @@ def minhash_lsh_candidates(
     """LSH banding over a MinHash signature DataFrame → candidate pairs.
 
     Each band hashes ``rows_per_band`` signature slots; documents
-    agreeing on any band become a candidate pair. The self-join is an
-    equi-join on (band, band_hash): shuffle cost O(docs*bands).
+    agreeing on any band become a candidate pair. Shuffle cost is one
+    groupBy on (band, band_hash): O(docs*bands) rows.
 
     ``max_bucket`` is the degenerate-bucket guard: a bucket of B docs
-    contributes B² join output, so a handful of stop-buckets (boiler-
-    plate, near-empty docs, tiny shared vocab) can turn the candidate
-    join quadratic. Buckets above the cap are dropped — the standard
-    stop-bucket practice in corpus dedup — which bounds join output at
-    O(buckets × max_bucket²) no matter how skewed the corpus. Pass
-    ``max_bucket=None`` to disable.
+    contributes B² pair output, so a handful of stop-buckets (boiler-
+    plate, near-empty docs, tiny shared vocab) can turn candidate
+    generation quadratic. Buckets above the cap are dropped — the
+    standard stop-bucket practice in corpus dedup — which bounds pair
+    output at O(buckets × max_bucket²) no matter how skewed the
+    corpus. Pass ``max_bucket=None`` to disable (unbounded
+    collect_list — only for corpora known to be skew-free).
+
+    Pair generation is WITHIN-BUCKET EXPLOSION, not a banded
+    self-join: a self-join would instantiate the whole
+    signature+banding subtree twice (Spark has no cross-branch
+    common-subexpression reuse — at 100 TB that is 2× the entire
+    sketch computation), whereas grouping to (band, bh) buckets
+    computes signatures once and emits each bucket's sorted-id pair
+    combinations from one collect_list whose size ``max_bucket``
+    bounds.
     """
     band_cols = [
         h32(
@@ -208,19 +218,25 @@ def minhash_lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select("doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    buckets = (
+        pairs.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     if max_bucket is not None:
-        w = Window.partitionBy("band", "bh")
-        pairs = (
-            pairs.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-    a = pairs.alias("a")
-    b = pairs.alias("b")
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
