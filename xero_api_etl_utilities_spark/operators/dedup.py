@@ -246,18 +246,25 @@ def simhash_near_dups(
     max_hamming: int = 3,
     doc_col: str = "doc",
     fp_col: str = "simhash",
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints via 16-bit banding.
 
     Pigeonhole: two fingerprints within Hamming distance ≤3 agree on at
-    least one of four 16-bit bands, so candidates come from equi-joins
-    on (band, band_value) — O(docs×4) shuffle, never all-pairs — then
-    the exact Hamming filter (xor + bit_count) keeps true near-dups.
-    (For ``max_hamming`` ≥ 4 the 4-band pigeonhole no longer guarantees
-    full recall; callers wanting larger radii should band narrower.)
+    least one of four 16-bit bands, so candidates come from within-
+    bucket pair explosion on (band, band_value) — O(docs×4) shuffle,
+    never all-pairs — then the exact Hamming filter (xor + bit_count)
+    keeps true near-dups. (For ``max_hamming`` ≥ 4 the 4-band
+    pigeonhole no longer guarantees full recall; callers wanting
+    larger radii should band narrower.)
+
+    Like ``minhash_lsh_candidates``: one groupBy, not a banded
+    self-join (which would compute the 64-sum fingerprint aggregation
+    twice), and ``max_bucket`` stop-buckets bound the quadratic pair
+    output under band-value skew.
     """
     bands = 4
-    pairs = fps.select(
+    exploded = fps.select(
         F.col(doc_col).alias("doc"),
         F.col(fp_col).alias("fp"),
         F.explode(
@@ -274,16 +281,33 @@ def simhash_near_dups(
             )
         ).alias("e"),
     ).select("doc", "fp", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
-    a = pairs.alias("a")
-    b = pairs.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+    buckets = (
+        exploded.groupBy("band", "bv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc"), F.col("fp")))
+            ).alias("members")
         )
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

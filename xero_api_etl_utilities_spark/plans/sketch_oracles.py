@@ -155,16 +155,18 @@ def simhash_oracle() -> str:
     return _simhash_ctes() + "\nSELECT doc, fp AS simhash FROM fps"
 
 
-def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+def simhash_pairs_oracle(max_hamming: int = 3, max_bucket: int = 2000) -> str:
     """Twin of dedup_simhash_pairs: 16-bit banding (logical shift +
     mask — identical low bits whether the engine's >> sign-extends or
-    not), pair equi-join per band, exact xor/bit_count filter."""
+    not), stop-bucket guard, pair equi-join per band, exact
+    xor/bit_count filter."""
     return (
         _simhash_ctes()
         + f""",
 banded AS (
   SELECT doc, fp, b.band AS band, (fp >> (16 * b.band)) & 65535 AS bv
   FROM fps, (VALUES (0), (1), (2), (3)) b(band)
+  QUALIFY COUNT(*) OVER (PARTITION BY b.band, (fp >> (16 * b.band)) & 65535) <= {max_bucket}
 )
 SELECT doc_a, doc_b, hamming FROM (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
