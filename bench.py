@@ -81,6 +81,17 @@ HEADLINE = [
     "scalar_null_conditional_pack",
     "text_fingerprint",
     "text_lang_id",
+    # corpus-hygiene ops (plans/corpus_ops.py)
+    "text_normalize",
+    "text_pii_mask",
+    "text_repetition",
+    "decontaminate_ngrams",
+    "doc_pack_chunks",
+    # exact top-k through the Arrow/matmul path: unlike the excluded
+    # BroadcastNestedLoopJoin form, this is ONE corpus scan with
+    # per-batch matmul + candidate-only shuffle — the correct exact
+    # method for a bounded query set, so it earns a headline slot
+    "similarity_topk_pandas",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

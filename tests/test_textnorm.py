@@ -1,0 +1,144 @@
+"""Unit tests for text normalization, PII masking, repetition stats,
+decontamination, context-window packing, and the pandas top-k twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators import packing as pk
+from xero_api_etl_utilities_spark.operators import similarity as sim
+from xero_api_etl_utilities_spark.operators import textnorm as tn
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello\t WORLD \n\n foo\x01bar  "), (2, "already clean")],
+        ["id", "text"],
+    )
+    out = dict(
+        df.select("id", tn.normalize_text(F.col("text")).alias("t")).collect()
+    )
+    assert out[1] == "hello world foo bar"
+    assert out[2] == "already clean"
+
+
+def test_nfc_pandas_udf(spark):
+    # e + combining acute (decomposed) must compose to U+00E9
+    decomposed = "café"
+    df = spark.createDataFrame([(1, decomposed), (2, None)], ["id", "text"])
+    out = dict(df.select("id", tn.nfc(F.col("text")).alias("t")).collect())
+    assert out[1] == "café"
+    assert out[2] is None
+
+
+def test_mask_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 (415) 555-0199 today"),
+            (3, "ssn-ish 123456789 and acct 9876543210"),
+            (4, "no pii here 42"),
+        ],
+        ["id", "text"],
+    )
+    out = dict(df.select("id", tn.mask_pii(F.col("text")).alias("t")).collect())
+    assert out[1] == "mail [EMAIL] now"
+    assert out[2] == "call [PHONE] today"
+    assert out[3] == "ssn-ish [ID] and acct [ID]"
+    assert out[4] == "no pii here 42"
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),  # bigrams: 5 total, 2 distinct
+            (2, "all words here are unique"),  # 4 total, 4 distinct
+            (3, "one"),  # shorter than n: zero bigrams
+        ],
+        ["id", "text"],
+    )
+    st = tn.repetition_stats(F.col("text"), n=2)
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            st["n_ngrams"].alias("n"),
+            st["n_distinct"].alias("d"),
+            st["max_repeat"].alias("m"),
+            st["repetitive"].alias("rep"),
+        ).collect()
+    }
+    assert (rows[1]["n"], rows[1]["d"], rows[1]["m"]) == (5, 2, 3)
+    assert rows[1]["rep"] is True
+    assert (rows[2]["n"], rows[2]["d"], rows[2]["m"]) == (4, 4, 1)
+    assert rows[2]["rep"] is False
+    assert (rows[3]["n"], rows[3]["d"], rows[3]["m"]) == (0, 0, 0)
+    assert rows[3]["rep"] is False
+
+
+def test_ngram_overlap_decontamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares trigrams "the quick brown", "quick brown fox"
+            (1, "see the quick brown fox run"),
+            # no trigram overlap (different order)
+            (2, "fox brown quick the jumps"),
+            # exact copy: shares all 3 benchmark trigrams
+            (3, "the quick brown fox jumps"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in tn.ngram_overlap(train, bench, "doc_id", "text", n=3).collect()
+    }
+    assert out == {1: 2, 3: 3}
+
+
+def test_pack_fixed_budget(spark):
+    df = spark.createDataFrame(
+        [(i, 0, 600) for i in range(1, 6)] + [(10, 1, 2500)],
+        ["doc_id", "shard", "n_tokens"],
+    )
+    out = {
+        r["doc_id"]: (r["prev_tokens"], r["pack_id"])
+        for r in pk.pack_fixed_budget(
+            df, "doc_id", "n_tokens", budget=2048, shard_col="shard"
+        ).collect()
+    }
+    # shard 0 running totals: 0, 600, 1200, 1800, 2400
+    assert out[1] == (0, 0)
+    assert out[4] == (1800, 0)  # straddles the boundary, stays in pack 0
+    assert out[5] == (2400, 1)
+    assert out[10] == (0, 0)  # its own shard restarts the running total
+
+
+def test_pack_budget_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="budget"):
+        pk.pack_fixed_budget(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_topk_pandas_matches_builtin(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = sorted(
+        map(tuple, sim.topk_bruteforce(queries, emb, k=5).collect())
+    )
+    b = sorted(
+        map(tuple, sim.topk_bruteforce_pandas(queries, emb, k=5).collect())
+    )
+    assert a == b
+
+
+def test_topk_pandas_query_cap(spark, sf_dir):
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.topk_bruteforce_pandas(emb, emb, k=3, max_queries=10)

@@ -93,6 +93,82 @@ def topk_bruteforce(
     )
 
 
+def topk_bruteforce_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_queries: int | None = 100,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via an Arrow-batched numpy matmul —
+    the high-dimensionality twin of :func:`topk_bruteforce`.
+
+    Same contract and same results as the built-in-expression form
+    (returns (query_id, neighbor_id, rank)); different physical plan:
+    the bounded query set is collected to a (Q × d) numpy matrix and
+    closed over a ``mapInPandas`` stage, so each Arrow batch of the
+    corpus is scored with ONE BLAS matmul instead of per-element
+    ``zip_with``/``aggregate`` expression trees. At 64 dims the
+    built-in form wins on plan simplicity; past a few hundred dims the
+    matmul wins by an order of magnitude — this variant exists so the
+    engine has that path ready and benchmarked.
+
+    Exactness: each batch emits its own per-query top-k (global
+    top-k ⊆ union of per-batch top-k), then one window rank over the
+    ~k × batches × Q survivors picks the global answer. The corpus
+    never shuffles; the final shuffle carries only candidates.
+    """
+    if max_queries is not None:
+        n_q = queries.count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"topk_bruteforce_pandas got {n_q} query vectors (> max_queries="
+                f"{max_queries}): the exact form scores O(queries x corpus) —"
+                " use topk_lsh/topk_ivf, or pass max_queries=None to opt out."
+            )
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()  # bounded by the guard above
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            vmat = np.array(list(pdf["_vec"]), dtype=np.float64)
+            vnorm = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+            sims = vnorm @ qnorm.T  # (batch, Q)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                # top-k within the batch, ties broken by smaller id
+                # (lexsort: last key is primary)
+                order = np.lexsort((ids, -sims[:, j]))[:k]
+                keep = order[np.isfinite(sims[order, j])]
+                out_q.extend([qids[j]] * len(keep))
+                out_n.extend(ids[keep])
+                out_s.extend(sims[keep, j])
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    cands = corpus.select(
+        F.col(id_col).alias("_nid"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane vectors — exported so the
     DuckDB oracle generator inlines the SAME plane literals the Spark

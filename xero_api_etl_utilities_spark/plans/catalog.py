@@ -44,6 +44,7 @@ def _load_extra_modules() -> None:
         extensions,
         windows_extra,
         tpch_like,
+        corpus_ops,
     )
 
 

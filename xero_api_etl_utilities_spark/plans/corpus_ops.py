@@ -1,0 +1,248 @@
+"""Corpus-hygiene catalog (north-star training-data-pipeline surface,
+continued): normalization, PII masking, repetition measurement,
+benchmark decontamination, context-window packing, and the
+Arrow-batched exact-similarity twin.
+
+Oracle notes:
+- all regex patterns are RE2-safe and shared verbatim with the DuckDB
+  twins (DuckDB gets the explicit 'g' flag — it replaces only the
+  first match by default, Spark replaces all);
+- repetition/packing outputs are pure integers (counts, window sums,
+  integer division) — nothing float enters a hashed column;
+- the NFC step runs through an Arrow-batched pandas UDF on the Spark
+  side and ``nfc_normalize`` on the DuckDB side: both implement
+  UAX#15, so composed output is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators import packing as pk
+from xero_api_etl_utilities_spark.operators import similarity as sim
+from xero_api_etl_utilities_spark.operators import textnorm as tn
+from xero_api_etl_utilities_spark.operators import textstats as tx
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.plans.extensions import TOPK_EXACT_ORACLE
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# normalization + masking
+# --------------------------------------------------------------------------
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: canonical text form (lowercase, control→space, whitespace
+    collapse, trim) plus unicode NFC via the one deliberate pandas UDF
+    in the engine (Spark has no NFC built-in). Per-row projection — no
+    shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tn.normalize_text(F.col("text")).alias("norm_text"),
+        tn.nfc(F.col("text")).alias("nfc_text"),
+    )
+
+
+register(
+    "text_normalize",
+    text_normalize,
+    f"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text),
+       '{tn.CONTROL_PATTERN}', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+  nfc_normalize(text) AS nfc_text
+FROM documents
+""",
+)
+
+
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: PII redaction (emails → [EMAIL], ≥9-digit ids → [ID],
+    phone-shaped runs → [PHONE]). The synthetic corpus carries no PII,
+    so each document is deterministically decorated with a contact
+    line derived from its id before masking — the masks must actually
+    fire for the oracle hash to agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 (202) 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        (F.col("doc_id") + 100000000).cast("string"),
+    )
+    return docs.select("doc_id", tn.mask_pii(decorated).alias("masked"))
+
+
+register(
+    "text_pii_mask",
+    text_pii_mask,
+    f"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com or +1 (202) 555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' ref ' || CAST(doc_id + 100000000 AS VARCHAR) AS decorated
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(decorated,
+      '{tn.EMAIL_PATTERN}', '[EMAIL]', 'g'),
+      '{tn.LONG_ID_PATTERN}', '[ID]', 'g'),
+      '{tn.PHONE_PATTERN}', '[PHONE]', 'g') AS masked
+FROM d
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# repetition + decontamination
+# --------------------------------------------------------------------------
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: within-document bigram repetition stats — the standard
+    boilerplate/low-quality signal. Higher-order array functions per
+    row; integer outputs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = tn.repetition_stats(F.col("text"), n=2)
+    return docs.select(
+        "doc_id",
+        st["n_ngrams"].alias("n_ngrams"),
+        st["n_distinct"].alias("n_distinct"),
+        st["max_repeat"].alias("max_repeat"),
+        st["repetitive"].alias("repetitive"),
+    )
+
+
+register(
+    "text_repetition",
+    text_repetition,
+    """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i+1]) AS ng
+  FROM t
+), occ AS (
+  SELECT doc_id, ng2, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(ng) AS ng2 FROM g) u
+  GROUP BY doc_id, ng2
+), per AS (
+  SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_ngrams,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+    CAST(MAX(c) AS BIGINT) AS max_repeat
+  FROM occ GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_ngrams, 0) AS n_ngrams,
+  COALESCE(p.n_distinct, 0) AS n_distinct,
+  COALESCE(p.max_repeat, 0) AS max_repeat,
+  -- false AND unknown = false keeps zero-ngram docs at FALSE, not NULL
+  COALESCE(p.n_ngrams, 0) > 0
+    AND 10 * (p.n_ngrams - p.n_distinct) >= 3 * p.n_ngrams AS repetitive
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+""",
+)
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: benchmark-contamination sweep — every 20th document plays
+    the benchmark set, the rest are the training corpus; report
+    training docs sharing ≥1 distinct word-trigram with the benchmark
+    and how many. Real pipelines use 8-grams (the operator's
+    default), but this corpus draws from a ~30-word vocabulary where
+    8-gram collisions never occur by chance — trigrams give the
+    oracle a meaningful count distribution. Benchmark n-grams are
+    broadcast; the corpus side never shuffles bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return tn.ngram_overlap(train, bench, "doc_id", "text", n=3)
+
+
+register(
+    "decontaminate_ngrams",
+    decontaminate_ngrams,
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS ng
+  FROM toks
+), bench AS (
+  SELECT DISTINCT ng FROM grams WHERE doc_id % 20 = 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM grams JOIN bench USING (ng)
+WHERE doc_id % 20 <> 0
+GROUP BY doc_id
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# context-window packing
+# --------------------------------------------------------------------------
+
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: sharded fixed-boundary context-window packing — BPE-ish
+    token counts, 8 hash shards, 2048-token budget. One shuffle on
+    the shard key; packing parallelizes across shards (a single
+    global sequence would serialize a 100 TB corpus — see
+    operators/packing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pk.pack_fixed_budget(
+        with_tokens, "doc_id", "n_tokens", budget=2048,
+        shard_col=F.col("doc_id") % 8,
+    )
+
+
+register(
+    "doc_pack_chunks",
+    doc_pack_chunks,
+    """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_tokens
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, prev_tokens, prev_tokens // 2048 AS pack_id
+FROM c
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# Arrow-batched exact similarity twin
+# --------------------------------------------------------------------------
+
+def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the exact brute-force top-k again, but through the
+    Arrow-batched numpy-matmul path (mapInPandas) — the
+    high-dimensionality strategy, verified against the same oracle as
+    the built-in-expression form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.topk_bruteforce_pandas(queries, emb, k=5)
+
+
+register("similarity_topk_pandas", similarity_topk_pandas, TOPK_EXACT_ORACLE)

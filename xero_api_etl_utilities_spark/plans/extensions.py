@@ -128,10 +128,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_bruteforce(queries, emb, k=5)
 
 
-register(
-    "similarity_topk",
-    similarity_topk,
-    """
+# Shared by similarity_topk and similarity_topk_pandas (plans/corpus_ops.py):
+# the two Spark variants implement the same contract, so one oracle serves both.
+TOPK_EXACT_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
 ), scored AS (
@@ -147,8 +146,9 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
-""",
-)
+"""
+
+register("similarity_topk", similarity_topk, TOPK_EXACT_ORACLE)
 
 
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
