@@ -87,6 +87,10 @@ HEADLINE = [
     "text_repetition",
     "decontaminate_ngrams",
     "doc_pack_chunks",
+    # iterative: MinHash-LSH candidate graph -> connected components.
+    # Cost = one candidate generation (the edge list is checkpointed
+    # once) + diameter-many small label joins
+    "dedup_clusters",
     # exact top-k through the Arrow/matmul path: unlike the excluded
     # BroadcastNestedLoopJoin form, this is ONE corpus scan with
     # per-batch matmul + candidate-only shuffle — the correct exact

@@ -142,3 +142,31 @@ def test_topk_pandas_query_cap(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="max_queries"):
         sim.topk_bruteforce_pandas(emb, emb, k=3, max_queries=10)
+
+
+def test_connected_components(spark):
+    from xero_api_etl_utilities_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3}, component {5,6}, and a descending chain
+        # 10-11-12-13 whose min enters at one end (forces >1 round)
+        [(1, 2), (2, 3), (5, 6), (13, 12), (12, 11), (11, 10)],
+        ["doc_a", "doc_b"],
+    )
+    out = {
+        r["doc"]: r["cluster_id"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from xero_api_etl_utilities_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, "doc_a", "doc_b", max_iters=2)

@@ -232,6 +232,39 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# dedup cluster assignment
+# --------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 completion: near-dup PAIRS → duplicate GROUPS. Connected
+    components (min-label propagation, operators/graph.py) over the
+    MinHash-LSH candidate graph; every document gets a deterministic
+    cluster_id = min doc_id of its component (singletons: their own
+    id). The oracle runs the same propagation as a recursive CTE over
+    the same candidate chain."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+    from xero_api_etl_utilities_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    pairs = dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8, max_bucket=500)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return docs.join(comp, docs["doc_id"] == comp["doc"], "left").select(
+        docs["doc_id"],
+        F.coalesce(comp["cluster_id"], docs["doc_id"]).alias("cluster_id"),
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return sk.dedup_clusters_oracle()
+
+
+register("dedup_clusters", dedup_clusters, _dedup_clusters_oracle)
+
+
+# --------------------------------------------------------------------------
 # Arrow-batched exact similarity twin
 # --------------------------------------------------------------------------
 

@@ -327,3 +327,34 @@ FROM surv s
 LEFT JOIN (SELECT DISTINCT doc_b FROM cand) d ON s.doc_id = d.doc_b
 WHERE d.doc_b IS NULL
 """
+
+
+def dedup_clusters_oracle() -> str:
+    """Twin of dedup_clusters: the MinHash-LSH candidate chain (same
+    coefficients/banding as dedup_minhash_lsh), then connected
+    components as a recursive CTE running the SAME min-label
+    propagation the Spark operator iterates — seeded with every
+    document labeled by its own id, propagating only strictly smaller
+    labels (the component minimum m always passes: every other vertex
+    id on a path from m exceeds m). Singletons keep their own id via
+    the non-recursive seed rows."""
+    chain = minhash_cand_ctes(
+        n_hashes=64, seed=42, bands=8, rows_per_band=8, max_bucket=500
+    )
+    return f"""
+WITH RECURSIVE {chain},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS doc, r.lbl AS lbl
+  FROM reach r JOIN edges e ON e.src = r.doc
+  WHERE r.lbl < e.dst
+)
+SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc
+"""
