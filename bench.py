@@ -87,6 +87,8 @@ HEADLINE = [
     "text_repetition",
     "decontaminate_ngrams",
     "doc_pack_chunks",
+    # candidates -> exact-verify: the production near-dup pair flow
+    "dedup_verified_pairs",
     # iterative: MinHash-LSH candidate graph -> connected components.
     # Cost = one candidate generation (the edge list is checkpointed
     # once) + diameter-many small label joins

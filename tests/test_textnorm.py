@@ -170,3 +170,21 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, "doc_a", "doc_b", max_iters=2)
+
+
+def test_jaccard_verify(spark):
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], ["doc_id", "text"]
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], ["doc_a", "doc_b"])
+    out = [
+        tuple(r)
+        for r in dd.jaccard_verify(
+            cands, docs, "doc_id", "text", n=1, min_sim_num=5, min_sim_den=10
+        ).collect()
+    ]
+    # (1,2): inter {a,b,c}=3, union=5 -> 0.6 >= 0.5 kept
+    # (1,3): zero shared shingles -> never materializes
+    assert out == [(1, 2, 3, 5)]

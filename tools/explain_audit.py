@@ -54,6 +54,29 @@ CHECKS = {
     "similarity_topk_ivf": [
         ("no nested-loop scoring", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    # corpus-hygiene ops: the per-row projections must stay shuffle-free
+    "text_normalize": [
+        ("zero shuffles", lambda p: "Exchange" not in p),
+        ("NFC via Arrow batch, not row-at-a-time", lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
+    "text_pii_mask": [
+        ("zero shuffles", lambda p: "Exchange" not in p),
+    ],
+    "text_repetition": [
+        ("zero shuffles (run-length fold, no explode)", lambda p: "Exchange" not in p and "Generate" not in p),
+    ],
+    "decontaminate_ngrams": [
+        ("benchmark side broadcast, no SMJ", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ],
+    "doc_pack_chunks": [
+        ("one shard shuffle, no global sort", lambda p: p.count("hashpartitioning") == 1 and "rangepartitioning" not in p),
+    ],
+    "similarity_topk_pandas": [
+        ("Arrow scoring, no nested loop", lambda p: "MapInPandas" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
+    "dedup_clusters": [
+        ("no cartesian; lineage truncated to checkpoint", lambda p: "CartesianProduct" not in p and "Scan ExistingRDD" in p),
+    ],
 }
 
 

@@ -142,6 +142,63 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    cands: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    min_sim_num: int = 7,
+    min_sim_den: int = 10,
+) -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE pairs — the stage a
+    production dedup pipeline runs between LSH candidate generation
+    and any destructive action (pruning, clustering). LSH banding is
+    recall-tuned, so its candidate set contains false positives by
+    design (measured precision 0.55-0.87 on this corpus depending on
+    banding, tools/lsh_sweep.py); acting on unverified candidates
+    over-merges.
+
+    Cost is O(candidates × shingles-per-doc) CPU and
+    O(candidates × set-bytes) shuffle, never all-pairs: the corpus is
+    semi-joined down to documents appearing in a candidate pair, each
+    pair picks up its two deduped shingle ARRAYS via equi-joins, and
+    the intersection is per-row ``array_intersect`` — no explode. (The
+    inverted-index formulation — explode shingles, equi-join on
+    (doc, shingle), re-aggregate — shuffles every (pair, shingle) ROW
+    and measured ~3× slower at sf0.1.) Same integer (inter, union)
+    output contract as :func:`jaccard_pairs`.
+    """
+    pair_ids = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sets = docs.join(pair_ids, docs[id_col] == pair_ids["doc"], "left_semi").select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(token_ngrams(tokens(F.col(text_col)), n)).alias("shset"),
+    )
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("shset").alias("sh_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("shset").alias("sh_b"))
+    return (
+        cands.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "inter_size", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        )
+        .withColumn(
+            "union_size",
+            (F.size("sh_a") + F.size("sh_b")).cast("bigint") - F.col("inter_size"),
+        )
+        # union_size > 0 keeps the contract of the inverted-index form
+        # (and the SQL twin): a pair of empty documents never appears
+        .filter(F.col("union_size") > 0)
+        .filter(min_sim_den * F.col("inter_size") >= min_sim_num * F.col("union_size"))
+        .select("doc_a", "doc_b", "inter_size", "union_size")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

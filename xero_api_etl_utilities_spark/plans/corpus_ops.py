@@ -235,19 +235,46 @@ FROM c
 # dedup cluster assignment
 # --------------------------------------------------------------------------
 
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: the full production near-dup pair flow — recall-tuned LSH
+    candidates (0.998 measured recall at the 0.7 target,
+    tools/lsh_sweep.py) then exact-Jaccard verification restricted to
+    candidates (O(candidates × shingles), never all-pairs). This is
+    what dedup_ngram_jaccard computes exactly on a small slice, now
+    corpus-scale-shaped."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500)
+    return dd.jaccard_verify(cands, docs, "doc_id", "text", n=1)
+
+
+def _verified_pairs_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return sk.verified_pairs_oracle()
+
+
+register("dedup_verified_pairs", dedup_verified_pairs, _verified_pairs_oracle)
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 completion: near-dup PAIRS → duplicate GROUPS. Connected
     components (min-label propagation, operators/graph.py) over the
-    MinHash-LSH candidate graph; every document gets a deterministic
+    VERIFIED near-dup graph — clustering raw LSH candidates would
+    over-merge through false-positive edges (candidate precision
+    ~0.55 at this banding). Every document gets a deterministic
     cluster_id = min doc_id of its component (singletons: their own
-    id). The oracle runs the same propagation as a recursive CTE over
-    the same candidate chain."""
+    id). The oracle runs the same candidates → verify → propagation
+    as a recursive CTE."""
     from xero_api_etl_utilities_spark.operators import dedup as dd
     from xero_api_etl_utilities_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
-    pairs = dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8, max_bucket=500)
+    cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500)
+    pairs = dd.jaccard_verify(cands, docs, "doc_id", "text", n=1)
     comp = connected_components(pairs, "doc_a", "doc_b")
     return docs.join(comp, docs["doc_id"] == comp["doc"], "left").select(
         docs["doc_id"],

@@ -90,18 +90,28 @@ WHERE 10 * inter_size >= 7 * (sa.sz + sb.sz - inter_size)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 scale path: MinHash(64) + LSH(8 bands × 8 rows) candidate
-    pairs over the full corpus (token-set shingles, matching the exact
-    query's choice; band threshold ≈ (1/8)^(1/8) ≈ 0.77, aligned with
-    the 0.7 exact-query threshold). Shuffle is
-    O(docs × bands) — never the O(docs²) cross join. The DuckDB oracle
-    re-runs the full integer-exact algorithm (sketch_oracles)."""
+    """X1 scale path: MinHash(64) + LSH(16 bands × 4 rows) candidate
+    pairs over the full corpus (token-set shingles, matching the
+    exact query's choice). Banding is RECALL-tuned: the 50%-candidate
+    threshold (1/bands)^(1/rows) must sit BELOW the dedup target so
+    pairs at the target are caught — (16,4) puts it at 0.5 and
+    measures 0.998 recall at Jaccard ≥ 0.7, where the
+    threshold-"aligned" (8,8) ≈ 0.77 banding measured only 0.75
+    (tools/lsh_sweep.py; the false-positive cost lands on the cheap
+    exact-verify stage, see dedup_verified_pairs). Shuffle is
+    O(docs × bands) — never the O(docs²) cross join. The DuckDB
+    oracle re-runs the full integer-exact algorithm
+    (sketch_oracles)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
-    return dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8, max_bucket=500)
+    return dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500)
 
 
-register("dedup_minhash_lsh", dedup_minhash_lsh, sk.minhash_lsh_oracle)
+def _minhash_lsh_oracle_16x4() -> str:
+    return sk.minhash_lsh_oracle(bands=16, rows_per_band=4)
+
+
+register("dedup_minhash_lsh", dedup_minhash_lsh, _minhash_lsh_oracle_16x4)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,14 +367,17 @@ register("cluster_assign", cluster_assign, sk.cluster_assign_oracle)
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star composite: the training-corpus cleaning pipeline as
     ONE lazy DataFrame DAG — quality gate → exact dedup (survivor =
-    min doc_id per sha256 digest) → MinHash-LSH near-dup pruning
-    (greedy: drop the larger id of each candidate pair). Every stage
-    is the already-oracled operator; the composition is oracled
-    end-to-end too (sketch_oracles.corpus_clean_oracle).
+    min doc_id per sha256 digest) → recall-tuned MinHash-LSH
+    candidates → exact-Jaccard VERIFY → near-dup pruning (greedy:
+    drop the larger id of each verified pair). Pruning on raw
+    candidates would delete good documents — candidate precision is
+    ~0.55 at this banding (tools/lsh_sweep.py). Every stage is the
+    already-oracled operator; the composition is oracled end-to-end
+    too (sketch_oracles.corpus_clean_oracle).
 
     Scale shape: filter is a scan predicate; exact dedup shuffles
-    32-byte digests; near-dedup is the banded equi-join — no stage
-    exceeds O(docs × bands) shuffle."""
+    32-byte digests; candidates are the banded equi-join; verify is
+    O(candidates × shingles) — no stage is all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     flags = tx.quality_flags(F.col("text"))
     q = docs.filter(flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"])
@@ -376,7 +389,8 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv = q.join(surv_ids, "doc_id")
     sigs = dd.minhash_signatures(surv, "doc_id", "text", n=1, num_hashes=64)
-    pairs = dd.minhash_lsh_candidates(sigs, bands=8, rows_per_band=8, max_bucket=500)
+    cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500)
+    pairs = dd.jaccard_verify(cands, surv, "doc_id", "text", n=1)
     near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return surv.join(near_dups, "doc_id", "left_anti").select("doc_id", "lang")
 

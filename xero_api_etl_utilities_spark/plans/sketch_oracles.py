@@ -111,6 +111,46 @@ def minhash_cand_ctes(
 )"""
 
 
+def jaccard_verify_ctes(min_sim_num: int = 7, min_sim_den: int = 10) -> str:
+    """Exact-Jaccard verification of the ``cand`` pairs, reusing the
+    chain's ``toks`` CTE — ends in
+    ``verified(doc_a, doc_b, inter_size, union_size)``. Twin of
+    operators/dedup.jaccard_verify."""
+    return f"""csz AS (
+  SELECT doc, COUNT(*) AS sz FROM toks GROUP BY doc
+), vinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_size
+  FROM cand c
+  JOIN toks ta ON ta.doc = c.doc_a
+  JOIN toks tb ON tb.doc = c.doc_b AND tb.sh = ta.sh
+  GROUP BY c.doc_a, c.doc_b
+), verified AS (
+  SELECT v.doc_a, v.doc_b,
+         CAST(v.inter_size AS BIGINT) AS inter_size,
+         CAST(sa.sz + sb.sz - v.inter_size AS BIGINT) AS union_size
+  FROM vinter v
+  JOIN csz sa ON sa.doc = v.doc_a
+  JOIN csz sb ON sb.doc = v.doc_b
+  WHERE {min_sim_den} * v.inter_size >= {min_sim_num} * (sa.sz + sb.sz - v.inter_size)
+)"""
+
+
+def verified_pairs_oracle(
+    bands: int = 16, rows_per_band: int = 4, max_bucket: int = 500
+) -> str:
+    """Twin of dedup_verified_pairs: recall-tuned LSH candidates
+    ((1/16)^(1/4) = 0.5 band threshold, measured 0.998 recall at the
+    0.7 dedup target — tools/lsh_sweep.py) then exact-Jaccard
+    verification."""
+    return (
+        "WITH "
+        + minhash_cand_ctes(bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket)
+        + ",\n"
+        + jaccard_verify_ctes()
+        + "\nSELECT doc_a, doc_b, inter_size, union_size FROM verified"
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 def _simhash_ctes(table: str = "documents") -> str:
@@ -301,8 +341,11 @@ def corpus_clean_oracle() -> str:
     text_quality expressions) → exact-dedup survivors (min doc_id per
     sha256) → MinHash-LSH near-dup pruning (drop the larger id of
     every candidate pair) — the whole training-corpus cleaning DAG in
-    one SQL statement."""
-    chain = minhash_cand_ctes(source="surv")
+    one SQL statement. Near-dup pruning acts on VERIFIED pairs
+    (exact Jaccard ≥ 0.7 within the recall-tuned candidate set), not
+    raw candidates — pruning on candidates would drop ~45% false
+    positives' worth of good documents."""
+    chain = minhash_cand_ctes(source="surv", bands=16, rows_per_band=4)
     return f"""
 WITH qdocs AS (
   SELECT doc_id, text, lang,
@@ -321,32 +364,35 @@ WITH qdocs AS (
   SELECT MIN(doc_id) AS doc_id FROM q GROUP BY sha256(text)
 ), surv AS (
   SELECT q.doc_id, q.text, q.lang FROM q JOIN surv_ids USING (doc_id)
-), {chain}
+), {chain},
+{jaccard_verify_ctes()}
 SELECT s.doc_id, s.lang
 FROM surv s
-LEFT JOIN (SELECT DISTINCT doc_b FROM cand) d ON s.doc_id = d.doc_b
+LEFT JOIN (SELECT DISTINCT doc_b FROM verified) d ON s.doc_id = d.doc_b
 WHERE d.doc_b IS NULL
 """
 
 
 def dedup_clusters_oracle() -> str:
-    """Twin of dedup_clusters: the MinHash-LSH candidate chain (same
-    coefficients/banding as dedup_minhash_lsh), then connected
-    components as a recursive CTE running the SAME min-label
-    propagation the Spark operator iterates — seeded with every
-    document labeled by its own id, propagating only strictly smaller
-    labels (the component minimum m always passes: every other vertex
-    id on a path from m exceeds m). Singletons keep their own id via
-    the non-recursive seed rows."""
+    """Twin of dedup_clusters: the recall-tuned MinHash-LSH candidate
+    chain, exact-Jaccard verification (clustering raw candidates
+    would over-merge — candidate precision is only ~0.55 at this
+    banding), then connected components as a recursive CTE running
+    the SAME min-label propagation the Spark operator iterates —
+    seeded with every document labeled by its own id, propagating
+    only strictly smaller labels (the component minimum m always
+    passes: every other vertex id on a path from m exceeds m).
+    Singletons keep their own id via the non-recursive seed rows."""
     chain = minhash_cand_ctes(
-        n_hashes=64, seed=42, bands=8, rows_per_band=8, max_bucket=500
+        n_hashes=64, seed=42, bands=16, rows_per_band=4, max_bucket=500
     )
     return f"""
 WITH RECURSIVE {chain},
+{jaccard_verify_ctes()},
 edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM cand
+  SELECT doc_a AS src, doc_b AS dst FROM verified
   UNION
-  SELECT doc_b AS src, doc_a AS dst FROM cand
+  SELECT doc_b AS src, doc_a AS dst FROM verified
 ),
 reach AS (
   SELECT doc_id AS doc, doc_id AS lbl FROM documents
