@@ -87,6 +87,7 @@ HEADLINE = [
     "text_repetition",
     "decontaminate_ngrams",
     "doc_pack_chunks",
+    "sample_stratified",
     # candidates -> exact-verify: the production near-dup pair flow
     "dedup_verified_pairs",
     # iterative: MinHash-LSH candidate graph -> connected components.

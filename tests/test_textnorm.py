@@ -188,3 +188,43 @@ def test_jaccard_verify(spark):
     # (1,2): inter {a,b,c}=3, union=5 -> 0.6 >= 0.5 kept
     # (1,3): zero shared shingles -> never materializes
     assert out == [(1, 2, 3, 5)]
+
+
+def test_stratified_sample(spark):
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(200)], ["id", "lang"]
+    )
+    out = sampling.stratified_sample(
+        df, "id", "lang", rates={"en": (1, 2), "de": (1, 1)}
+    )
+    rows = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in rows}
+    assert counts["de"] == 100  # rate 1/1 keeps every row
+    assert 30 <= counts["en"] <= 70  # ~half of 100, hash-determined
+    # deterministic: re-running yields the identical set
+    again = sampling.stratified_sample(
+        df, "id", "lang", rates={"en": (1, 2), "de": (1, 1)}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_stratified_sample_default_and_validation(spark):
+    import pytest
+
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "zz"), (3, "zz"), (4, "zz"), (5, "zz")], ["id", "lang"]
+    )
+    # without default, unlisted strata are dropped
+    only = sampling.stratified_sample(df, "id", "lang", rates={"en": (1, 1)})
+    assert {r["lang"] for r in only.collect()} == {"en"}
+    # with default, they participate at the default rate
+    withdef = sampling.stratified_sample(
+        df, "id", "lang", rates={"en": (1, 1)}, default=(1, 1)
+    )
+    assert withdef.count() == 5
+    with pytest.raises(ValueError, match="num <= den"):
+        sampling.stratified_sample(df, "id", "lang", rates={"en": (3, 2)})

@@ -39,6 +39,57 @@ def systematic_sample(
     return df.filter(_bucket(key_col, salt, den) < num)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, tuple[int, int]],
+    salt: str = "stratified",
+    default: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own (num, den) keep-rate — the reproducible twin of
+    ``df.sampleBy()``. A training pipeline uses this to rebalance a
+    corpus (e.g. downsample the dominant language) without the
+    rerun-instability of RNG sampling; membership stays a pure scan
+    predicate.
+
+    Strata not listed in ``rates`` are dropped unless ``default`` is
+    given. The salt includes the stratum so the same key draws
+    independently in different strata.
+    """
+    for stratum, (num, den) in rates.items():
+        if not 0 < num <= den:
+            raise ValueError(f"need 0 < num <= den for {stratum!r}, got {num}/{den}")
+    if default is not None and not 0 < default[0] <= default[1]:
+        raise ValueError(f"need 0 < num <= den for default, got {default}")
+    def b(den: int):
+        # the stratum value joins the salt, so the same key draws an
+        # independent coin in each stratum (and rebalancing one
+        # stratum's rate never perturbs another's membership)
+        return (
+            h32(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col(stratum_col).cast("string"),
+                    F.col(key_col).cast("string"),
+                )
+            )
+            % den
+        )
+
+    cond = None
+    for stratum, (num, den) in rates.items():
+        this = (F.col(stratum_col) == stratum) & (b(den) < num)
+        cond = this if cond is None else cond | this
+    if default is not None:
+        num, den = default
+        listed = [F.lit(s) for s in rates]
+        cond = cond | (~F.col(stratum_col).isin(*listed) & (b(den) < num))
+    return df.filter(cond)
+
+
 def assign_split(
     df: DataFrame,
     key_col: str,

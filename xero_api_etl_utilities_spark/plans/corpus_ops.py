@@ -231,6 +231,44 @@ FROM c
 )
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 continuation: per-language deterministic rebalancing — the
+    dominant language downsampled (en 1/2), mid languages kept (de,
+    fr 1/1), the rest defaulted to 1/4. Pure hash predicate pushed to
+    the scan; same content-hash determinism story as
+    sample_split_assign."""
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        rates={"en": (1, 2), "de": (1, 1), "fr": (1, 1)},
+        default=(1, 4),
+    ).select("doc_id", "lang")
+
+
+def _strat_bucket_sql(den: int) -> str:
+    return (
+        "CAST(CAST('0x' || substr(md5('stratified|' || lang || '|' ||"
+        f" CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % {den}"
+    )
+
+
+register(
+    "sample_stratified",
+    sample_stratified,
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND {_strat_bucket_sql(2)} < 1)
+   OR (lang = 'de' AND {_strat_bucket_sql(1)} < 1)
+   OR (lang = 'fr' AND {_strat_bucket_sql(1)} < 1)
+   OR (lang NOT IN ('en', 'de', 'fr') AND {_strat_bucket_sql(4)} < 1)
+""",
+)
+
+
 # --------------------------------------------------------------------------
 # dedup cluster assignment
 # --------------------------------------------------------------------------
