@@ -232,3 +232,46 @@ def test_resize_media(spark):
     # deterministic and content-dependent
     assert bytes(out[1]["content"]) == fake_resize(b"img-a", 64, 32)
     assert out[1]["content"] != out[2]["content"]
+
+
+def test_stream_corpus_hygiene(spark, tmp_path):
+    """The hygiene stream normalizes+masks text, applies the quality
+    and repetition gates, and dedups by digest - all in one
+    availableNow drain."""
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        run_available_now,
+        stream_corpus_hygiene,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+        ]
+    )
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    good = "The quick brown fox jumps over the lazy dog and runs to the old barn"
+    rows = [
+        (1, good, t0),
+        (2, good, t0),  # exact dup after normalization -> dropped
+        (3, "tiny", t0),  # fails the length gate
+        (4, "the spam the spam the spam the spam the spam the spam", t0),  # repetitive
+        (5, good + " mail bob@example.com for details", t0),  # PII masked
+    ]
+    spark.createDataFrame(rows, doc_schema).write.mode("append").parquet(drop)
+
+    cleaned = stream_corpus_hygiene(
+        spark.readStream.schema(doc_schema).parquet(drop)
+    )
+    run_available_now(cleaned, ckpt, out)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # docs 1 and 2 are identical post-normalization: exactly one
+    # survives (which one is micro-batch arrival order, not contract)
+    assert len(got) == 2 and len(set(got) & {1, 2}) == 1 and 5 in got
+    surviving_dup = (set(got) & {1, 2}).pop()
+    assert got[surviving_dup] == good.lower()
+    assert "[EMAIL]" in got[5] and "bob@" not in got[5]

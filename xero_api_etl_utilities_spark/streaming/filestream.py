@@ -89,6 +89,48 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def stream_corpus_hygiene(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    max_repeat_pct: int = 30,
+) -> DataFrame:
+    """Streaming ingest hygiene: the batch corpus-clean front half
+    applied to a continuously-arriving document feed — unicode-free
+    normalization, PII masking, quality gate, repetition gate, then
+    digest dedup within the watermark horizon.
+
+    Demonstrates the unified batch/streaming contract: every stage
+    reuses the EXACT column expressions of the batch operators
+    (textnorm.normalize_text / mask_pii / repetition_stats,
+    quality.quality_flags via textstats) — stateless projections and
+    filters stream unchanged; only the dedup carries (bounded,
+    digest-keyed) state. A 100 TB/day feed runs this shape with no
+    growing state and no shuffle before the dedup stage.
+    """
+    from xero_api_etl_utilities_spark.operators import textnorm as tn
+    from xero_api_etl_utilities_spark.operators import textstats as tx
+
+    norm = tn.mask_pii(tn.normalize_text(F.col(text_col)))
+    flags = tx.quality_flags(norm)
+    rep = tn.repetition_stats(norm, n=2)
+    cleaned = (
+        docs.withColumn(text_col, norm)
+        .filter(flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"])
+        .filter(
+            ~(
+                (rep["n_ngrams"] > 0)
+                & (
+                    100 * (rep["n_ngrams"] - rep["n_distinct"])
+                    >= max_repeat_pct * rep["n_ngrams"]
+                )
+            )
+        )
+    )
+    return stream_exact_text_dedup(cleaned, text_col, ts_col, watermark)
+
+
 def stream_exact_text_dedup(
     docs: DataFrame,
     text_col: str = "text",
