@@ -387,7 +387,10 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    surv = q.join(surv_ids, "doc_id")
+    # surv feeds three consumers (signatures, verify shingle sets, the
+    # final anti-join): materialize once instead of re-running the
+    # quality gate + digest dedup per branch
+    surv = q.join(surv_ids, "doc_id").localCheckpoint()
     sigs = dd.minhash_signatures(surv, "doc_id", "text", n=1, num_hashes=64)
     cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500)
     pairs = dd.jaccard_verify(cands, surv, "doc_id", "text", n=1)
