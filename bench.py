@@ -88,6 +88,10 @@ HEADLINE = [
     "decontaminate_ngrams",
     "doc_pack_chunks",
     "sample_stratified",
+    # analytics extras (plans/analytics_extra.py)
+    "events_funnel",
+    "text_top_terms",
+    "agg_approx_distinct_ok",
     # candidates -> exact-verify: the production near-dup pair flow
     "dedup_verified_pairs",
     # iterative: MinHash-LSH candidate graph -> connected components.

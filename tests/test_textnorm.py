@@ -228,3 +228,35 @@ def test_stratified_sample_default_and_validation(spark):
     assert withdef.count() == 5
     with pytest.raises(ValueError, match="num <= den"):
         sampling.stratified_sample(df, "id", "lang", rates={"en": (3, 2)})
+
+
+def test_events_funnel_ordering_edges(spark, monkeypatch):
+    """Funnel stages require strict timestamp progression; same-ts
+    events don't advance, and pre-view clicks are ignored."""
+    import datetime as dt
+
+    from xero_api_etl_utilities_spark.plans import analytics_extra as ax
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1: full funnel in order -> 3
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: click BEFORE the first view never counts -> 1
+        (2, t(0), "click"), (2, t(1), "view"),
+        # user 3: click at the SAME ts as the view (strict >) -> 1
+        (3, t(0), "view"), (3, t(0), "click"),
+        # user 4: purchase before click -> stuck at 2
+        (4, t(0), "view"), (4, t(1), "purchase"), (4, t(2), "click"),
+        # user 5: no view at all -> 0
+        (5, t(0), "signup"),
+    ]
+    # load_table serves events as TIMESTAMP_NTZ; match it here
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    monkeypatch.setattr(
+        "xero_api_etl_utilities_spark.plans.analytics_extra.load_table",
+        lambda spark, sf_dir, name: df,
+    )
+    out = {r["user_id"]: r["stage"] for r in ax.events_funnel(spark, "x").collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 4: 2, 5: 0}

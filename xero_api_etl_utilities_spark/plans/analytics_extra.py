@@ -1,0 +1,182 @@
+"""Analytics extras: event funnel, term-frequency top-k, sketch
+aggregate sanity — production analytics shapes over the events and
+documents tables.
+
+Oracle notes:
+- the funnel's Spark plan is ONE groupBy + an ordered fold; the
+  DuckDB twin is the equivalent 3-stage min-chain (view → first
+  later click → first later purchase). Equivalence: the fold takes
+  the first qualifying event in (ts, type) order, which is exactly
+  the MIN-ts qualifying event; strict > comparisons make ties
+  consistent in both formulations.
+- approx_count_distinct (HLL++) is deterministic for fixed input
+  (register maxima are order-insensitive), so the "within 5% of
+  exact" boolean is engine-stable; the oracle asserts the exact
+  count and TRUE — a drifting sketch fails the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered conversion funnel view → click → purchase:
+    stage 3 = purchased after clicking after viewing, strict
+    timestamp progression.
+
+    Spark-first shape: ONE shuffle (groupBy user) + an ordered fold
+    over each user's event array — not the three successive
+    join-aggregate passes of the SQL formulation (the oracle runs
+    that 3-pass form; both provably pick the same minimum qualifying
+    timestamps). Per-user event counts are bounded (sessions), so the
+    collected arrays are small; a pathological power-user would be
+    capped upstream by the events-table sessionization."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+
+    def step(stage: int, etype: str, acc, e):
+        return (acc["stage"] == stage) & (e["event_type"] == etype) & (
+            (F.lit(stage) == 0) | (e["ts"] > acc["t"])
+        )
+
+    fold = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(0).alias("stage"), F.lit(None).cast("timestamp_ntz").alias("t")
+        ),
+        lambda acc, e: F.when(
+            step(0, "view", acc, e),
+            F.struct(F.lit(1).alias("stage"), e["ts"].alias("t")),
+        )
+        .when(
+            step(1, "click", acc, e),
+            F.struct(F.lit(2).alias("stage"), e["ts"].alias("t")),
+        )
+        .when(
+            step(2, "purchase", acc, e),
+            F.struct(F.lit(3).alias("stage"), e["ts"].alias("t")),
+        )
+        .otherwise(acc),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(fold.alias("f"))
+        .select("user_id", F.col("f.stage").cast("int").alias("stage"))
+    )
+
+
+register(
+    "events_funnel",
+    events_funnel,
+    """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS INT) AS stage
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""",
+)
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by term frequency (ties → lexical) —
+    the TF half of TF-IDF feature extraction. Explode → count →
+    per-doc window top-k: one shuffle on (doc, term), one on doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+register(
+    "text_top_terms",
+    text_top_terms,
+    """
+WITH tf AS (
+  SELECT doc_id, t.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+  GROUP BY doc_id, t.term
+), ranked AS (
+  SELECT doc_id, term, tf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank
+  FROM tf
+)
+SELECT doc_id, term, tf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+
+
+def agg_approx_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-aggregate sanity gate: per event type, the exact
+    distinct-user count plus a boolean asserting the HLL++
+    approx_count_distinct (rsd 2%) lands within 5% of it. At 100 TB
+    the sketch is the only viable distinct count (map-side
+    combinable, fixed memory); this query keeps it honest against
+    the exact count while the data is small enough to have one."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                * 100
+                <= 5 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+register(
+    "agg_approx_distinct_ok",
+    agg_approx_distinct_ok,
+    """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)

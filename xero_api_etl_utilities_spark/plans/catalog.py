@@ -45,6 +45,7 @@ def _load_extra_modules() -> None:
         windows_extra,
         tpch_like,
         corpus_ops,
+        analytics_extra,
     )
 
 
