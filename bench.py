@@ -90,6 +90,7 @@ HEADLINE = [
     "sample_stratified",
     # analytics extras (plans/analytics_extra.py)
     "events_funnel",
+    "events_cohort_retention",
     "text_top_terms",
     "agg_approx_distinct_ok",
     # candidates -> exact-verify: the production near-dup pair flow

@@ -144,3 +144,68 @@ def test_exact_median_matches_statistics_property(spark, groups):
     for gi, vals in enumerate(groups):
         want = float(statistics.median([float(v) for v in vals]))
         assert abs(got[gi] - want) < 1e-9, (gi, got[gi], want)
+
+
+TEXTS = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z"), include_characters="@.+- ()"
+    ),
+    max_size=80,
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_mask_pii_idempotent_property(spark, data):
+    """mask(mask(x)) == mask(x): replacement tokens never re-trigger
+    any pattern, for arbitrary unicode text. One batched job."""
+    from xero_api_etl_utilities_spark.operators.textnorm import mask_pii
+
+    texts = data.draw(st.lists(TEXTS, min_size=100, max_size=100))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    out = df.select(
+        "id",
+        mask_pii(F.col("text")).alias("once"),
+        mask_pii(mask_pii(F.col("text"))).alias("twice"),
+    )
+    bad = out.filter(F.col("once") != F.col("twice")).collect()
+    assert bad == []
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_pack_fixed_budget_property(spark, data):
+    """Packing invariants for arbitrary token counts: pack ids are
+    non-decreasing in id order per shard, every pack's PREV-total
+    stays under budget + the straddling doc, and prev_tokens is the
+    exact running sum."""
+    from xero_api_etl_utilities_spark.operators.packing import pack_fixed_budget
+
+    budget = 500
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, budget - 1)),
+            min_size=150,
+            max_size=150,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(rows)], ["doc_id", "shard", "n_tokens"]
+    )
+    got = sorted(
+        map(
+            tuple,
+            pack_fixed_budget(df, "doc_id", "n_tokens", budget, "shard").collect(),
+        )
+    )
+    per_shard: dict[int, list[tuple]] = {}
+    for doc_id, shard, n_tokens, prev, pack in got:
+        per_shard.setdefault(shard, []).append((doc_id, n_tokens, prev, pack))
+    for shard, docs in per_shard.items():
+        run, last_pack = 0, 0
+        for doc_id, n_tokens, prev, pack in sorted(docs):
+            assert prev == run, (shard, doc_id)
+            assert pack == prev // budget
+            assert pack >= last_pack
+            run += n_tokens
+            last_pack = pack

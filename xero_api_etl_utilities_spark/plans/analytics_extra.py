@@ -180,3 +180,44 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
 )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent activity week. Week indexes are integer
+    day arithmetic anchored at 2024-01-01 — never date_trunc/F.window
+    on TIMESTAMP_NTZ (those round-trip through the session timezone
+    and shift rows near midnight; the anchored datediff is
+    engine-exact). Two shuffles: first-week per user, then the
+    (cohort, week) count."""
+    ev = load_table(spark, sf_dir, "events")
+    # floor, not cast-truncate: DuckDB's // floors, so a pre-anchor
+    # timestamp (negative day delta) must floor here too
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("int")
+    user_weeks = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+register(
+    "events_cohort_retention",
+    events_cohort_retention,
+    """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS INT) AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, uw.week, CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_week, uw.week
+""",
+)
