@@ -77,6 +77,15 @@ CHECKS = {
     "dedup_clusters": [
         ("no cartesian; lineage truncated to checkpoint", lambda p: "CartesianProduct" not in p and "Scan ExistingRDD" in p),
     ],
+    "events_funnel": [
+        ("one groupBy, no joins", lambda p: "Join" not in p and p.count("hashpartitioning") == 1),
+    ],
+    "events_cohort_retention": [
+        ("no cartesian, aggregate-only joins", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "text_top_terms": [
+        ("top-k via window, no global sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 
