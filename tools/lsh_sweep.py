@@ -81,6 +81,19 @@ def main() -> int:
         print(
             f"{tables:>6} {planes:>6} {len(exact & approx) / len(exact):>9.3f} {dt:>6.1f}"
         )
+
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    centroids = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+    print(f"\n{'nprobe':>6} {'overlap@5':>9} {'sec':>6}")
+    for nprobe in [1, 2, 4, 8, 16]:
+        t0 = time.perf_counter()
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf.topk_ivf(queries, emb, centroids, k=5, nprobe=nprobe).collect()
+        }
+        dt = time.perf_counter() - t0
+        print(f"{nprobe:>6} {len(exact & approx) / len(exact):>9.3f} {dt:>6.1f}")
     return 0
 
 

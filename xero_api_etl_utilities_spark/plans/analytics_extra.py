@@ -221,3 +221,41 @@ FROM uw JOIN cohorts c USING (user_id)
 GROUP BY c.cohort_week, uw.week
 """,
 )
+
+
+def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per term plus the corpus size — the IDF half
+    of TF-IDF (kept as exact integers; consumers compute idf floats
+    downstream where no cross-engine hash needs to agree). Explode
+    distinct terms per doc → one count per term; map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one cheap scalar job, inlined as a literal
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+                )
+            ).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("term", F.col("df").cast("bigint").alias("df"),
+                F.lit(n_docs).cast("bigint").alias("n_docs"))
+    )
+
+
+register(
+    "text_doc_frequency",
+    text_doc_frequency,
+    """
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, t.term AS term
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY term
+""",
+)
