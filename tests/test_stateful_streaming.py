@@ -76,3 +76,64 @@ def test_sessions_close_across_batches(spark, tmp_path):
     us = lambda dt: int((dt - epoch).total_seconds() * 1_000_000)  # noqa: E731
     assert s2["session_start_us"] == us(t0 + 50 * mins)
     assert s2["session_end_us"] == us(t0 + 60 * mins)
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def test_funnel_stream_advances_across_batches(spark, tmp_path):
+    from xero_api_etl_utilities_spark.streaming.stateful import funnel_stream
+
+    drop, ckpt, out = (
+        str(tmp_path / "fdrop"),
+        str(tmp_path / "fckpt"),
+        str(tmp_path / "fout"),
+    )
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+
+    def run():
+        q = (
+            funnel_stream(stream_drop_dir(spark, drop, FUNNEL_SCHEMA))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["user_id"], r["stage"]) for r in spark.read.parquet(out).collect()
+        )
+
+    # batch 1: user 1 views then clicks (stages 1, 2);
+    # user 2's click arrives BEFORE any view -> nothing
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view"),
+            (2, t0 + mins, 1, "click"),
+            (3, t0, 2, "click"),
+        ],
+        FUNNEL_SCHEMA,
+    ).write.mode("append").parquet(drop)
+    assert run() == [(1, 1), (1, 2)]
+
+    # batch 2: user 1 purchases (state crossed the batch boundary ->
+    # stage 3); user 2 finally views (stage 1); a STALE purchase for
+    # user 1 predating its click timestamp is ignored
+    spark.createDataFrame(
+        [
+            (4, t0 + 2 * mins, 1, "purchase"),
+            (5, t0 + 3 * mins, 2, "view"),
+        ],
+        FUNNEL_SCHEMA,
+    ).write.mode("append").parquet(drop)
+    assert run() == [(1, 1), (1, 2), (1, 3), (2, 1)]

@@ -91,6 +91,79 @@ def _session_fn(gap_us: int):
     return fn
 
 
+FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage", LongType(), False),
+        StructField("at_us", LongType(), False),
+    ]
+)
+
+# per-user funnel state: (stage, timestamp of last advance)
+FUNNEL_STATE = StructType(
+    [
+        StructField("stage", LongType(), False),
+        StructField("t_us", LongType(), False),
+    ]
+)
+
+_FUNNEL_ORDER = ["view", "click", "purchase"]
+
+
+def _funnel_fn():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        stage, t_us = state.get if state.exists else (0, 0)
+        emitted: list[tuple[int, int, int]] = []
+        chunks = [pdf[["ts", "event_type"]] for pdf in pdfs]
+        if chunks:
+            ev = pd.concat(chunks)
+            ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+            # whole-group sort (chunk-local order would replay events
+            # out of ts order); (ts, type) matches the batch fold's
+            # struct sort, so tie handling is identical
+            ev = ev.sort_values(["ts_us", "event_type"])
+            for t, et in zip(ev["ts_us"], ev["event_type"]):
+                t = int(t)
+                if (
+                    stage < 3
+                    and et == _FUNNEL_ORDER[stage]
+                    and (stage == 0 or t > t_us)
+                ):
+                    stage += 1
+                    t_us = t
+                    emitted.append((user_id, stage, t))
+        if stage > 0:
+            state.update((stage, t_us))
+        if emitted:
+            yield pd.DataFrame(emitted, columns=["user_id", "stage", "at_us"])
+
+    return fn
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans/analytics_extra.events_funnel: the
+    per-user view → click → purchase stage machine lives in the state
+    store, so conversions spanning micro-batches (and restarts, via
+    the checkpoint) advance correctly; each ADVANCE emits a
+    (user_id, stage, at_us) progress row.
+
+    Forward-only semantics, documented: within a batch, events replay
+    in (ts, type) order exactly like the batch fold; a CROSS-batch
+    late event predating the current stage's timestamp is ignored —
+    a monotone real-time funnel, not a retroactive recomputation
+    (that is the batch query's job). State is O(1) per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(),
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming gap-sessionization over (user_id, ts) — emits closed
     sessions as they close; open sessions persist in the state store
