@@ -40,3 +40,42 @@ def test_json_audit_write_modes(spark, tmp_path):
     # second write to the same path must refuse, not silently suffix
     with pytest.raises(Exception, match="already exists|LOCATION_ALREADY_EXISTS"):
         write_json_audit(df, path)
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
+    """The 100 TB co-location claim, proven at the plan level: both
+    sides bucketed by the join key -> SortMergeJoin with ZERO Exchange
+    nodes, and the same row count as the shuffled plain-parquet join."""
+    import contextlib
+    import io
+
+    from xero_api_etl_utilities_spark.sources.writer import write_bucketed_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(
+            orders, "bdemo.o_b", ["o_orderkey"], num_buckets=8,
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed_table(
+            li, "bdemo.l_b", ["l_orderkey"], num_buckets=8,
+            sort_by=["l_orderkey"],
+        )
+        a, b = spark.table("bdemo.o_b"), spark.table("bdemo.l_b")
+        joined = a.join(b, a["o_orderkey"] == b["l_orderkey"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing elided BOTH shuffles
+        assert joined.count() == orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"]
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
