@@ -93,6 +93,7 @@ HEADLINE = [
     "events_cohort_retention",
     "text_top_terms",
     "text_doc_frequency",
+    "text_rarity",
     "agg_approx_distinct_ok",
     # candidates -> exact-verify: the production near-dup pair flow
     "dedup_verified_pairs",

@@ -259,3 +259,51 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
 FROM per_doc GROUP BY term
 """,
 )
+
+
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-typicality scoring — the data flow of perplexity-based
+    quality filtering (CCNet/Gopher-style) with the LM lookup kept
+    integer-exact: each document's tokens join the corpus unigram
+    table (the "language model" — tiny, broadcast at any scale) and
+    aggregate to n_tokens, the sum of global term counts (high =
+    typical), and the rarest token's corpus count (low = contains
+    rare/garbage tokens). Downstream float surprisal math is the
+    consumer's business — no float crosses the oracle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    ctf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(F.broadcast(ctf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("typicality"),
+            F.min("c").cast("bigint").alias("rarest_ctf"),
+        )
+    )
+
+
+register(
+    "text_rarity",
+    text_rarity,
+    """
+WITH toks AS (
+  SELECT doc_id, t.term AS term
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)
+), ctf AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(c) AS BIGINT) AS typicality,
+  CAST(MIN(c) AS BIGINT) AS rarest_ctf
+FROM toks JOIN ctf USING (term)
+GROUP BY doc_id
+""",
+)
