@@ -260,3 +260,16 @@ def test_events_funnel_ordering_edges(spark, monkeypatch):
     )
     out = {r["user_id"]: r["stage"] for r in ax.events_funnel(spark, "x").collect()}
     assert out == {1: 3, 2: 1, 3: 1, 4: 2, 5: 0}
+
+
+def test_stratified_sample_empty_rates(spark):
+    import pytest
+
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "en"), (2, "de")], ["id", "lang"])
+    with pytest.raises(ValueError, match="at least one rate"):
+        sampling.stratified_sample(df, "id", "lang", rates={})
+    # default-only: every stratum participates at the default rate
+    out = sampling.stratified_sample(df, "id", "lang", rates={}, default=(1, 1))
+    assert out.count() == 2

@@ -58,6 +58,8 @@ def stratified_sample(
     given. The salt includes the stratum so the same key draws
     independently in different strata.
     """
+    if not rates and default is None:
+        raise ValueError("stratified_sample needs at least one rate or a default")
     for stratum, (num, den) in rates.items():
         if not 0 < num <= den:
             raise ValueError(f"need 0 < num <= den for {stratum!r}, got {num}/{den}")
@@ -85,8 +87,12 @@ def stratified_sample(
         cond = this if cond is None else cond | this
     if default is not None:
         num, den = default
-        listed = [F.lit(s) for s in rates]
-        cond = cond | (~F.col(stratum_col).isin(*listed) & (b(den) < num))
+        if rates:
+            listed = [F.lit(s) for s in rates]
+            dcond = ~F.col(stratum_col).isin(*listed) & (b(den) < num)
+        else:
+            dcond = b(den) < num
+        cond = dcond if cond is None else cond | dcond
     return df.filter(cond)
 
 
