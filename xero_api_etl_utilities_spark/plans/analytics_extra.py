@@ -265,11 +265,17 @@ def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-typicality scoring — the data flow of perplexity-based
     quality filtering (CCNet/Gopher-style) with the LM lookup kept
     integer-exact: each document's tokens join the corpus unigram
-    table (the "language model" — tiny, broadcast at any scale) and
-    aggregate to n_tokens, the sum of global term counts (high =
-    typical), and the rarest token's corpus count (low = contains
-    rare/garbage tokens). Downstream float surprisal math is the
-    consumer's business — no float crosses the oracle hash."""
+    table (the "language model") and aggregate to n_tokens, the sum
+    of global term counts (high = typical), and the rarest token's
+    corpus count (low = contains rare/garbage tokens). Downstream
+    float surprisal math is the consumer's business — no float
+    crosses the oracle hash.
+
+    The unigram join is deliberately NOT a forced broadcast: a
+    web-scale heavy-tail vocabulary runs to 10⁸+ terms, past any
+    broadcast budget — AQE broadcasts when the table is actually
+    small (it is here) and falls back to a shuffle hash join on the
+    term key when it is not."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -279,7 +285,7 @@ def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     return (
-        toks.join(F.broadcast(ctf), "term")
+        toks.join(ctf, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
