@@ -94,6 +94,7 @@ HEADLINE = [
     "text_top_terms",
     "text_doc_frequency",
     "text_rarity",
+    "events_json_props",
     "agg_approx_distinct_ok",
     # candidates -> exact-verify: the production near-dup pair flow
     "dedup_verified_pairs",

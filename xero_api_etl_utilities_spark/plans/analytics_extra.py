@@ -313,3 +313,47 @@ FROM toks JOIN ctf USING (term)
 GROUP BY doc_id
 """,
 )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured props column:
+    ``from_json`` projects the JSON payload into typed columns inside
+    the scan projection (JVM-side Jackson parse, codegen'd — no UDF),
+    then a standard grouped aggregate. The oracle extracts with
+    DuckDB's json_extract. At scale the parse cost is part of the
+    scan — one pass, no extra shuffle beyond the aggregate."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", StructType([StructField("k", LongType())]))["k"].alias(
+            "k"
+        ),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+register(
+    "events_json_props",
+    events_json_props,
+    """
+WITH parsed AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(MAX(k) AS BIGINT) AS max_k
+FROM parsed GROUP BY event_type
+""",
+)
