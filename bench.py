@@ -3,10 +3,15 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is fully
 materialized executor-side via the noop sink (no driver collect cost in
-the measurement). Prints:
+the measurement).
+
+The final stdout line is deliberately SHORT — round 2's 70-query inline
+"queries" map overflowed the driver's tail capture and BENCH_r02.json
+recorded ``parsed: null``.  Per-query timings now go to BENCH_DETAIL.json
+next to this script; stdout gets only:
 
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "sf": <float>, "n_queries": <int>, "detail": "BENCH_DETAIL.json"}
 """
 
 from __future__ import annotations
@@ -146,14 +151,22 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"sf": sf, "unit": "sec", "queries": timings}, f, indent=1, sort_keys=True
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -76,14 +76,22 @@ class LocalJsonTransport:
         ]
 
     def post(self, resource: str, payloads: list[dict]) -> list[dict]:
-        """Idempotent batched POST, safe under CONCURRENT writers.
+        """Idempotent batched POST, safe under CONCURRENT writers AND
+        mid-write crashes.
 
-        Dedup is claimed via a per-reference marker file created with
-        O_CREAT|O_EXCL (atomic on POSIX): exactly one of N racing tasks
+        Claim-with-content: the payload is written durably (fsync) to a
+        private temp file, then ``os.link``-ed to the per-reference
+        marker path — link is atomic on POSIX and fails with
+        FileExistsError for losers, so exactly one of N racing tasks
         (foreachPartition parallelism, or a retry racing its original)
-        wins each reference; losers record SKIPPED. A scan of the
-        output log alone would be read-then-append and double-post
-        under that race.
+        wins each reference. Because the marker *contains* the payload
+        before it becomes visible, a crash can never strand a claimed
+        reference with no durable record (the r2 ADVICE finding against
+        the earlier claim-then-write ordering): either the marker does
+        not exist (retry re-posts) or it exists with the full payload.
+        The refs dir is therefore the durability + dedup source of
+        truth; ``<resource>.out.jsonl`` is an append-ordered
+        convenience view written after the claim commits.
         """
         path = os.path.join(self.root, f"{resource}.out.jsonl")
         refs_dir = os.path.join(self.root, f"{resource}.refs")
@@ -92,16 +100,23 @@ class LocalJsonTransport:
         with open(path, "a") as f:
             for p in payloads:
                 ref = p.get("reference")
+                line = json.dumps(p, sort_keys=True) + "\n"
                 marker = os.path.join(
                     refs_dir, hashlib.sha256(str(ref).encode()).hexdigest()
                 )
+                tmp = f"{marker}.tmp.{os.getpid()}"
+                with open(tmp, "w") as tf:
+                    tf.write(line)
+                    tf.flush()
+                    os.fsync(tf.fileno())
                 try:
-                    fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.link(tmp, marker)  # atomic claim, content included
                 except FileExistsError:
                     results.append({"reference": ref, "status": "SKIPPED"})
                     continue
-                os.close(fd)
-                f.write(json.dumps(p, sort_keys=True) + "\n")
+                finally:
+                    os.unlink(tmp)
+                f.write(line)
                 f.flush()
                 results.append({"reference": ref, "status": "OK"})
         return results
