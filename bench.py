@@ -112,6 +112,8 @@ HEADLINE = [
     # per-batch matmul + candidate-only shuffle — the correct exact
     # method for a bounded query set, so it earns a headline slot
     "similarity_topk_pandas",
+    # scale-shaped ops (plans/scale_ops.py)
+    "join_skewed_salted",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -34,6 +34,7 @@ class _Handler(BaseHTTPRequestHandler):
     posted: dict[str, dict] = {}
     statuses: list[str] = []
     fail_next: int = 0
+    retry_after: str | None = None
 
     def log_message(self, *a):  # keep pytest output clean
         pass
@@ -43,6 +44,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if code >= 400 and _Handler.retry_after is not None:
+            self.send_header("Retry-After", _Handler.retry_after)
         self.end_headers()
         self.wfile.write(body)
 
@@ -77,6 +80,7 @@ class _Handler(BaseHTTPRequestHandler):
 def server():
     _Handler.posted = {}
     _Handler.fail_next = 0
+    _Handler.retry_after = None
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -116,3 +120,20 @@ def test_http_post_retries_on_503(server):
         HttpJsonTransport(server, max_retries=1, backoff_s=0.01).post(
             "invoices", [{"reference": "R-2"}]
         )
+
+
+def test_http_retry_after_http_date_not_a_crash(server):
+    # RFC 9110: Retry-After may be an HTTP-date. A date in the past
+    # (zero wait) must be honored as retryable, not crash on float().
+    _Handler.fail_next = 1
+    _Handler.retry_after = "Wed, 01 Jan 2020 00:00:00 GMT"
+    tr = HttpJsonTransport(server, backoff_s=0.01)
+    assert tr.post("invoices", [{"reference": "R-3"}]) == [
+        {"reference": "R-3", "status": "OK"}
+    ]
+    # garbage Retry-After falls back to exponential backoff
+    _Handler.fail_next = 1
+    _Handler.retry_after = "soonish"
+    assert tr.post("invoices", [{"reference": "R-4"}]) == [
+        {"reference": "R-4", "status": "OK"}
+    ]

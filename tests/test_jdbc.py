@@ -73,6 +73,17 @@ def test_day_predicates():
     ]
 
 
+def test_day_predicates_rejects_injection():
+    # both arguments reach pushed-down SQL — malformed/hostile strings
+    # must raise client-side, never travel to the remote database
+    with pytest.raises(ValueError):
+        day_predicates("date", ["2024-01-01' OR '1'='1"])
+    with pytest.raises(ValueError):
+        day_predicates("date", ["not-a-date"])
+    with pytest.raises(ValueError):
+        day_predicates("date; DROP TABLE charge", ["2024-01-01"])
+
+
 def test_reader_builds_without_driver(spark):
     # Construction is lazy: options validate client-side; only .load()
     # would need the driver class.

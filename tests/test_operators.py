@@ -210,6 +210,16 @@ def test_exact_percentiles_interpolation(spark):
     # sketch result must land on a real value near the exact median
     assert ap["a"]["median"] in (20.0, 30.0)
 
+    # NULLs are not part of the population: Spark ranks NULLS FIRST but
+    # DuckDB's row_number puts them LAST, so counting them would skew
+    # every quantile on exactly one engine (r2 ADVICE finding).
+    withnull = spark.createDataFrame(
+        [("a", None), ("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0)],
+        "g string, v double",
+    )
+    gotn = exact_percentiles(withnull, "v", ["g"], [("median", 1, 2)]).collect()
+    assert gotn[0]["n_values"] == 4 and gotn[0]["median"] == 25.0
+
 
 def test_range_join_bucketed_semantics(spark):
     """Boundary inclusivity, no duplicate pairs, bucket-width

@@ -136,6 +136,23 @@ def test_topk_pandas_matches_builtin(spark, sf_dir):
     assert a == b
 
 
+def test_topk_pandas_zero_vectors_match_builtin(spark):
+    # zero vectors must score 0 (cosine with clamped norm), not NaN —
+    # NaN silently drops corpus rows / corrupts ranks (r2 ADVICE)
+    rows = [
+        (1, [0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, sim.topk_bruteforce(emb, emb, k=2).collect()))
+    b = sorted(map(tuple, sim.topk_bruteforce_pandas(emb, emb, k=2).collect()))
+    assert a == b
+    # the zero-vector query still returns k neighbors (all scored 0)
+    assert sum(1 for t in b if t[0] == 1) == 2
+
+
 def test_topk_pandas_query_cap(spark, sf_dir):
     import pytest
 

@@ -86,6 +86,12 @@ CHECKS = {
     "text_top_terms": [
         ("top-k via window, no global sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
     ],
+    # the hot key must be sharded: join key includes the salt column and
+    # the dimension side is replicated via explode (Generate)
+    "join_skewed_salted": [
+        ("join keys include salt", lambda p: "_salt" in p),
+        ("dim replicated by explode, no nested loop", lambda p: "Generate" in p and "explode(" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 

@@ -46,6 +46,11 @@ def exact_percentiles(
     """
     mult = 10**scale
     gw = Window.partitionBy(*group_cols)
+    # NULLs must not occupy rank positions: Spark sorts NULLS FIRST,
+    # DuckDB's row_number NULLS LAST, so a NULL shifts every quantile by
+    # one position on exactly one engine. Percentiles are defined over
+    # the non-null population.
+    df = df.filter(F.col(value_col).isNotNull())
     ranked = (
         df.select(
             *group_cols,

@@ -42,8 +42,15 @@ def _norm(a):
 
 
 def cosine(a, b):
-    """Cosine similarity between two array<numeric> columns."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<numeric> columns.
+
+    A zero vector scores 0 against everything: the raw 0/0 would be
+    NaN, and Spark orders NaN ABOVE every real number under ``desc``,
+    so an unguarded NaN doesn't just noise one row — it wins rank 1.
+    Clamping the zero denominator to 1 keeps the numerator's 0.
+    """
+    den = _norm(a) * _norm(b)
+    return _dot(a, b) / F.when(den == 0.0, F.lit(1.0)).otherwise(den)
 
 
 def topk_bruteforce(
@@ -132,7 +139,10 @@ def topk_bruteforce_pandas(
     qrows = queries.select(id_col, vec_col).collect()  # bounded by the guard above
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # Zero vectors must score 0 against everything (the built-in
+    # topk_bruteforce / oracle behavior), not NaN — clamp norms to 1.
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = qmat / np.where(qn == 0.0, 1.0, qn)
 
     def score(batches):
         for pdf in batches:
@@ -140,7 +150,8 @@ def topk_bruteforce_pandas(
                 continue
             ids = pdf["_nid"].to_numpy(dtype=np.int64)
             vmat = np.array(list(pdf["_vec"]), dtype=np.float64)
-            vnorm = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+            vn = np.linalg.norm(vmat, axis=1, keepdims=True)
+            vnorm = vmat / np.where(vn == 0.0, 1.0, vn)
             sims = vnorm @ qnorm.T  # (batch, Q)
             sims[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
             out_q, out_n, out_s = [], [], []

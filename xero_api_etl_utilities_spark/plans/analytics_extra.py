@@ -40,9 +40,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
 
     def step(stage: int, etype: str, acc, e):
-        return (acc["stage"] == stage) & (e["event_type"] == etype) & (
-            (F.lit(stage) == 0) | (e["ts"] > acc["t"])
-        )
+        cond = (acc["stage"] == stage) & (e["event_type"] == etype)
+        if stage > 0:  # stage 0 has no prior timestamp to progress from
+            cond = cond & (e["ts"] > acc["t"])
+        return cond
 
     fold = F.aggregate(
         arr,

@@ -96,6 +96,7 @@ def _load_extra_modules() -> None:
         tpch_like,
         corpus_ops,
         analytics_extra,
+        scale_ops,
     )
 
 

@@ -1,0 +1,78 @@
+"""Scale-shaped catalog queries (round 3): operators whose POINT is
+the physical plan under skew/scale, oracled like everything else.
+
+The reference's charge table is dominated by one degenerate default
+account (``src/chargesFunctions.ts`` routes everything without an
+explicit account to store account "10528") — the classic hot-key join.
+``join_skewed_salted`` reproduces that shape on the events table:
+~30% of events collapse onto one "default user" key, then join a
+customer dimension through :func:`salted_inner_join`, which shards the
+hot key across ``salt`` tasks instead of pinning one straggler. The
+result is row-identical to the plain equi-join (the oracle IS the
+plain join), so correctness pins the salting's no-op semantics while
+the plan assertion (tools/explain_audit.py) pins its salted shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators.skew import salted_inner_join
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+# one visible knob: how many shards the hot key spreads over
+SKEW_SALT = 8
+
+
+def skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events slice with a deliberate degenerate hot key: ~30% of rows
+    map to default uid 0 (mirroring the reference's 10528 default
+    account), the rest keep their user id."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.when(F.pmod(F.col("user_id"), F.lit(10)) < 3, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    return ev.select(uid.cast("bigint").alias("uid"), "event_type", "value")
+
+
+def join_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join, salted: the left side's degenerate key is sharded
+    ``SKEW_SALT`` ways (deterministic hash of its payload columns, no
+    rand()) and the dimension replicated once per shard, so the hot
+    key occupies SKEW_SALT tasks instead of one. The post-join rollup
+    groups on the dimension attribute — map-side partial aggregation
+    absorbs the re-concentration, so no stage sees the hot key whole.
+    """
+    left = skewed_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), "c_mktsegment"
+    )
+    joined = salted_inner_join(left, dim, on="uid", salt=SKEW_SALT)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("uid").cast("bigint").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+register(
+    "join_skewed_salted",
+    join_skewed_salted,
+    """
+WITH skewed AS (
+  SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS uid,
+         event_type, value
+  FROM events
+)
+SELECT c.c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT s.uid) AS BIGINT) AS n_users,
+  CAST(ROUND(SUM(CAST(s.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM skewed s JOIN customer c ON s.uid = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)

@@ -31,6 +31,8 @@ the same DataFrame once loaded.
 
 from __future__ import annotations
 
+import datetime
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -151,7 +153,28 @@ def read_partitioned_by_predicates(
     return spark.read.jdbc(cfg.url, table, predicates=predicates, properties=props)
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
 def day_predicates(date_col: str, days: list[str]) -> list[str]:
     """One pushdown predicate per day — partition splits for
-    date-scoped reads (every reference query filters on a date)."""
-    return [f"{date_col} = DATE '{d}'" for d in days]
+    date-scoped reads (every reference query filters on a date).
+
+    Both inputs are interpolated into SQL pushed to the remote
+    database, so both are validated: ``date_col`` must be a plain
+    (possibly dotted) identifier and each day a real ISO date —
+    a malformed or hostile string raises here instead of breaking or
+    injecting into the remote WHERE clause.
+    """
+    if not _IDENT_RE.match(date_col):
+        raise ValueError(f"day_predicates: invalid column name {date_col!r}")
+    out = []
+    for d in days:
+        try:
+            parsed = datetime.date.fromisoformat(str(d))
+        except ValueError as exc:
+            raise ValueError(
+                f"day_predicates: {d!r} is not a YYYY-MM-DD date"
+            ) from exc
+        out.append(f"{date_col} = DATE '{parsed.isoformat()}'")
+    return out

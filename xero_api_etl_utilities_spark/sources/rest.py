@@ -24,6 +24,8 @@ Engine design:
 
 from __future__ import annotations
 
+import datetime
+import email.utils
 import hashlib
 import json
 import os
@@ -171,11 +173,30 @@ class HttpJsonTransport:
                 if exc.code not in (429, 500, 502, 503, 504) or attempt == self.max_retries:
                     raise
                 last_exc = exc
-                delay = (
-                    float(retry_after)
-                    if retry_after
-                    else self.backoff_s * (2**attempt)
-                )
+                # RFC 9110 allows Retry-After as either delta-seconds or an
+                # HTTP-date; a non-numeric value must not turn a retryable
+                # 429/503 into a ValueError crash mid-loop.
+                delay = self.backoff_s * (2**attempt)
+                if retry_after:
+                    try:
+                        delay = float(retry_after)
+                    except ValueError:
+                        try:
+                            parsed = email.utils.parsedate_to_datetime(retry_after)
+                        except (TypeError, ValueError):
+                            parsed = None
+                        if parsed is not None:
+                            if parsed.tzinfo is None:
+                                parsed = parsed.replace(
+                                    tzinfo=datetime.timezone.utc
+                                )
+                            delay = max(
+                                0.0,
+                                (
+                                    parsed
+                                    - datetime.datetime.now(datetime.timezone.utc)
+                                ).total_seconds(),
+                            )
             except (urllib.error.URLError, TimeoutError) as exc:
                 if attempt == self.max_retries:
                     raise
