@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xero_api_etl_utilities_spark.functions.crosshash import h32, h64
+from xero_api_etl_utilities_spark.operators.materialize import materialize
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family.
 # 31-bit operands keep a*x+b under 2^63 — no long overflow (Spark runs
@@ -150,6 +151,7 @@ def jaccard_verify(
     n: int = 1,
     min_sim_num: int = 7,
     min_sim_den: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of CANDIDATE pairs — the stage a
     production dedup pipeline runs between LSH candidate generation
@@ -173,7 +175,7 @@ def jaccard_verify(
     # pair_ids and the main join): materialize it once or the whole
     # upstream candidate generation re-executes per consumer —
     # measured ~40% of this operator's runtime at sf0.1.
-    cands = cands.localCheckpoint()
+    cands = materialize(cands, checkpoint_dir)
     pair_ids = (
         cands.select(F.col("doc_a").alias("doc"))
         .union(cands.select(F.col("doc_b").alias("doc")))

@@ -19,9 +19,10 @@ Scale design:
 - rounds needed = graph diameter, which for near-dup graphs is tiny
   (duplicate clusters are near-cliques); ``max_iters`` bounds the
   pathological chain case;
-- ``localCheckpoint`` truncates lineage every round — iterative
-  self-joins otherwise grow the plan exponentially and overwhelm the
-  optimizer long before data size matters;
+- lineage is truncated every round (iterative self-joins otherwise
+  grow the plan exponentially and overwhelm the optimizer long before
+  data size matters) via :func:`materialize` — executor-local by
+  default, reliable DFS checkpointing when ``checkpoint_dir`` is set;
 - convergence is detected by the label-sum invariant: labels only
   ever decrease, so an unchanged sum ⇔ fixpoint. The sum runs in
   DECIMAL(38,0) — a corpus of 10¹² documents with 64-bit ids would
@@ -33,12 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xero_api_etl_utilities_spark.operators.materialize import materialize
+
 
 def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc, cluster_id) for every vertex appearing in ``edges``;
     cluster_id = min vertex id of the connected component.
@@ -50,22 +54,26 @@ def connected_components(
     Raises RuntimeError if ``max_iters`` rounds pass without reaching
     the fixpoint (component diameter > max_iters): returning a
     half-propagated labeling would silently split clusters.
+
+    ``checkpoint_dir``: per-round materialization is executor-local by
+    default (fast, single-JVM-safe); pass a reliable-storage path for
+    long cluster runs — see :mod:`materialize` for the trade.
     """
     # Materialize the symmetric edge list ONCE: it is joined every
     # round, and without this the whole upstream pipeline (e.g. the
     # MinHash+LSH candidate generation feeding a dedup clustering)
     # would re-execute per round.
-    sym = (
+    sym = materialize(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
-    labels = (
+    labels = materialize(
         sym.select(F.col("src").alias("doc"))
         .distinct()
-        .select("doc", F.col("doc").alias("lbl"))
-        .localCheckpoint()
+        .select("doc", F.col("doc").alias("lbl")),
+        checkpoint_dir,
     )
     prev_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
@@ -75,13 +83,12 @@ def connected_components(
             .agg(F.min("lbl").alias("nbr_lbl"))
             .select(F.col("dst").alias("doc"), "nbr_lbl")
         )
-        labels = (
-            labels.join(nbr, "doc", "left")
-            .select(
+        labels = materialize(
+            labels.join(nbr, "doc", "left").select(
                 "doc",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         cur_sum = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
