@@ -143,8 +143,11 @@ def main() -> None:
     # best-of-2: the box shows multi-second CPU-steal stalls that can
     # inflate a single run 10-40x; the min of two runs measures the
     # query, not the neighbor.
+    # optional argv subset: `python bench.py q1 q2` times just those
+    # (iteration aid; BENCH_DETAIL.json is only rewritten on full runs)
+    subset = [n for n in sys.argv[1:] if n in qs]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in subset or HEADLINE:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -154,7 +157,8 @@ def main() -> None:
         print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL.json" if not subset else "BENCH_SUBSET.json",
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -168,7 +172,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_path),
             }
         )
     )
