@@ -5,11 +5,13 @@ metadata struct, following the binaryFile-source pattern the reference
 uses for workbook attachments (S10, /root/reference/src/helpers.ts:74-80).
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages — the Spark-side plumbing (schemas, batch
-shapes, partitioning) is real and tested; the byte-level codecs are
-import-gated stubs (no image/audio libraries ship in this container):
-``decode_fn`` defaults to a deterministic fake whose outputs are
-reproducible functions of the bytes, and the real-codec slot raises
-NotImplementedError until a library is plugged in.
+shapes, partitioning) is real and tested. IMAGE bytes decode for real
+through a pure-stdlib codec (PNG via zlib inflate + full filter
+reconstruction, 24-bit BMP, P6 PPM — functions/imagecodec.py,
+golden-byte tested end-to-end like the S2 xlsx decoder); audio/video
+remain import-gated (no codec library ships in this container), with
+``fake_decode_features`` as the deterministic stand-in for testing
+the distributed shape with arbitrary bytes.
 
 Scale notes: media rows are large — the operators avoid shuffling
 content bytes (metadata-only projections for planning; binary column
@@ -80,12 +82,29 @@ def fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
 
 
-def real_decode_features(content: bytes, dim: int = 8) -> list[float]:  # pragma: no cover
-    """Slot for a real codec (PIL/librosa/ffmpeg). Not available in
-    this container by design."""
+def image_decode_features(content: bytes, dim: int = 8) -> list[float]:
+    """REAL image decode path — pure-stdlib PNG (zlib inflate + full
+    filter reconstruction), 24-bit BMP, and P6 PPM decoders
+    (functions/imagecodec.py), no external imaging library. Features
+    are integer-derived (dims, channel means, luminance) so they are
+    deterministic across runs and executors. Raises ValueError on
+    bytes that aren't a supported image."""
+    from xero_api_etl_utilities_spark.functions.imagecodec import image_features
+
+    return image_features(content, dim)
+
+
+def real_decode_features(content: bytes, dim: int = 8) -> list[float]:
+    """Decode slot for arbitrary media. Images decode for real via the
+    stdlib codec; audio/video bytes still need an external library
+    (librosa/ffmpeg — not in this container by design)."""
+    try:
+        return image_decode_features(content, dim)
+    except ValueError:
+        pass  # not an image — fall through to the audio/video gate
     raise NotImplementedError(
-        "media byte decoding requires an image/audio library; plug one in "
-        "here and pass decode_fn=real_decode_features"
+        "audio/video byte decoding requires a codec library; plug one in "
+        "here and pass decode_fn=<your decoder>"
     )
 
 
@@ -118,6 +137,16 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("meta", MEDIA_META, True),
     ]
 )
+
+
+def image_resize(content: bytes, width: int, height: int) -> bytes:
+    """REAL resize: stdlib decode (PNG/BMP/PPM) → nearest-neighbor
+    resample → deterministic P6 PPM re-encode (no compressor whose
+    output could drift across environments)."""
+    from xero_api_etl_utilities_spark.functions import imagecodec as ic
+
+    w, h, _c, px = ic.decode_image(content)
+    return ic.encode_ppm(width, height, ic.resize_nearest(w, h, px, width, height))
 
 
 def fake_resize(content: bytes, width: int, height: int) -> bytes:
