@@ -33,23 +33,38 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects outright (PARQUET_TYPE_ILLEGAL): it is read as raw nanos
-    via the nanosAsLong legacy conf and rebuilt as TIMESTAMP_NTZ at
-    microsecond precision (flooring, which matches DuckDB's own
-    ns→datetime conversion). NTZ construction is anchored to the epoch
-    literal so the value never depends on the session timezone.
+    ``events.ts`` is type-adaptive: parquet TIMESTAMP(MICROS) (the
+    current testdata) reads natively as TIMESTAMP_NTZ; parquet
+    TIMESTAMP(NANOS), which Spark's reader rejects outright
+    (PARQUET_TYPE_ILLEGAL), is read as raw nanos via the nanosAsLong
+    legacy conf and rebuilt as TIMESTAMP_NTZ at microsecond precision
+    (flooring, which matches DuckDB's own ns→datetime conversion).
+    Either way downstream sees the same TIMESTAMP_NTZ column, anchored
+    so the value never depends on the session timezone.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Scope the legacy conf to THIS read: the nanos→long schema
-        # conversion happens at footer-schema resolution (forced below
-        # via .schema), so restoring the prior value afterwards does not
-        # break later execution of this DataFrame — verified — while a
-        # later unrelated read in the session no longer silently decodes
-        # TIMESTAMP(NANOS) columns as raw longs.
+        try:
+            raw = spark.read.parquet(path)
+            ts_type = raw.schema["ts"].dataType.typeName()
+        except Exception:
+            ts_type = None  # schema resolution rejected TIMESTAMP(NANOS)
+        if ts_type == "timestamp_ntz":
+            return raw
+        if ts_type == "timestamp":
+            # Session-tz-adjusted micros: strip the zone deterministically.
+            return raw.withColumn(
+                "ts", F.to_utc_timestamp(F.col("ts"), "UTC").cast("timestamp_ntz")
+            )
+        # Legacy nanos path. Scope the legacy conf to THIS read: the
+        # nanos→long schema conversion happens at footer-schema
+        # resolution (forced below via .schema), so restoring the prior
+        # value afterwards does not break later execution of this
+        # DataFrame — verified — while a later unrelated read in the
+        # session no longer silently decodes TIMESTAMP(NANOS) columns
+        # as raw longs.
         try:
             prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
         except Exception:
