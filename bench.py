@@ -114,6 +114,14 @@ HEADLINE = [
     "similarity_topk_pandas",
     # scale-shaped ops (plans/scale_ops.py)
     "join_skewed_salted",
+    # round-3 training-pipeline wave (plans/training_ops.py);
+    # dedup_containment sits after dedup_clusters so it reuses the
+    # shared materialized LSH candidate frame
+    "dedup_containment",
+    "embedding_quantize_sq8",
+    "sample_per_source_topk",
+    "sample_mixture_rebalance",
+    "events_interarrival",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -1,0 +1,106 @@
+"""Unit tests for the round-3 training-pipeline operators: containment
+verification, SQ8 quantization, exact-quota group sampling, mixture
+rebalancing, and the inter-arrival plan's median convention."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.crosshash import py_h32
+from xero_api_etl_utilities_spark.operators.dedup import containment_verify
+from xero_api_etl_utilities_spark.operators.quantize import sq8_codes
+from xero_api_etl_utilities_spark.operators.sampling import (
+    mixture_rebalance,
+    per_group_topk,
+)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 2 is wholly contained in doc 1 but much smaller:
+    # J = 3/10 (fails 0.7), containment = 3/3 = 1.0 (passes 0.9)
+    big = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, big), (2, "a b c"), (3, "x y z")], "doc_id bigint, text string"
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["min_size"])
+        for r in containment_verify(cands, docs, "doc_id", "text", n=1).collect()
+    }
+    assert got == {(1, 2): (3, 3)}  # (1,3): inter 0, fails; subset passes
+
+
+def test_containment_empty_doc_never_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "")], "doc_id bigint, text string"
+    )
+    cands = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    assert containment_verify(cands, docs, "doc_id", "text", n=1).count() == 0
+
+
+def test_sq8_codes_bounds_and_constant_dim(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [2.0, 5.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {(r["vec_id"], r["dim"]): r["code"] for r in sq8_codes(emb, "vec_id", "embedding").collect()}
+    # dim 0 spans [0,2]: min->0, mid->128 (floor(127.5+0.5)), max->255
+    assert rows[(1, 0)] == 0 and rows[(3, 0)] == 255 and rows[(2, 0)] == 128
+    # constant dim codes to 0 everywhere
+    assert rows[(1, 1)] == rows[(2, 1)] == rows[(3, 1)] == 0
+
+
+def test_per_group_topk_exact_quota_and_hash_order(spark):
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2)) for i in range(10)], "doc_id bigint, source string"
+    )
+    out = per_group_topk(df, "doc_id", "source", k=3).collect()
+    by_g: dict[str, list] = {}
+    for r in out:
+        by_g.setdefault(r["source"], []).append(r)
+    assert {g: len(v) for g, v in by_g.items()} == {"g0": 3, "g1": 3}
+    # winners are the k smallest salted hashes, ranked in hash order
+    for g, members in by_g.items():
+        ids = [i for i in range(10) if i % 2 == int(g[1])]
+        expect = sorted(ids, key=lambda i: (py_h32(f"grouptopk|{g}|{i}"), i))[:3]
+        got = [r["doc_id"] for r in sorted(members, key=lambda r: r["rk"])]
+        assert got == expect
+
+
+def test_per_group_topk_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, "g")], "doc_id bigint, source string")
+    with pytest.raises(ValueError, match="k > 0"):
+        per_group_topk(df, "doc_id", "source", k=0)
+
+
+def test_mixture_rebalance_rates_and_drops(spark):
+    # 100 rows of g0, 100 of g1: target g0 at 25% of the 200-row corpus
+    # -> keep rate min(1, 0.25*200/100)=0.5; g1 unlisted -> dropped
+    df = spark.createDataFrame(
+        [(i, "g0" if i < 100 else "g1") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    out = mixture_rebalance(df, "doc_id", "source", {"g0": 250_000}).collect()
+    assert all(r["source"] == "g0" for r in out)
+    expect = [
+        i for i in range(100) if py_h32(f"mixture|g0|{i}") % 1_000_000 < 500_000
+    ]
+    assert sorted(r["doc_id"] for r in out) == expect
+
+
+def test_mixture_rebalance_caps_at_keep_all(spark):
+    df = spark.createDataFrame(
+        [(i, "g0") for i in range(50)], "doc_id bigint, source string"
+    )
+    # target 100% of corpus from a group that IS the corpus -> rate 1
+    out = mixture_rebalance(df, "doc_id", "source", {"g0": 1_000_000})
+    assert out.count() == 50
+
+
+def test_mixture_rebalance_rejects_bad_ppm(spark):
+    df = spark.createDataFrame([(1, "g")], "doc_id bigint, source string")
+    with pytest.raises(ValueError, match="ppm"):
+        mixture_rebalance(df, "doc_id", "source", {"g": 2_000_000})

@@ -181,6 +181,35 @@ def jaccard_verify(
     and measured ~3× slower at sf0.1.) Same integer (inter, union)
     output contract as :func:`jaccard_pairs`.
     """
+    pairs = _pair_intersections(cands, docs, id_col, text_col, n, checkpoint_dir)
+    return (
+        pairs.withColumn(
+            "union_size",
+            (F.size("sh_a") + F.size("sh_b")).cast("bigint") - F.col("inter_size"),
+        )
+        # union_size > 0 keeps the contract of the inverted-index form
+        # (and the SQL twin): a pair of empty documents never appears
+        .filter(F.col("union_size") > 0)
+        .filter(min_sim_den * F.col("inter_size") >= min_sim_num * F.col("union_size"))
+        .select("doc_a", "doc_b", "inter_size", "union_size")
+    )
+
+
+def _pair_intersections(
+    cands: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Shared verify substrate: each candidate pair with both deduped
+    shingle arrays and their exact intersection size attached.
+
+    jaccard_verify and containment_verify are two THRESHOLD RULES over
+    the same per-pair (|A∩B|, |A|, |B|) integers; the expensive part —
+    semi-join shrink, shingle-set build, per-pair ``array_intersect``
+    — lives here once."""
     # The candidate frame is consumed three times (both union sides of
     # pair_ids and the main join): materialize it once or the whole
     # upstream candidate generation re-executes per consumer —
@@ -204,15 +233,42 @@ def jaccard_verify(
         .withColumn(
             "inter_size", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
         )
-        .withColumn(
-            "union_size",
-            (F.size("sh_a") + F.size("sh_b")).cast("bigint") - F.col("inter_size"),
+    )
+
+
+def containment_verify(
+    cands: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    min_cont_num: int = 9,
+    min_cont_den: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exact-CONTAINMENT verification of candidate pairs: keep (a, b)
+    when |A∩B| ≥ τ·min(|A|, |B|) — i.e. the smaller document's shingle
+    set is ≥τ contained in the other.
+
+    This is the sub/superset near-dup rule Jaccard structurally
+    misses: a paragraph quoted whole inside a 100× longer page has
+    J = |A|/|B| ≈ 0.01 but containment ≈ 1.0 — the standard reason
+    corpus dedup runs BOTH rules (quotation/boilerplate inclusion vs
+    mutual near-identity). Same integer/cross-multiplied contract as
+    :func:`jaccard_verify`; shares its candidate substrate, so cost
+    stays O(candidates × shingles), never all-pairs.
+
+    Empty shingle sets never pass (min size 0 ⇒ the strict ``> 0``
+    size guard filters the pair), mirroring jaccard's union_size > 0.
+    """
+    pairs = _pair_intersections(cands, docs, id_col, text_col, n, checkpoint_dir)
+    return (
+        pairs.withColumn(
+            "min_size", F.least(F.size("sh_a"), F.size("sh_b")).cast("bigint")
         )
-        # union_size > 0 keeps the contract of the inverted-index form
-        # (and the SQL twin): a pair of empty documents never appears
-        .filter(F.col("union_size") > 0)
-        .filter(min_sim_den * F.col("inter_size") >= min_sim_num * F.col("union_size"))
-        .select("doc_a", "doc_b", "inter_size", "union_size")
+        .filter(F.col("min_size") > 0)
+        .filter(min_cont_den * F.col("inter_size") >= min_cont_num * F.col("min_size"))
+        .select("doc_a", "doc_b", "inter_size", "min_size")
     )
 
 

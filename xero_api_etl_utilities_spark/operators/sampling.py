@@ -115,3 +115,99 @@ def assign_split(
         .when(b < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+def per_group_topk(
+    df: DataFrame, key_col: str, group_col: str, k: int, salt: str = "grouptopk"
+) -> DataFrame:
+    """Deterministic k-row sample PER GROUP: rank rows inside each
+    group by their salted content hash (doc_id tiebreak) and keep the
+    first ``k`` — the reproducible, engine-portable replacement for
+    "grab k random docs per source".
+
+    A hash ORDER (not a hash predicate) is what makes the quota exact:
+    rate-based sampling of a group with n rows yields Binomial(n, p)
+    rows, never exactly k. Cost is one hash-partitioned window sort
+    per group — the shuffle carries (key, group, hash), not payloads,
+    and each group sorts independently, so skew in group sizes spreads
+    across tasks. (For k·groups small a groupBy + slice(sort_array)
+    variant trades the window for an agg; the window form keeps rows
+    streaming and needs no per-group array in memory.)
+    """
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    from pyspark.sql import Window
+
+    h = h32(
+        F.concat_ws(
+            "|", F.lit(salt), F.col(group_col).cast("string"), F.col(key_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("_h")
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    targets_ppm: dict[str, int],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic downsampling toward a TARGET MIXTURE: each listed
+    group is kept at rate ``min(1, target_share · N_total / n_g)`` so
+    its expected share of the ORIGINAL corpus size matches
+    ``targets_ppm`` (parts-per-million). Groups not listed are dropped
+    — an explicit mixture spec is exhaustive, like a training-data
+    recipe ("40% web, 30% code, 30% books").
+
+    Rates are derived FROM the data (one tiny groupBy), which is what
+    separates a mixture from stratified_sample's fixed per-stratum
+    rates: rebalancing adapts to whatever the corpus actually
+    contains. All math is integer (ppm cross-multiplication), and the
+    keep decision is the usual salted content-hash predicate —
+    rerun/engine/partitioning stable.
+
+    Scale shape: the group census is one map-side-combinable
+    aggregation over group keys only; the per-group rate frame is
+    groups-sized (tiny) and broadcast back, so the corpus is scanned
+    once and filtered in place — no corpus-sized shuffle.
+    """
+    for g, ppm in targets_ppm.items():
+        if not 0 <= ppm <= 1_000_000:
+            raise ValueError(f"target for {g!r} must be in [0, 1e6] ppm, got {ppm}")
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.select(F.sum("_n").alias("_total"))
+    target = None
+    for g, ppm in targets_ppm.items():
+        t = F.when(F.col("_g") == g, F.lit(ppm))
+        target = t if target is None else target.when(F.col("_g") == g, F.lit(ppm))
+    target = (target.otherwise(F.lit(0)) if target is not None else F.lit(0)).cast("bigint")
+    # integer `div`, not `/`: float division then floor would round
+    # through double and lose exactness once target*total > 2^53
+    rates = (
+        counts.crossJoin(total)
+        .withColumn("_target", target)
+        .select(
+            "_g",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.expr("(_target * _total) div _n"),
+            ).alias("_keep_ppm"),
+        )
+    )
+    b = h32(
+        F.concat_ws(
+            "|", F.lit(salt), F.col(group_col).cast("string"), F.col(key_col).cast("string")
+        )
+    ) % 1_000_000
+    return (
+        df.join(F.broadcast(rates), df[group_col] == rates["_g"])
+        .filter(b < F.col("_keep_ppm"))
+        .drop("_g", "_keep_ppm")
+    )

@@ -28,6 +28,11 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-3 additions (newest first) ---
+    "dedup_containment",
+    "embedding_quantize_sq8",
+    "sample_per_source_topk",
+    "sample_mixture_rebalance",
+    "events_interarrival",
     "join_skewed_salted",
     # --- round-2 wave: never driver-checked before round 3 ---
     "dedup_clusters",
@@ -97,6 +102,7 @@ def _load_extra_modules() -> None:
         corpus_ops,
         analytics_extra,
         scale_ops,
+        training_ops,
     )
 
 

@@ -280,6 +280,25 @@ WHERE (lang = 'en' AND {_strat_bucket_sql(2)} < 1)
 # frame — exactly what a production DAG does with a shared stage
 # (VERDICT r2 item 5: paying the upstream twice bought nothing).
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-tuned MinHash-LSH candidate set, materialized once
+    per (SparkContext, sf_dir): the shared upstream of BOTH verify
+    rules (jaccard for dedup_verified_pairs/dedup_clusters,
+    containment for dedup_containment)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CANDS_CACHE:
+        from xero_api_etl_utilities_spark.operators import dedup as dd
+
+        docs = load_table(spark, sf_dir, "documents")
+        sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+        cands = dd.minhash_lsh_candidates(
+            sigs, bands=16, rows_per_band=4, max_bucket=500
+        )
+        _CANDS_CACHE[key] = cands.localCheckpoint()
+    return _CANDS_CACHE[key]
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,11 +307,9 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from xero_api_etl_utilities_spark.operators import dedup as dd
 
         docs = load_table(spark, sf_dir, "documents")
-        sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
-        cands = dd.minhash_lsh_candidates(
-            sigs, bands=16, rows_per_band=4, max_bucket=500
+        pairs = dd.jaccard_verify(
+            lsh_candidates(spark, sf_dir), docs, "doc_id", "text", n=1
         )
-        pairs = dd.jaccard_verify(cands, docs, "doc_id", "text", n=1)
         _PAIRS_CACHE[key] = pairs.localCheckpoint()
     return _PAIRS_CACHE[key]
 

@@ -135,6 +135,47 @@ def jaccard_verify_ctes(min_sim_num: int = 7, min_sim_den: int = 10) -> str:
 )"""
 
 
+def containment_verify_ctes(min_cont_num: int = 9, min_cont_den: int = 10) -> str:
+    """Exact-containment verification of the ``cand`` pairs — the
+    sub/superset near-dup rule: |A∩B| ≥ τ·min(|A|,|B|). Reuses the
+    chain's ``toks`` CTE; ends in
+    ``contained(doc_a, doc_b, inter_size, min_size)``. Twin of
+    operators/dedup.containment_verify."""
+    return f"""csz AS (
+  SELECT doc, COUNT(*) AS sz FROM toks GROUP BY doc
+), vinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_size
+  FROM cand c
+  JOIN toks ta ON ta.doc = c.doc_a
+  JOIN toks tb ON tb.doc = c.doc_b AND tb.sh = ta.sh
+  GROUP BY c.doc_a, c.doc_b
+), contained AS (
+  SELECT v.doc_a, v.doc_b,
+         CAST(v.inter_size AS BIGINT) AS inter_size,
+         CAST(LEAST(sa.sz, sb.sz) AS BIGINT) AS min_size
+  FROM vinter v
+  JOIN csz sa ON sa.doc = v.doc_a
+  JOIN csz sb ON sb.doc = v.doc_b
+  WHERE LEAST(sa.sz, sb.sz) > 0
+    AND {min_cont_den} * v.inter_size >= {min_cont_num} * LEAST(sa.sz, sb.sz)
+)"""
+
+
+def containment_pairs_oracle(
+    bands: int = 16, rows_per_band: int = 4, max_bucket: int = 500
+) -> str:
+    """Twin of dedup_containment: the same recall-tuned LSH candidate
+    chain as dedup_verified_pairs, closed with the containment rule
+    instead of Jaccard."""
+    return (
+        "WITH "
+        + minhash_cand_ctes(bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket)
+        + ",\n"
+        + containment_verify_ctes()
+        + "\nSELECT doc_a, doc_b, inter_size, min_size FROM contained"
+    )
+
+
 def verified_pairs_oracle(
     bands: int = 16, rows_per_band: int = 4, max_bucket: int = 500
 ) -> str:

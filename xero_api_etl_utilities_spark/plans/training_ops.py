@@ -1,0 +1,238 @@
+"""Round-3 training-pipeline catalog wave.
+
+Five operators a 100 TB training-data pipeline runs daily, none of
+which the round-2 catalog covered:
+
+- ``dedup_containment``   — sub/superset near-dup rule over the SAME
+  LSH candidate substrate as the Jaccard path (quotation/boilerplate
+  inclusion, which Jaccard structurally misses);
+- ``embedding_quantize_sq8`` — int8 scalar quantization of the
+  embedding corpus (the standard 4× ANN-index compression);
+- ``sample_per_source_topk`` — exact-quota deterministic k-per-group
+  sampling (hash ORDER, not hash predicate);
+- ``sample_mixture_rebalance`` — downsample toward a target data
+  mixture with rates derived from the corpus census;
+- ``events_interarrival``  — integer-exact per-user inter-event gap
+  stats (min/max/lower-median), the activity-cadence signal.
+
+Every oracle is integer- or bit-exact: no float summation enters any
+hashed column (the one float formula, SQ8's code, is written with a
+single association in both engines so every double is bit-identical).
+
+Reference provenance: the reference has no training-data surface at
+all (src/queries.ts is relational ETL); these extend SURVEY §2.12 per
+the north-star brief, not §2.1-2.10 parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------- containment
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 completion: containment-verified near-dup pairs — keep
+    (a, b) when the smaller shingle set is ≥90% inside the other.
+    Shares the materialized LSH candidate frame with
+    dedup_verified_pairs / dedup_clusters (corpus_ops.lsh_candidates):
+    one candidate generation feeds all three verify consumers, exactly
+    like a production DAG's shared stage."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+    from xero_api_etl_utilities_spark.plans import corpus_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = corpus_ops.lsh_candidates(spark, sf_dir)
+    return dd.containment_verify(cands, docs, "doc_id", "text", n=1)
+
+
+def _containment_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return sk.containment_pairs_oracle()
+
+
+register("dedup_containment", dedup_containment, _containment_oracle)
+
+
+# --------------------------------------------------------------- SQ8 codes
+
+def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 adjunct: int8 scalar-quantization codes for every embedding
+    dimension (operators/quantize.py — stats pass + broadcast encode,
+    no corpus-sized shuffle). Output is exploded (vec_id, dim, code)
+    rows: all-integer, so the oracle hash is exact."""
+    from xero_api_etl_utilities_spark.operators.quantize import sq8_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_codes(emb, "vec_id", "embedding")
+
+
+register(
+    "embedding_quantize_sq8",
+    embedding_quantize_sq8,
+    """
+WITH d AS (
+  SELECT vec_id, CAST(r.i - 1 AS INT) AS dim, CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), st AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim
+)
+SELECT d.vec_id, d.dim,
+  CAST(CASE WHEN st.mx - st.mn > 0
+            THEN floor(((d.x - st.mn) * 255.0) / (st.mx - st.mn) + 0.5)
+            ELSE 0 END AS INT) AS code
+FROM d JOIN st USING (dim)
+""",
+)
+
+
+# --------------------------------------------------------- per-group top-k
+
+def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 continuation: exactly 20 documents per source, chosen by
+    salted content-hash ORDER (operators/sampling.per_group_topk) —
+    the exact-quota counterpart of rate-based sampling, reproducible
+    across engines/reruns/partitionings."""
+    from xero_api_etl_utilities_spark.operators.sampling import per_group_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return per_group_topk(docs, "doc_id", "source", k=20).select(
+        "doc_id", "source", F.col("rk").cast("int").alias("rk")
+    )
+
+
+_TOPK_H = h32_sql("'grouptopk|' || source || '|' || CAST(doc_id AS VARCHAR)")
+
+register(
+    "sample_per_source_topk",
+    sample_per_source_topk,
+    f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM (SELECT doc_id, source, CAST({_TOPK_H} AS BIGINT) AS h FROM documents) s
+) q WHERE rk <= 20
+""",
+)
+
+
+# ------------------------------------------------------- mixture rebalance
+
+# the target recipe: src0 at 2% of corpus size, src1 at 1%, src2 held
+# at its natural 5% (rate caps at 1 — the no-op edge), others dropped
+_MIXTURE_PPM = {"src0": 20_000, "src1": 10_000, "src2": 50_000}
+
+
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 continuation: deterministic downsampling toward a target
+    source mixture; per-group keep-rates derived from the corpus
+    census in integer ppm math (operators/sampling.mixture_rebalance).
+    """
+    from xero_api_etl_utilities_spark.operators.sampling import mixture_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_rebalance(docs, "doc_id", "source", _MIXTURE_PPM).select(
+        "doc_id", "source"
+    )
+
+
+_MIX_H = h32_sql("'mixture|' || source || '|' || CAST(doc_id AS VARCHAR)")
+
+register(
+    "sample_mixture_rebalance",
+    sample_mixture_rebalance,
+    f"""
+WITH c AS (SELECT source AS g, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS total FROM c),
+r AS (
+  SELECT g, LEAST(1000000, (CAST(CASE g {" ".join(f"WHEN '{g}' THEN {ppm}" for g, ppm in _MIXTURE_PPM.items())} ELSE 0 END AS BIGINT) * total) // n) AS keep_ppm
+  FROM c, t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.g
+WHERE CAST({_MIX_H} AS BIGINT) % 1000000 < keep_ppm
+""",
+)
+
+
+# -------------------------------------------------------- inter-arrival
+
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 continuation: per-user inter-event gap statistics in integer
+    microseconds — min / max / LOWER-MEDIAN gap (the element at rank
+    (n+1) div 2, a pure integer convention both engines implement
+    identically; an averaged even-count median would reintroduce
+    fractional values). Gaps come from ``timestampdiff`` on the
+    TIMESTAMP_NTZ column — calendar arithmetic, no timezone or epoch
+    conversion anywhere. Users with a single event have no gap and
+    drop out.
+
+    Scale shape: one hash-partitioned window sort per user for the
+    lag, then per-user aggregation — the same shuffle key end-to-end,
+    so AQE coalesces it into one exchange; nothing is corpus-quadratic
+    and the median needs no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("gap_us")
+    wc = Window.partitionBy("user_id")
+    med = (
+        g.withColumn("rn", F.row_number().over(w2))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("user_id", F.col("gap_us").alias("med_gap_us"))
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+    return agg.join(med, "user_id").select(
+        "user_id", "n_gaps", "min_gap_us", "max_gap_us", F.col("med_gap_us").cast("bigint").alias("med_gap_us")
+    )
+
+
+register(
+    "events_interarrival",
+    events_interarrival,
+    """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+  QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+), m AS (
+  SELECT user_id, gap_us AS med_gap_us
+  FROM (SELECT user_id, gap_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM g)
+  WHERE rn = (cnt + 1) // 2
+), a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+         CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+  FROM g GROUP BY user_id
+)
+SELECT a.user_id, a.n_gaps, a.min_gap_us, a.max_gap_us,
+       CAST(m.med_gap_us AS BIGINT) AS med_gap_us
+FROM a JOIN m USING (user_id)
+""",
+)
