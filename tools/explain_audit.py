@@ -92,6 +92,22 @@ CHECKS = {
         ("join keys include salt", lambda p: "_salt" in p),
         ("dim replicated by explode, no nested loop", lambda p: "Generate" in p and "explode(" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    # round-3 training-pipeline wave
+    "dedup_containment": [
+        ("verify from checkpointed candidates, no cartesian", lambda p: "Scan ExistingRDD" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "embedding_quantize_sq8": [
+        ("stats broadcast back, encode is scan-side", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p and "CartesianProduct" not in p),
+    ],
+    "sample_per_source_topk": [
+        ("one window shuffle, no global sort", lambda p: p.count("hashpartitioning") == 1 and "rangepartitioning" not in p),
+    ],
+    "sample_mixture_rebalance": [
+        ("rates broadcast, corpus scanned once", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ],
+    "events_interarrival": [
+        ("user-keyed exchanges only, no range sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 
