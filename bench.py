@@ -122,6 +122,7 @@ HEADLINE = [
     "sample_per_source_topk",
     "sample_mixture_rebalance",
     "events_interarrival",
+    "multimodal_decode_features",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

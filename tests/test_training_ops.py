@@ -104,3 +104,55 @@ def test_mixture_rebalance_rejects_bad_ppm(spark):
     df = spark.createDataFrame([(1, "g")], "doc_id bigint, source string")
     with pytest.raises(ValueError, match="ppm"):
         mixture_rebalance(df, "doc_id", "source", {"g": 2_000_000})
+
+
+def test_decode_gray_blocks_pins_full_codec_chain(spark):
+    # Push a 4x4 image through the REAL decode -> block sums -> resize
+    # -> re-encode -> second decode path and check hand-computed values.
+    from xero_api_etl_utilities_spark.functions.imagecodec import encode_ppm
+    from xero_api_etl_utilities_spark.operators.multimodal import decode_gray_blocks
+
+    d = 7
+    raw = bytes((d * 31 + i) % 256 for i in range(48))
+    media = spark.createDataFrame(
+        [(d, bytearray(encode_ppm(4, 4, raw)))], "media_id bigint, content binary"
+    )
+    row = decode_gray_blocks(media, resize_to=(2, 2)).collect()[0]
+    gray = [(raw[3 * p] + raw[3 * p + 1] + raw[3 * p + 2]) // 3 for p in range(16)]
+    for j in range(8):
+        assert row[f"f{j}"] == gray[2 * j] + gray[2 * j + 1]
+    assert (row["rw"], row["rh"]) == (2, 2)
+    # resize 4x4 -> 2x2 picks src pixels p = 8y + 2x: 0, 2, 8, 10
+    assert [row[f"r{k}"] for k in range(4)] == [gray[p] for p in (0, 2, 8, 10)]
+
+
+def test_synth_media_roundtrips_through_any_supported_format(spark):
+    # The decode stage sniffs magic bytes: feeding the same pixels as a
+    # BMP must produce identical features to the PPM source (codec
+    # agnosticism of the downstream operator).
+    import struct
+
+    from xero_api_etl_utilities_spark.functions.imagecodec import encode_ppm
+    from xero_api_etl_utilities_spark.operators.multimodal import decode_gray_blocks
+
+    pix = bytes(range(2 * 2 * 3))
+
+    def bmp_2x2(flat: bytes) -> bytes:
+        rows = [flat[0:6], flat[6:12]]
+        data = b""
+        for r in reversed(rows):  # bottom-up
+            data += b"".join(
+                bytes((r[3 * x + 2], r[3 * x + 1], r[3 * x])) for x in range(2)
+            ) + b"\x00\x00"
+        dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0)
+        return b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + dib + data
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(2, 2, pix))), (2, bytearray(bmp_2x2(pix)))],
+        "media_id bigint, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_gray_blocks(media, (2, 2)).collect()}
+    a, b = rows[1], rows[2]
+    assert [a[f] for f in a.asDict() if f != "media_id"] == [
+        b[f] for f in b.asDict() if f != "media_id"
+    ]

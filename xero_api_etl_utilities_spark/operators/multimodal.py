@@ -197,3 +197,90 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).select(
         "media_id", "frame_no", (F.col("frame_no") * every_ms).alias("frame_ts_ms")
     )
+
+
+GRAY_BLOCKS_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False)]
+    + [T.StructField(f"f{j}", T.LongType(), True) for j in range(8)]
+    + [
+        T.StructField("rw", T.IntegerType(), True),
+        T.StructField("rh", T.IntegerType(), True),
+    ]
+    + [T.StructField(f"r{k}", T.LongType(), True) for k in range(4)]
+)
+
+
+def synth_ppm_media(ids: DataFrame, id_col: str, width: int = 4, height: int = 4) -> DataFrame:
+    """Deterministic P6 PPM bytes per id — the binary SOURCE stand-in
+    for corpora that ship no media column (the driver testdata has
+    none): pixel byte i of image ``d`` is ``(d*31 + i) % 256``. The
+    generation rule is trivially closed-form, which is exactly the
+    point — a SQL oracle can predict what the REAL decoder must
+    extract from the bytes without itself decoding anything."""
+    from xero_api_etl_utilities_spark.functions.imagecodec import encode_ppm
+
+    n = width * height * 3
+
+    def _gen(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": [
+                        encode_ppm(
+                            width, height, bytes((int(d) * 31 + i) % 256 for i in range(n))
+                        )
+                        for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(_gen, schema="media_id bigint, content binary")
+
+
+def decode_gray_blocks(media: DataFrame, resize_to: tuple[int, int] = (2, 2)) -> DataFrame:
+    """Integer image features through the FULL codec path: decode the
+    binary column (PNG/BMP/PPM sniffed from magic bytes) → per-pixel
+    integer gray ((r+g+b) div 3) → 8 contiguous-block gray sums; then
+    nearest-neighbor resize → P6 re-encode → SECOND real decode → the
+    resized pixels' grays. Every output is integer math over decoded
+    bytes, so an oracle that knows the source bytes can check the
+    whole decode→resize→re-encode→decode chain value-exactly.
+
+    Arrow-batched ``mapInPandas``; binary content never shuffles (the
+    stage is a projection of the media scan)."""
+    from xero_api_etl_utilities_spark.functions.imagecodec import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    new_w, new_h = resize_to
+
+    def _feats(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, _ch, px = decode_image(bytes(c))
+                npx = w * h
+                gray = [
+                    (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3 for p in range(npx)
+                ]
+                step = npx // 8
+                f = [sum(gray[j * step : (j + 1) * step]) for j in range(8)]
+                rpx = resize_nearest(w, h, px, new_w, new_h)
+                w2, h2, _c2, px2 = decode_image(encode_ppm(new_w, new_h, rpx))
+                g2 = [
+                    (px2[3 * p] + px2[3 * p + 1] + px2[3 * p + 2]) // 3
+                    for p in range(w2 * h2)
+                ]
+                rows.append([int(d), *f, w2, h2, *g2[:4]])
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in GRAY_BLOCKS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_feats, schema=GRAY_BLOCKS_SCHEMA)

@@ -28,6 +28,7 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-3 additions (newest first) ---
+    "multimodal_decode_features",
     "dedup_containment",
     "embedding_quantize_sq8",
     "sample_per_source_topk",

@@ -236,3 +236,49 @@ SELECT a.user_id, a.n_gaps, a.min_gap_us, a.max_gap_us,
 FROM a JOIN m USING (user_id)
 """,
 )
+
+
+# ------------------------------------------------------ multimodal decode
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 made driver-visible: deterministic 4×4 P6 PPM bytes per
+    doc_id (operators/multimodal.synth_ppm_media — the binary-source
+    stand-in, since the driver testdata ships no media column) pushed
+    through the REAL stdlib codec chain: decode → integer gray block
+    sums → nearest-neighbor resize → P6 re-encode → second decode →
+    resized-pixel grays. The oracle predicts every output in closed
+    form from the generation rule WITHOUT decoding, so a wrong byte
+    anywhere in the decode/resize/encode path hash-mismatches."""
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_ppm_media(docs, "doc_id", width=4, height=4)
+    return mm.decode_gray_blocks(media, resize_to=(2, 2))
+
+
+def _gray_sql(p: int) -> str:
+    terms = " + ".join(f"((doc_id*31 + {3 * p + c}) % 256)" for c in range(3))
+    return f"(({terms}) // 3)"
+
+
+# 16 pixels in blocks of 2; resize 4x4 -> 2x2 picks src pixels
+# p = 8y + 2x for (x, y) in row-major order: 0, 2, 8, 10
+_MM_F = ",\n  ".join(
+    f"CAST({_gray_sql(2 * j)} + {_gray_sql(2 * j + 1)} AS BIGINT) AS f{j}"
+    for j in range(8)
+)
+_MM_R = ",\n  ".join(
+    f"CAST({_gray_sql(p)} AS BIGINT) AS r{k}" for k, p in enumerate([0, 2, 8, 10])
+)
+
+register(
+    "multimodal_decode_features",
+    multimodal_decode_features,
+    f"""
+SELECT doc_id AS media_id,
+  {_MM_F},
+  CAST(2 AS INT) AS rw, CAST(2 AS INT) AS rh,
+  {_MM_R}
+FROM documents
+""",
+)
