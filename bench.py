@@ -123,6 +123,8 @@ HEADLINE = [
     "sample_mixture_rebalance",
     "events_interarrival",
     "multimodal_decode_features",
+    "events_daily_fill_forward",
+    "events_transition_matrix",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

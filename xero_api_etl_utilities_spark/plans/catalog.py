@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-3 additions (newest first) ---
+    "events_daily_fill_forward",
+    "events_transition_matrix",
     "multimodal_decode_features",
     "dedup_containment",
     "embedding_quantize_sq8",

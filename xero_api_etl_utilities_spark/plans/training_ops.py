@@ -282,3 +282,107 @@ SELECT doc_id AS media_id,
 FROM documents
 """,
 )
+
+
+# ------------------------------------------------- gap-fill / transitions
+
+def events_daily_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 continuation: resample each user's event stream to a DAILY
+    grid with forward-fill — the canonical time-series densification
+    (metrics dashboards, feature snapshots). Last observation per
+    (user, day) — deterministic rn=1 under (ts, event_id) DESC — then
+    the user's [first_day, last_day] calendar via sequence+explode,
+    left join, and ``last(value, ignorenulls=True)`` over an
+    unbounded-preceding window.
+
+    Scale shape: everything keys on user_id (AQE reuses one exchange);
+    the calendar explode is bounded by each user's day span — no
+    global calendar cross join, no range sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    lastday = (
+        ev.select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", F.col("value").alias("_obs"))
+    )
+    span = lastday.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(lastday, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("_obs", ignorenulls=True).over(wff).alias("value"),
+            F.col("_obs").isNotNull().alias("observed"),
+        )
+    )
+
+
+register(
+    "events_daily_fill_forward",
+    events_daily_fill_forward,
+    """
+WITH lastday AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value AS obs
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts DESC, event_id DESC) = 1
+), span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM lastday GROUP BY user_id
+), cal AS (
+  SELECT user_id, CAST(gs.d AS DATE) AS day
+  FROM span, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                    CAST(d1 AS TIMESTAMP),
+                                    INTERVAL 1 DAY)) AS gs(d)
+)
+SELECT c.user_id, c.day,
+  last_value(l.obs IGNORE NULLS) OVER (
+    PARTITION BY c.user_id ORDER BY c.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+  l.obs IS NOT NULL AS observed
+FROM cal c LEFT JOIN lastday l ON l.user_id = c.user_id AND l.day = c.day
+""",
+)
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 continuation: event-type transition counts — for each user,
+    consecutive (prev_type → type) bigrams under (ts, event_id) order,
+    aggregated corpus-wide. The Markov-chain view of user behavior
+    (and the input to next-action models). One user-keyed window + one
+    combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+register(
+    "events_transition_matrix",
+    events_transition_matrix,
+    """
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+) t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
