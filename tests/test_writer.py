@@ -79,3 +79,26 @@ def test_bucketed_join_elides_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+def test_versioned_run_probes_next_free_dir(spark, tmp_path):
+    from xero_api_etl_utilities_spark.sources.writer import write_versioned_run
+
+    base = str(tmp_path / "audit")
+    df = spark.createDataFrame([(1, "x")], "id long, note string")
+    assert write_versioned_run(df, base) == base
+    assert write_versioned_run(df, base) == f"{base}_v2"
+    assert write_versioned_run(df, base) == f"{base}_v3"
+    # each version holds a full copy
+    assert spark.read.json(f"{base}_v2").count() == 1
+
+
+def test_versioned_run_exhaustion_raises(spark, tmp_path):
+    from xero_api_etl_utilities_spark.sources.writer import write_versioned_run
+
+    base = str(tmp_path / "audit")
+    df = spark.createDataFrame([(1,)], "id long")
+    write_versioned_run(df, base)
+    write_versioned_run(df, base)
+    with pytest.raises(RuntimeError, match="no free version"):
+        write_versioned_run(df, base, max_versions=2)

@@ -50,3 +50,33 @@ def write_json_audit(df: DataFrame, path: str, mode: str = "errorifexists") -> N
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_versioned_run(
+    df: DataFrame,
+    base_path: str,
+    fmt: str = "json",
+    max_versions: int = 100,
+) -> str:
+    """S12 parity (src/helpers.ts:55-66): the reference probes
+    ``log.json``, ``log-a.json``, ``log-b.json``… until a free name
+    appears — a read-then-write race under concurrency. The
+    Spark-shaped equivalent versions RUN DIRECTORIES
+    (``base``, ``base_v2``, …) and lets ``errorifexists`` + the task
+    commit protocol arbitrate collisions atomically: two concurrent
+    writers can both probe, but only one commit wins a given version;
+    the loser just advances to the next. Returns the path written."""
+    from pyspark.errors import AnalysisException
+
+    last_exc: Exception | None = None
+    for v in range(1, max_versions + 1):
+        path = base_path if v == 1 else f"{base_path}_v{v}"
+        try:
+            df.write.mode("errorifexists").format(fmt).save(path)
+            return path
+        except AnalysisException as exc:  # path exists — probe the next
+            last_exc = exc
+    raise RuntimeError(
+        f"write_versioned_run: no free version under {base_path!r} after"
+        f" {max_versions} probes"
+    ) from last_exc
