@@ -125,6 +125,10 @@ HEADLINE = [
     "multimodal_decode_features",
     "events_daily_fill_forward",
     "events_transition_matrix",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

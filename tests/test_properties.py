@@ -209,3 +209,41 @@ def test_pack_fixed_budget_property(spark, data):
             assert pack >= last_pack
             run += n_tokens
             last_pack = pack
+
+
+# ---------------------------------------------------------------- n-grams
+
+TOKEN_TEXTS = st.text(
+    alphabet=st.sampled_from("ab1 .,-\nXY"), min_size=0, max_size=60
+)
+
+
+def model_ngrams(text: str, n: int) -> list[str]:
+    """Independent model of dedup.token_ngrams ∘ dedup.tokens."""
+    import re
+
+    toks = re.findall("[a-z0-9]+", text.lower())
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_token_ngrams_property(spark, data):
+    """Pin the zip_with n-gram rewrite (round 3) against a pure-python
+    model over adversarial short/empty/whitespace-heavy strings, for
+    n in {1, 2, 3} — one batched Spark job per n."""
+    from xero_api_etl_utilities_spark.operators.dedup import token_ngrams, tokens
+
+    cases = data.draw(st.lists(TOKEN_TEXTS, min_size=150, max_size=150))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id long, text string"
+    )
+    for n in (1, 2, 3):
+        got = {
+            r["id"]: list(r["ng"])
+            for r in df.select(
+                "id", token_ngrams(tokens(F.col("text")), n).alias("ng")
+            ).collect()
+        }
+        for i, t in enumerate(cases):
+            assert got[i] == model_ngrams(t, n), (n, t)

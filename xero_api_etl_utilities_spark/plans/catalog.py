@@ -28,6 +28,10 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-3 additions (newest first) ---
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
     "events_daily_fill_forward",
     "events_transition_matrix",
     "multimodal_decode_features",
