@@ -40,6 +40,10 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_per_source_topk",
     "sample_mixture_rebalance",
     "events_interarrival",
+    # changed in round 3 (cosine pre-normalization; zip_with n-grams):
+    # must sit where the driver can see a regression
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
     "join_skewed_salted",
     # --- round-2 wave: never driver-checked before round 3 ---
     "dedup_clusters",
