@@ -129,6 +129,8 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_bracketed_revenue",
+    # after dedup_clusters: reuses the materialized clusters frame
+    "dedup_cluster_sizes",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

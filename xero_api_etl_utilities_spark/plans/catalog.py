@@ -28,6 +28,7 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-3 additions (newest first) ---
+    "dedup_cluster_sizes",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",

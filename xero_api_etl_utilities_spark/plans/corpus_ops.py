@@ -333,6 +333,20 @@ def _verified_pairs_oracle() -> str:
 register("dedup_verified_pairs", dedup_verified_pairs, _verified_pairs_oracle)
 
 
+_CLUSTERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document, materialized once per
+    (SparkContext, sf_dir): connected components iterate driver-side
+    jobs at BUILD time, so the two consumers (dedup_clusters, the
+    cluster-size histogram) must share one run, not re-propagate."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTERS_CACHE:
+        _CLUSTERS_CACHE[key] = _build_clusters(spark, sf_dir).localCheckpoint()
+    return _CLUSTERS_CACHE[key]
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 completion: near-dup PAIRS → duplicate GROUPS. Connected
     components (min-label propagation, operators/graph.py) over the
@@ -342,6 +356,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id = min doc_id of its component (singletons: their own
     id). The oracle runs the same candidates → verify → propagation
     as a recursive CTE."""
+    return doc_clusters(spark, sf_dir)
+
+
+def _build_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xero_api_etl_utilities_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")

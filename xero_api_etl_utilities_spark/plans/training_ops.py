@@ -386,3 +386,44 @@ SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
 GROUP BY prev_type, next_type
 """,
 )
+
+
+# --------------------------------------------------- cluster-size report
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 reporting face: the duplicate-cluster SIZE HISTOGRAM —
+    (cluster_size, number of clusters that size, docs covered). The
+    number a corpus owner actually reads after a dedup run ("how much
+    of my corpus is 2x-duplicated vs 100x boilerplate?"). Reuses the
+    ONE materialized clusters frame (corpus_ops.doc_clusters) — the
+    connected-components propagation does not re-run for the report."""
+    from xero_api_etl_utilities_spark.plans import corpus_ops
+
+    cl = corpus_ops.doc_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    inner = sk.dedup_clusters_oracle()
+    return f"""
+WITH clusters AS ({inner}),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+register("dedup_cluster_sizes", dedup_cluster_sizes, _cluster_sizes_oracle)
