@@ -131,6 +131,9 @@ HEADLINE = [
     "q19_bracketed_revenue",
     # after dedup_clusters: reuses the materialized clusters frame
     "dedup_cluster_sizes",
+    "q4_priority_returns",
+    "events_trailing_7d",
+    "agg_winsorized_revenue",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

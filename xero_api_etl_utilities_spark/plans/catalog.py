@@ -28,6 +28,9 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-3 additions (newest first) ---
+    "events_trailing_7d",
+    "agg_winsorized_revenue",
+    "q4_priority_returns",
     "dedup_cluster_sizes",
     "q10_returned_items",
     "q14_promo_revenue",

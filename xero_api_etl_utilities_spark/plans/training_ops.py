@@ -427,3 +427,138 @@ FROM sizes GROUP BY cluster_size
 
 
 register("dedup_cluster_sizes", dedup_cluster_sizes, _cluster_sizes_oracle)
+
+
+# ------------------------------------------------ trailing range window
+
+def events_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X26 continuation: per-user TRAILING 7-DAY window over the
+    daily rollup — a RANGE (event-time interval) frame, not a ROWS
+    frame: days with no activity still age out of the window, which
+    rows-preceding frames get wrong. Spark side orders by integer
+    epoch-day with rangeBetween(-6, 0); the oracle's
+    ``RANGE BETWEEN INTERVAL 6 DAY PRECEDING`` over the date column is
+    the same frame because days are integers. Money stays in the
+    decimal convention end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("trailing_events"),
+        F.round(F.sum("_v").over(w), 2).cast("double").alias("trailing_value"),
+    )
+
+
+register(
+    "events_trailing_7d",
+    events_trailing_7d,
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, day, n_events,
+  CAST(SUM(n_events) OVER w AS BIGINT) AS trailing_events,
+  CAST(ROUND(SUM(v) OVER w, 2) AS DOUBLE) AS trailing_value
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+
+
+# ------------------------------------------------- winsorized aggregate
+
+def agg_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics staple: per-returnflag revenue with values
+    CLIPPED at the nearest-rank P05/P95 (winsorization — the standard
+    way to report a mean that one fat-finger price cannot move).
+    All integer: cents ranks via row_number, bounds at ranks
+    ceil(n/20) and ceil(19n/20), clipped sum in BIGINT cents, mean via
+    the exact (2s+n) div 2n half-up convention. One shuffle on the
+    group key; bounds re-broadcast (groups-sized frame)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("vc")
+    )
+    c = li.select(F.col("l_returnflag").alias("flag"), cents)
+    gw = Window.partitionBy("flag")
+    ranked = c.withColumn("rn", F.row_number().over(gw.orderBy("vc"))).withColumn(
+        "n", F.count(F.lit(1)).over(gw)
+    )
+    bounds = ranked.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("vc"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("vc"))).alias("hi"),
+        F.max("n").cast("bigint").alias("n_values"),
+    )
+    clipped = c.join(F.broadcast(bounds), "flag").select(
+        "flag",
+        "n_values",
+        F.least(F.greatest(F.col("vc"), F.col("lo")), F.col("hi")).alias("cv"),
+        "lo",
+        "hi",
+    )
+    return clipped.groupBy("flag", "n_values", "lo", "hi").agg(
+        F.sum("cv").alias("_s")
+    ).select(
+        "flag",
+        "n_values",
+        (F.col("lo").cast("double") / F.lit(100.0)).alias("p05_clip"),
+        (F.col("hi").cast("double") / F.lit(100.0)).alias("p95_clip"),
+        (F.col("_s").cast("double") / F.lit(100.0)).alias("winsorized_sum"),
+        (
+            F.expr("(2 * _s + n_values) div (2 * n_values)").cast("double")
+            / F.lit(100.0)
+        ).alias("winsorized_mean"),
+    )
+
+
+register(
+    "agg_winsorized_revenue",
+    agg_winsorized_revenue,
+    """
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+  FROM lineitem
+), r AS (
+  SELECT flag, vc,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY vc) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM c
+), b AS (
+  SELECT flag,
+         MAX(CASE WHEN rn = (n + 19) // 20 THEN vc END) AS lo,
+         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN vc END) AS hi,
+         CAST(MAX(n) AS BIGINT) AS n_values
+  FROM r GROUP BY flag
+), s AS (
+  SELECT c.flag, b.n_values, b.lo, b.hi,
+         SUM(LEAST(GREATEST(c.vc, b.lo), b.hi)) AS sclip
+  FROM c JOIN b ON c.flag = b.flag
+  GROUP BY c.flag, b.n_values, b.lo, b.hi
+)
+SELECT flag, n_values,
+  CAST(lo AS DOUBLE) / 100 AS p05_clip,
+  CAST(hi AS DOUBLE) / 100 AS p95_clip,
+  CAST(sclip AS DOUBLE) / 100 AS winsorized_sum,
+  CAST((2 * sclip + n_values) // (2 * n_values) AS DOUBLE) / 100 AS winsorized_mean
+FROM s
+""",
+)
