@@ -108,6 +108,18 @@ CHECKS = {
     "events_interarrival": [
         ("user-keyed exchanges only, no range sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
     ],
+    "q4_priority_returns": [
+        ("EXISTS as semi join, orders never multiplied", lambda p: "LeftSemi" in p and "CartesianProduct" not in p),
+    ],
+    "events_trailing_7d": [
+        ("user-keyed window, no global sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
+    ],
+    "agg_winsorized_revenue": [
+        ("bounds broadcast back, no SMJ", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ],
+    "q19_bracketed_revenue": [
+        ("part dim broadcast under OR-of-ANDs", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ],
 }
 
 
