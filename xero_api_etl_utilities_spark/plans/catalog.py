@@ -44,6 +44,13 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_per_source_topk",
     "sample_mixture_rebalance",
     "events_interarrival",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",

@@ -460,3 +460,378 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
 )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship-year. The nation dimension joins TWICE (supplier side and
+    customer side) — both copies filtered to the two-nation universe
+    BEFORE the join so the inner joins prune 23/25 of the fact rows,
+    then the cross-pair filter removes same-nation flows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = na.select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("_c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _money(F.col("l_extendedprice")) * (
+        F.lit(1).cast(DEC) - _money(F.col("l_discount"))
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        )
+        .agg(_out(F.sum(revenue)).alias("revenue"))
+    )
+
+
+register(
+    "q7_volume_shipping",
+    q7_volume_shipping,
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(CAST(l_shipdate AS DATE))
+""",
+)
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue into
+    one region, per order-year. The share is published in integer
+    basis points via the catalog's exact-cents half-up convention
+    (same as q14) — no float division in the hashed output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cna = na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey).select(
+        F.col("n_nationkey").alias("_c_nk")
+    )
+    revenue = _money(F.col("l_extendedprice")) * (
+        F.lit(1).cast(DEC) - _money(F.col("l_discount"))
+    )
+    sna = na.select(
+        F.col("n_nationkey").alias("_s_nk"), F.col("n_name").alias("_s_nation")
+    )
+    nation_rev = F.when(F.col("_s_nation") == "NATION_5", revenue).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(cna), F.col("c_nationkey") == F.col("_c_nk"))
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(sna), F.col("s_nationkey") == F.col("_s_nk"))
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(F.sum(nation_rev).alias("_nat"), F.sum(revenue).alias("_tot"))
+        .select(
+            "o_year",
+            _out(F.col("_nat")).alias("nation_revenue"),
+            _out(F.col("_tot")).alias("total_revenue"),
+            F.expr(
+                "(2 * cast(_nat * 100 as bigint) * 10000 + cast(_tot * 100 as bigint))"
+                " div (2 * cast(_tot * 100 as bigint))"
+            ).alias("share_bp"),
+        )
+    )
+
+
+register(
+    "q8_market_share",
+    q8_market_share,
+    """
+WITH s AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+    SUM(CASE WHEN sn.n_name = 'NATION_5'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+             ELSE 0 END) AS nat,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS tot
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  GROUP BY year(CAST(o_orderdate AS DATE))
+)
+SELECT o_year,
+  CAST(ROUND(nat, 2) AS DOUBLE) AS nation_revenue,
+  CAST(ROUND(tot, 2) AS DOUBLE) AS total_revenue,
+  (2 * CAST(nat * 100 AS BIGINT) * 10000 + CAST(tot * 100 AS BIGINT))
+    // (2 * CAST(tot * 100 AS BIGINT)) AS share_bp
+FROM s
+""",
+)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order-year over a
+    part-name substring universe. The testdata part table has no
+    partsupp/ps_supplycost, so cost is proxied as 80% of
+    p_retailprice — held in DECIMAL end-to-end (0.8 is a
+    DECIMAL(2,1) literal, never a float) so profit is exact cents in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    cost = _money(F.col("p_retailprice")) * F.expr("CAST(0.8 AS DECIMAL(2,1))")
+    profit = _money(F.col("l_extendedprice")) * (
+        F.lit(1).cast(DEC) - _money(F.col("l_discount"))
+    ) - _money(F.col("l_quantity")) * cost
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(_out(F.sum(profit)).alias("sum_profit"))
+    )
+
+
+register(
+    "q9_product_profit",
+    q9_product_profit,
+    """
+SELECT n_name AS nation,
+  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+  CAST(ROUND(SUM(
+    CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+    - CAST(l_quantity AS DECIMAL(12,2))
+      * (CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.8 AS DECIMAL(2,1)))
+  ), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+""",
+)
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — the left-outer-join + two-level aggregation
+    shape (count per customer, then histogram of counts). The filter
+    excludes urgent orders so some customers really do land at 0."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+register(
+    "q13_order_count_distribution",
+    q13_order_count_distribution,
+    """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the global max. The max is a 1-row aggregate broadcast back
+    against the per-supplier revenue frame (no global window sort —
+    the decorrelated form that survives a wide supplier dimension).
+    Equality compares EXACT decimal sums; rounding happens only in
+    the published column."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-04-01"))
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    revenue = _money(F.col("l_extendedprice")) * (
+        F.lit(1).cast(DEC) - _money(F.col("l_discount"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("_total"))
+    mx = rev.agg(F.max("_total").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev._total == mx._mx)
+        .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            _out(F.col("_total")).alias("total_revenue"),
+        )
+    )
+
+
+register(
+    "q15_top_supplier",
+    q15_top_supplier,
+    """
+WITH r AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total = (SELECT MAX(total) FROM r)
+""",
+)
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity sits
+    below 20% of the part's average — the correlated-average
+    decorrelated into a per-part aggregate joined back. The 20%-of-
+    average comparison is INTEGER-EXACT: qty < 0.2·(sum/cnt) ⟺
+    5·qty·cnt < sum on bigint cents of quantity (quantities are
+    integral in the testdata), so no float threshold can disagree
+    between engines. Part stats aggregate only the brand-filtered
+    universe (semi-join prune before the stats pass)."""
+    su_brand = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(
+        F.broadcast(su_brand.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    stats = branded.groupBy(F.col("l_partkey").alias("_sp")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_sq"),
+    )
+    return (
+        branded.join(F.broadcast(stats), branded.l_partkey == F.col("_sp"))
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("_cnt")
+            < F.col("_sq")
+        )
+        .agg(
+            _out(F.sum(_money(F.col("l_extendedprice")))).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+register(
+    "q17_small_qty_revenue",
+    q17_small_qty_revenue,
+    """
+WITH b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+s AS (
+  SELECT l_partkey, COUNT(*) AS cnt, CAST(SUM(l_quantity) AS BIGINT) AS sq
+  FROM lineitem JOIN b ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS small_qty_revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN s ON lineitem.l_partkey = s.l_partkey
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+""",
+)
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (every testdata customer has SOME order, so dormancy is
+    "no order on/after 2000-01-01"), grouped by nation. Two
+    decorrelations in one query: the global scalar average becomes a
+    1-row broadcast (compared EXACTLY as balance·n > sum on cents —
+    no float average), and NOT EXISTS becomes a left-anti join
+    against the distinct recent-order customer set."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    stats = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_money(F.col("c_acctbal"))).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    recent = od.filter(F.col("o_orderdate").cast("date") >= F.lit("2000-01-01")).select(
+        "o_custkey"
+    )
+    return (
+        cu.crossJoin(F.broadcast(stats))
+        .filter(_money(F.col("c_acctbal")) * F.col("_n") > F.col("_s"))
+        .join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _out(F.sum(_money(F.col("c_acctbal")))).alias("totacctbal"),
+        )
+    )
+
+
+register(
+    "q22_dormant_customers",
+    q22_dormant_customers,
+    """
+WITH st AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer, st
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_nationkey
+""",
+)
