@@ -137,3 +137,59 @@ def test_funnel_stream_advances_across_batches(spark, tmp_path):
         FUNNEL_SCHEMA,
     ).write.mode("append").parquet(drop)
     assert run() == [(1, 1), (1, 2), (1, 3), (2, 1)]
+
+
+def test_event_time_timeout_finalizes_open_session(spark, tmp_path):
+    """EventTimeTimeout path: once the WATERMARK passes a session's
+    last event + gap, the open session is emitted and state evicted —
+    no wall-clock dependence, deterministic on replay."""
+    from xero_api_etl_utilities_spark.streaming.stateful import (
+        sessionize_stream_finalizing,
+    )
+
+    drop, ckpt = str(tmp_path / "drop"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    hours = datetime.timedelta(hours=1)
+
+    def run():
+        q = (
+            sessionize_stream_finalizing(
+                stream_drop_dir(spark, drop, EVENT_SCHEMA),
+                gap_minutes=30,
+                watermark_delay="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # batch 1: user 1 at 10:00 — session open, timer armed for 10:30,
+    # watermark only reaches 09:50, nothing emits
+    spark.createDataFrame([(1, t0, 1)], EVENT_SCHEMA).write.mode("append").parquet(drop)
+    assert run() == []
+
+    # batch 2: only user 2 has events (at 12:00) — the watermark
+    # advance to 11:50 fires user 1's 10:30 timer: their idle session
+    # surfaces WITHOUT any user-1 event arriving
+    spark.createDataFrame(
+        [(2, t0 + 2 * hours, 2)], EVENT_SCHEMA
+    ).write.mode("append").parquet(drop)
+    rows = run()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["user_id"] == 1 and s["n_events"] == 1
+
+    # batch 3: user 1 returns at 14:00 — state was EVICTED, so this
+    # starts a FRESH session (no merge with the finalized one), and
+    # the watermark advance to 13:50 fires user 2's 12:30 timer
+    spark.createDataFrame(
+        [(3, t0 + 4 * hours, 1)], EVENT_SCHEMA
+    ).write.mode("append").parquet(drop)
+    rows = run()
+    assert sorted(r["user_id"] for r in rows) == [1, 2]

@@ -23,6 +23,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -49,44 +50,94 @@ SESSION_STATE = StructType(
 )
 
 
+_SESSION_COLS = ["user_id", "session_start_us", "session_end_us", "n_events"]
+
+
+def _fold_sessions(user_id, open_state, pdfs, gap_us, ts_col="ts"):
+    """Shared micro-batch fold: (open-session tuple | None, pandas
+    chunks) → (closed-session rows, new open-session tuple | None).
+
+    A group larger than one Arrow batch arrives as MULTIPLE pandas
+    chunks; sorting per-chunk would process events out of global
+    order, so the whole group's timestamps concatenate before the
+    sort. ``ts_col`` may already be int64 epoch-micros (the timeout
+    variant pre-computes ``unix_micros`` JVM-side) — datetime columns
+    are converted, int columns pass through."""
+    start_us, last_us, n_events = open_state if open_state else (None, None, None)
+    closed: list[tuple[int, int, int, int]] = []
+    chunks = [pdf[ts_col] for pdf in pdfs]
+    if chunks:
+        ts_us = pd.concat(chunks)
+        if ts_us.dtype != "int64":
+            ts_us = ts_us.astype("datetime64[us]").astype("int64")
+        ts_us = ts_us.sort_values()
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n_events = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n_events))
+                start_us, last_us, n_events = t, t, 1
+            else:
+                # max(): a cross-batch late event with t < last_us
+                # joins the open session without rewinding its end.
+                last_us, n_events = max(last_us, t), n_events + 1
+    open_out = (start_us, last_us, n_events) if start_us is not None else None
+    return closed, open_out
+
+
 def _session_fn(gap_us: int):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            start_us, last_us, n_events = state.get
-        else:
-            start_us = last_us = n_events = None
-
-        closed: list[tuple[int, int, int, int]] = []
-        # A group larger than one Arrow batch arrives as MULTIPLE pandas
-        # chunks; sorting per-chunk would process events out of global
-        # order. Concatenate the whole group's timestamps before sorting.
-        chunks = [pdf["ts"] for pdf in pdfs]
-        if chunks:
-            ts_us = (
-                pd.concat(chunks).astype("datetime64[us]").astype("int64").sort_values()
-            )
-            for t in ts_us:
-                t = int(t)
-                if start_us is None:
-                    start_us, last_us, n_events = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n_events))
-                    start_us, last_us, n_events = t, t, 1
-                else:
-                    # max(): a cross-batch late event with t < last_us
-                    # joins the open session without rewinding its end.
-                    last_us, n_events = max(last_us, t), n_events + 1
-
-        if start_us is not None:
-            state.update((start_us, last_us, n_events))
+        closed, open_out = _fold_sessions(
+            user_id, state.get if state.exists else None, pdfs, gap_us
+        )
+        if open_out is not None:
+            state.update(open_out)
         if closed:
+            yield pd.DataFrame(closed, columns=_SESSION_COLS)
+
+    return fn
+
+
+def _session_timeout_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # the watermark passed last_event + gap with no new events:
+            # the open session is FINAL by the gap rule itself, so emit
+            # it and evict the state — the half of session semantics
+            # NoTimeout cannot express (a user who never returns would
+            # otherwise hold state forever and never surface).
+            start_us, last_us, n_events = state.get
+            state.remove()
             yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+                [(user_id, start_us, last_us, n_events)], columns=_SESSION_COLS
             )
+            return
+        closed, open_out = _fold_sessions(
+            user_id, state.get if state.exists else None, pdfs, gap_us, ts_col="ts_us"
+        )
+        if open_out is not None:
+            state.update(open_out)
+            # fire when event time passes session end + gap. ts_us is
+            # TRUE epoch micros (unix_micros, JVM-side), the same
+            # frame as the watermark — a pandas datetime conversion
+            # would instead yield session-LOCAL naive micros, shifting
+            # the timer by the tz offset (10 h under the engine's
+            # Australia/Brisbane default) so it never fires. Spark
+            # rejects a timeout at-or-before the current watermark, so
+            # clamp just above it (the timer then fires on the next
+            # watermark advance — the session is already final by
+            # then, the emit is merely catching up).
+            fire_ms = open_out[1] // 1000 + gap_us // 1000
+            state.setTimeoutTimestamp(max(fire_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(closed, columns=_SESSION_COLS)
 
     return fn
 
@@ -174,4 +225,44 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         stateStructType=SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_stream_finalizing(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Gap-sessionization that also FINALIZES idle sessions via
+    EVENT-TIME state timeouts: once the watermark passes a session's
+    last event + gap, the gap rule says no future event can extend it
+    — the open session is emitted and its state evicted. This bounds
+    state to ACTIVE users (NoTimeout holds every user ever seen) and
+    is fully deterministic on replay — the production posture for an
+    unbounded key space at 100 TB.
+
+    Deliberately NOT ProcessingTimeTimeout: wall-clock timers make the
+    output depend on batch scheduling, and (measured here) Spark's
+    ``FlatMapGroupsWithStateExec.shouldRunAnotherBatch`` is always
+    true under processing-time timeouts, so a ``Trigger.AvailableNow``
+    drain never terminates — it spins no-data micro-batches forever.
+    Event-time timers fire on watermark ADVANCE, which stops when the
+    source is drained, so bounded runs terminate."""
+    # watermarks require TIMESTAMP (tz-adjusted); the events table
+    # carries TIMESTAMP_NTZ — the cast reinterprets in the session
+    # zone. ts_us is true epoch micros computed JVM-SIDE so the state
+    # fn's timer math shares the watermark's epoch frame (see
+    # _session_timeout_fn).
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn(gap_minutes * 60 * 1_000_000),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
