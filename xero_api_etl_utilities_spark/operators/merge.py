@@ -1,0 +1,46 @@
+"""CDC upsert/delete merge: collapse a base snapshot + change batches
+into the latest-wins snapshot (the MERGE INTO / SCD-type-1 shape; the
+reference's analog is the create-or-update invoice push,
+src/apiFunctions.ts:69-72 — `createInvoices`/`createCreditNotes`
+update-when-exists against the remote ledger, re-expressed here as one
+declarative merge over the union of snapshot and deltas).
+
+Scale design: the merge is ONE hash aggregation — ``max_by(struct(*),
+version)`` per key — not a window sort.  Both shapes shuffle once on
+the key, but the aggregate form gets map-side partial aggregation
+(each task pre-collapses its local versions of a key), so the shuffle
+carries at most one row per key per task instead of every version of
+every key; on a 100 TB base + small delta that is the difference
+between shuffling the table and shuffling the delta.  Deletes ride the
+same path as tombstone rows filtered AFTER the collapse — a delete
+only wins if it is the latest version, exactly MERGE semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_latest(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Collapse ``changes`` (base ∪ deltas, one row per key-version) to
+    the highest-version row per key; rows whose winning version has
+    ``delete_col`` true are dropped from the snapshot.
+
+    ``version_col`` must be totally ordered within a key (ties would
+    make the winner nondeterministic — callers supply e.g. a batch
+    sequence number or commit timestamp).
+    """
+    payload = [c for c in changes.columns if c not in key_cols]
+    collapsed = changes.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), F.col(version_col)).alias("_w")
+    )
+    out = collapsed.select(*key_cols, "_w.*")
+    if delete_col is not None:
+        out = out.filter(~F.col(delete_col)).drop(delete_col)
+    return out.drop(version_col)

@@ -51,6 +51,8 @@ _WINDOW_PRIORITY: list[str] = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q22_dormant_customers",
+    "merge_cdc_snapshot",
+    "window_equidepth_bins",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",
@@ -125,6 +127,7 @@ def _load_extra_modules() -> None:
         analytics_extra,
         scale_ops,
         training_ops,
+        cdc_ops,
     )
 
 

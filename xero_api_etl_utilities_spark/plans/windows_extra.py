@@ -459,3 +459,52 @@ FROM t JOIN s USING (o_custkey)
 WHERE t.p * s.n > s.tot
 """,
 )
+
+
+def window_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) binning via NTILE: each return
+    flag's line items split into 8 equal-population price bins, then
+    per-bin count and [lo, hi] boundary — the histogram-building shape
+    behind range-partitioner sampling and skew diagnosis. The window
+    ORDER BY carries a unique (price, orderkey, linenumber) key so the
+    tile assignment is total-order deterministic in both engines; one
+    shuffle on the partition key, per-partition sort, then a
+    map-side-combinable aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            _money(F.col("l_extendedprice")).alias("_price"),
+            F.ntile(8).over(w).alias("price_bin"),
+        )
+        .groupBy("l_returnflag", "price_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _out(F.min("_price")).alias("bin_lo"),
+            _out(F.max("_price")).alias("bin_hi"),
+        )
+    )
+
+
+register(
+    "window_equidepth_bins",
+    window_equidepth_bins,
+    """
+WITH t AS (
+  SELECT l_returnflag,
+    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+    NTILE(8) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS price_bin
+  FROM lineitem
+)
+SELECT l_returnflag, price_bin,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(ROUND(MIN(price), 2) AS DOUBLE) AS bin_lo,
+  CAST(ROUND(MAX(price), 2) AS DOUBLE) AS bin_hi
+FROM t
+GROUP BY l_returnflag, price_bin
+""",
+)
