@@ -120,6 +120,35 @@ CHECKS = {
     "q19_bracketed_revenue": [
         ("part dim broadcast under OR-of-ANDs", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
     ],
+    # round-3 decorrelation wave
+    "q7_volume_shipping": [
+        ("all four dims broadcast, nation filter pre-join", lambda p: p.count("BroadcastHashJoin") >= 4 and "CartesianProduct" not in p),
+    ],
+    "q8_market_share": [
+        ("six-dim star all broadcast", lambda p: p.count("BroadcastHashJoin") >= 5 and "SortMergeJoin" not in p.split("orders")[0] and "CartesianProduct" not in p),
+    ],
+    "q9_product_profit": [
+        ("part filter broadcast, no cartesian", lambda p: p.count("BroadcastHashJoin") >= 3 and "CartesianProduct" not in p),
+    ],
+    "q13_order_count_distribution": [
+        ("two-level aggregation, no cartesian", lambda p: p.count("HashAggregate") >= 4 and "CartesianProduct" not in p),
+    ],
+    "q15_top_supplier": [
+        ("max decorrelated to broadcast, no window sort", lambda p: "BroadcastHashJoin" in p and "Window" not in p and "rangepartitioning" not in p),
+    ],
+    "q17_small_qty_revenue": [
+        ("per-part stats broadcast back, no window", lambda p: "BroadcastHashJoin" in p and "Window" not in p and "CartesianProduct" not in p),
+    ],
+    "q22_dormant_customers": [
+        ("NOT EXISTS as anti join", lambda p: "LeftAnti" in p and "CartesianProduct" not in p),
+    ],
+    "merge_cdc_snapshot": [
+        ("latest-wins via aggregate, not window sort", lambda p: "Window" not in p and "rangepartitioning" not in p),
+        ("map-side partial collapse", lambda p: p.count("HashAggregate") >= 4),
+    ],
+    "window_equidepth_bins": [
+        ("flag-keyed sort only, no global range sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 
