@@ -134,6 +134,17 @@ HEADLINE = [
     "q4_priority_returns",
     "events_trailing_7d",
     "agg_winsorized_revenue",
+    # round-3 decorrelation wave + CDC merge + equi-depth bins
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
+    "merge_cdc_snapshot",
+    "window_equidepth_bins",
+    "fuzzy_name_match",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

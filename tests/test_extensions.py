@@ -351,3 +351,27 @@ def test_sampling_deterministic_and_disjoint(spark):
 
     with pytest.raises(ValueError):
         sampling.systematic_sample(df, "k", 5, 4)
+
+
+def test_fuzzy_pairs_distance1(spark):
+    from xero_api_etl_utilities_spark.operators.fuzzy import fuzzy_pairs_distance1
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat"),    # ↔ "cut" (sub), "cats" (ins), "at" (del)
+            (2, "cut"),
+            (3, "cats"),
+            (4, "at"),
+            (5, "dog"),    # no neighbor
+            (6, "abc"),    # "abc"/"bcd" share variant "bc" but distance 2
+            (7, "bcd"),
+        ],
+        ["id", "name"],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_distance1(df, "id", "name").collect()
+    }
+    # substitution, insertion, deletion all matched; (6,7) VERIFIED
+    # AWAY — "abc"/"bcd" share deletion variant "bc" at true distance 2
+    assert got == {(1, 2), (1, 3), (1, 4)}

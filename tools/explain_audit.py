@@ -149,6 +149,11 @@ CHECKS = {
     "window_equidepth_bins": [
         ("flag-keyed sort only, no global range sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
     ],
+    # the SymSpell join must stay linear: variant explode + equi-join,
+    # never the quadratic cross form the oracle uses
+    "fuzzy_name_match": [
+        ("deletion-variant equi-join, no quadratic pair join", lambda p: "Generate" in p and "explode(" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 

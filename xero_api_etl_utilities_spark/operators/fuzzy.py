@@ -1,0 +1,64 @@
+"""Fuzzy (edit-distance) self-join via the deletion-neighborhood
+(SymSpell) technique: for edit distance ≤ 1, two strings match only if
+they share an element of their radius-1 deletion sets (the string
+itself plus every single-character deletion).  Candidate generation is
+therefore a LINEAR explode (n+1 variants per string) followed by an
+equi-join on the variant — never a quadratic blocked cross-join — and
+a cheap exact ``levenshtein`` verify prunes the false candidates the
+neighborhood admits (two different deletions can collide: "abc"/"bcd"
+both contain "bc" at distance 2).
+
+This is the entity-resolution analog of the corpus dedup stack's
+LSH→verify flow (candidates by structure, then exact check), applied
+to short keys like names/codes where character edits — typos — are the
+noise model, not token overlap.  The reference reconciles spreadsheet
+charges against the database by EXACT composite key
+(src/queries.ts:12-18, findFirst on date/amount/customerId/seqNo);
+fuzzy keys are the production generalization of that match.
+
+Scale: one explode (fan-out = len+1 ≈ 20 for name-like keys), one
+hash-partitioned equi-join on the variant, exact verify as a filter,
+then pair-dedup — every stage map-side-combinable or key-local.  The
+variant column is short (≤ key length), so the shuffle carries a few
+hundred bytes per row; skewed variants (shared prefixes) are bounded
+by fan-out × block size, and AQE's skew-join split covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(col: str) -> F.Column:
+    """Radius-1 deletion set: the string itself (i = length) plus every
+    single-character deletion (i = 0..length-1 deletes position i+1)."""
+    return F.expr(
+        f"transform(sequence(0, length({col})),"
+        f" i -> concat(substr({col}, 1, i), substr({col}, i + 2)))"
+    )
+
+
+def fuzzy_pairs_distance1(
+    df: DataFrame, id_col: str, name_col: str
+) -> DataFrame:
+    """All (id_a, id_b, name_a, name_b) pairs with id_a < id_b and
+    levenshtein(name_a, name_b) ≤ 1 (distinct names, so = 1)."""
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.explode(deletion_variants(name_col)).alias("_variant"),
+    )
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "_variant"
+    )
+    b = sides.select(
+        F.col("_id").alias("id_b"), F.col("_name").alias("name_b"), "_variant"
+    )
+    return (
+        a.join(b, "_variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )

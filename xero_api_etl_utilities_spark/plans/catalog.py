@@ -53,6 +53,7 @@ _WINDOW_PRIORITY: list[str] = [
     "q22_dormant_customers",
     "merge_cdc_snapshot",
     "window_equidepth_bins",
+    "fuzzy_name_match",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",

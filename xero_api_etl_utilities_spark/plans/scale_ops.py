@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xero_api_etl_utilities_spark.operators.fuzzy import fuzzy_pairs_distance1
 from xero_api_etl_utilities_spark.operators.skew import salted_inner_join
 from xero_api_etl_utilities_spark.plans.catalog import register
 from xero_api_etl_utilities_spark.sources.parquet import load_table
@@ -74,5 +75,45 @@ SELECT c.c_mktsegment AS segment,
   CAST(ROUND(SUM(CAST(s.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM skewed s JOIN customer c ON s.uid = c.c_custkey
 GROUP BY c.c_mktsegment
+""",
+)
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 entity resolution over customer names via the
+    deletion-neighborhood (SymSpell) join (operators/fuzzy.py):
+    candidates from a LINEAR variant explode + equi-join, exact
+    levenshtein verify, pair dedup — never a quadratic cross-join.
+    The oracle IS the quadratic form (DuckDB levenshtein over the
+    i<j self-join), so correctness proves the neighborhood's recall
+    is complete for distance ≤ 1. Summarized per nation of the
+    lower-key customer."""
+    cu = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs_distance1(cu, id_col="c_custkey", name_col="c_name")
+    nat = cu.select(F.col("c_custkey").alias("id_a"), "c_nationkey")
+    return (
+        pairs.join(F.broadcast(nat), "id_a")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_a").alias("n_anchors"),
+        )
+    )
+
+
+register(
+    "fuzzy_name_match",
+    fuzzy_name_match,
+    """
+WITH pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 1
+)
+SELECT a.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT p.id_a) AS BIGINT) AS n_anchors
+FROM pairs p JOIN customer a ON p.id_a = a.c_custkey
+GROUP BY a.c_nationkey
 """,
 )
