@@ -145,6 +145,7 @@ HEADLINE = [
     "merge_cdc_snapshot",
     "window_equidepth_bins",
     "fuzzy_name_match",
+    "agg_grouping_sets",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -275,3 +275,44 @@ def test_stream_corpus_hygiene(spark, tmp_path):
     surviving_dup = (set(got) & {1, 2}).pop()
     assert got[surviving_dup] == good.lower()
     assert "[EMAIL]" in got[5] and "bob@" not in got[5]
+
+
+def test_stream_static_dim_enrich(spark, tmp_path):
+    """Stream-static broadcast join: events stream enriched with a
+    static dim; unmatched keys survive with NULL attributes."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        enrich_stream_with_dim,
+        stream_drop_dir,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    drop, ckpt, out = (str(tmp_path / d) for d in ("drop", "ckpt", "out"))
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    spark.createDataFrame(
+        [(1, t0, 10), (2, t0, 20), (3, t0, 99)], schema
+    ).write.parquet(drop)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], ["user_id", "tier"]
+    )
+    q = (
+        enrich_stream_with_dim(stream_drop_dir(spark, drop, schema), dim, on="user_id")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["event_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "gold", 2: "silver", 3: None}

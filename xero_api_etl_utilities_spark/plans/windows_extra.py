@@ -508,3 +508,48 @@ FROM t
 GROUP BY l_returnflag, price_bin
 """,
 )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the rollup/cube lattices): the
+    two one-dimension marginals + the full cross + the grand total in
+    ONE pass — Spark expands the sets into a single Expand + hash
+    aggregate, not four scans. Non-grouped columns surface as NULL
+    markers exactly as in agg_rollup (neither column is nullable in
+    the data, so markers are unambiguous)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            _money(F.col("o_totalprice")).alias("amount"),
+        )
+        .groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            _out(F.sum("amount")).alias("total_amount"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+register(
+    "agg_grouping_sets",
+    agg_grouping_sets,
+    """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_amount,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())
+""",
+)

@@ -150,3 +150,24 @@ def stream_exact_text_dedup(
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
     )
+
+
+def enrich_stream_with_dim(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming
+    join: each micro-batch joins against the STATIC dim frame, which
+    Spark plans as a broadcast hash join per batch (no state store,
+    no watermark — only stream-stream joins need those). The dim is
+    re-resolved every batch, so a dim refreshed in place (e.g. a
+    daily-rebuilt parquet dir) is picked up without restarting the
+    query. Left join by default: an event whose key is missing from
+    the dim must surface with NULL attributes, not vanish — dropping
+    records silently in an enrichment stage is the classic pipeline
+    bug, and the filter belongs downstream where it is visible."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim_df), on=on, how=how)
