@@ -316,3 +316,103 @@ def test_stream_static_dim_enrich(spark, tmp_path):
     q.awaitTermination()
     rows = {r["event_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
     assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_streaming_cdc_apply(spark, tmp_path):
+    """foreachBatch MERGE sink: change batches fold into a latest-wins
+    parquet snapshot across two availableNow runs (upsert, update,
+    delete), snapshot dir swapped atomically."""
+    from pyspark.sql import types as T
+
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import apply_cdc_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("del", T.BooleanType()),
+        ]
+    )
+    drop, ckpt, snap = (str(tmp_path / d) for d in ("drop", "ckpt", "snap"))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(drop)
+        q = apply_cdc_stream(
+            src, snap, key_cols=["k"], version_col="v",
+            delete_col="del", checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        return {r["k"]: r["val"] for r in spark.read.parquet(snap).collect()}
+
+    # batch 1: three inserts
+    spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)], schema
+    ).write.mode("append").parquet(drop)
+    assert run() == {1: "a", 2: "b", 3: "c"}
+
+    # batch 2: update 2, delete 3, insert 4
+    spark.createDataFrame(
+        [(2, "B", 2, False), (3, "c", 2, True), (4, "d", 2, False)], schema
+    ).write.mode("append").parquet(drop)
+    assert run() == {1: "a", 2: "B", 4: "d"}
+
+
+def test_streaming_cdc_apply_partitioned(spark, tmp_path):
+    """Partitioned MERGE sink: only touched partition dirs rewritten
+    (untouched files byte-identical), emptied partitions removed."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import apply_cdc_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("del", T.BooleanType()),
+        ]
+    )
+    drop, ckpt, snap = (str(tmp_path / d) for d in ("drop", "ckpt", "snap"))
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(drop)
+        q = apply_cdc_stream(
+            src, snap, key_cols=["k"], version_col="v",
+            delete_col="del", checkpoint_dir=ckpt, partition_col="part",
+        )
+        q.awaitTermination()
+        return {
+            r["k"]: (r["part"], r["val"])
+            for r in spark.read.parquet(snap).collect()
+        }
+
+    spark.createDataFrame(
+        [
+            (1, "p1", "a", 1, False),
+            (2, "p1", "b", 1, False),
+            (3, "p2", "c", 1, False),
+            (4, "p3", "d", 1, False),
+        ],
+        schema,
+    ).write.mode("append").parquet(drop)
+    assert run() == {1: ("p1", "a"), 2: ("p1", "b"), 3: ("p2", "c"), 4: ("p3", "d")}
+    p2_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{snap}/part=p2/*.parquet")
+    }
+    assert p2_files
+
+    # batch 2: update in p1, delete ALL of p3 (partition must vanish);
+    # p2 untouched — its files must be byte-identical afterwards
+    spark.createDataFrame(
+        [(2, "p1", "B", 2, False), (4, "p3", "d", 2, True)], schema
+    ).write.mode("append").parquet(drop)
+    assert run() == {1: ("p1", "a"), 2: ("p1", "B"), 3: ("p2", "c")}
+    assert not os.path.isdir(f"{snap}/part=p3")
+    assert {
+        f: os.path.getmtime(f) for f in glob.glob(f"{snap}/part=p2/*.parquet")
+    } == p2_files

@@ -1,0 +1,128 @@
+"""Streaming CDC apply: maintain a latest-wins snapshot table from a
+stream of upsert/delete change rows — the MERGE-sink pattern (what a
+table format's streaming MERGE INTO does), built from primitives:
+``foreachBatch`` + the batch merge collapse (operators/merge.py) + an
+atomic directory swap.
+
+Why foreachBatch: a parquet streaming sink is append-only; MERGE
+needs to READ the current snapshot, collapse it with the new batch,
+and REPLACE it. ``foreachBatch`` hands each micro-batch to batch-mode
+code where that read-merge-swap is expressible, while the stream's
+checkpoint still provides exactly-once batch tracking (a replayed
+batch re-merges idempotently: max_by over the same inputs is
+deterministic, so the re-published snapshot is value-identical).
+
+Why a directory SWAP (write new → atomic rename) instead of
+overwrite-in-place: a reader that lists the snapshot dir mid-overwrite
+sees missing or duplicated parts; rename is atomic on a POSIX dir and
+on HDFS, so readers see the old or the new snapshot, never a mix.
+(On object stores rename is copy+delete — there, a table-format
+transaction log is the real answer; the swap keeps the same contract
+locally. The reference's analog is the versioned upload filename
+probe — collision-free publish via name arbitration, the S12 sink.)
+
+Scale: each micro-batch costs one snapshot scan + one key shuffle
+(the merge collapse is a single map-side-combinable aggregation).
+For a 100 TB snapshot with small deltas that scan dominates, so when
+``partition_col`` is given the snapshot is laid out partitioned by it
+and each batch (a) READS only partitions the delta touches — the
+``isin`` filter prunes at the directory level — and (b) WRITES only
+those partitions back via dynamic partition overwrite; untouched
+partition directories are never opened. That is the partitioned-table
+MERGE optimization. The merged frame is localCheckpoint-materialized
+first because Spark (correctly) refuses a same-path read→overwrite
+in one plan; the checkpoint cuts the file lineage so the overwrite
+sees no self-read.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators.merge import merge_latest
+
+# snapshot rows rank below every change row: a change carries a real
+# version, the applied snapshot is by definition older than all of them
+_BASE_VERSION = -(2**62)
+
+
+def apply_cdc_stream(
+    changes: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    partition_col: str | None = None,
+):
+    """Start an availableNow query that folds the change stream into
+    the parquet snapshot at ``snapshot_dir`` via read-merge-swap.
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    spark = changes.sparkSession
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        exists = os.path.isdir(snapshot_dir)
+        if partition_col is not None:
+            touched = [
+                r[0] for r in batch_df.select(partition_col).distinct().collect()
+            ]
+            if exists:
+                # directory-level pruning: only touched partitions read
+                base = (
+                    spark.read.parquet(snapshot_dir)
+                    .filter(F.col(partition_col).isin(touched))
+                    .withColumn(version_col, F.lit(_BASE_VERSION))
+                )
+                if delete_col is not None:
+                    base = base.withColumn(delete_col, F.lit(False))
+                changes_in = base.unionByName(batch_df)
+            else:
+                changes_in = batch_df
+            merged = merge_latest(
+                changes_in, key_cols, version_col, delete_col
+            ).localCheckpoint()
+            # dynamic overwrite replaces ONLY the touched partition dirs
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(snapshot_dir)
+            )
+            # a partition whose every row was deleted produces no
+            # output partition, so dynamic overwrite leaves its stale
+            # directory — remove touched-but-now-empty partitions
+            present = {r[0] for r in merged.select(partition_col).distinct().collect()}
+            for v in set(touched) - present:
+                stale = os.path.join(snapshot_dir, f"{partition_col}={v}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            return
+        tmp = f"{snapshot_dir}.inprogress-{batch_id}"
+        old = f"{snapshot_dir}.replaced-{batch_id}"
+        if exists:
+            snap = spark.read.parquet(snapshot_dir)  # payload columns only
+            base = snap.withColumn(version_col, F.lit(_BASE_VERSION))
+            if delete_col is not None:
+                base = base.withColumn(delete_col, F.lit(False))
+            merged = merge_latest(
+                base.unionByName(batch_df), key_cols, version_col, delete_col
+            )
+        else:
+            merged = merge_latest(batch_df, key_cols, version_col, delete_col)
+        merged.write.mode("overwrite").parquet(tmp)
+        # atomic publish: old snapshot aside, new one in
+        if exists:
+            os.rename(snapshot_dir, old)
+        os.rename(tmp, snapshot_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    writer = changes.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
