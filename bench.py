@@ -146,6 +146,7 @@ HEADLINE = [
     "window_equidepth_bins",
     "fuzzy_name_match",
     "agg_grouping_sets",
+    "events_first_touch_attribution",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

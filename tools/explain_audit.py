@@ -154,6 +154,11 @@ CHECKS = {
     "fuzzy_name_match": [
         ("deletion-variant equi-join, no quadratic pair join", lambda p: "Generate" in p and "explode(" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    # both windows share the user_id partitioning: one user exchange +
+    # one final channel aggregation, attribution travels as a column
+    "events_first_touch_attribution": [
+        ("no join, user-keyed windows only", lambda p: "Join" not in p and "rangepartitioning" not in p and p.count("hashpartitioning") <= 2),
+    ],
 }
 
 

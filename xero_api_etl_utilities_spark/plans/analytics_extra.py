@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from xero_api_etl_utilities_spark.operators import events as ev
 from xero_api_etl_utilities_spark.plans.catalog import register
 from xero_api_etl_utilities_spark.sources.parquet import load_table
 
@@ -356,5 +357,61 @@ SELECT event_type,
   CAST(MIN(k) AS BIGINT) AS min_k,
   CAST(MAX(k) AS BIGINT) AS max_k
 FROM parsed GROUP BY event_type
+""",
+)
+
+
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the
+    CHANNEL (first event_type) of its 30-min gap session — the classic
+    marketing-attribution composite: gaps-and-islands sessionize, an
+    ordered first_value per session, then a purchase-only rollup per
+    channel. Both windows share the user_id partitioning, so the
+    whole query is ONE exchange on user_id plus a final channel
+    aggregation; no join — the attribution travels as a window column."""
+    e = load_table(spark, sf_dir, "events")
+    s = ev.sessionize(e, gap_minutes=30)
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    attributed = s.withColumn("channel", F.first("event_type").over(w))
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_buyers"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+register(
+    "events_first_touch_attribution",
+    events_first_touch_attribution,
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), attributed AS (
+  SELECT *, first_value(event_type) OVER (
+      PARTITION BY user_id, session_seq ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS channel
+  FROM sessions
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS attributed_value
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY channel
 """,
 )
