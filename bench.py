@@ -147,6 +147,7 @@ HEADLINE = [
     "fuzzy_name_match",
     "agg_grouping_sets",
     "events_first_touch_attribution",
+    "sample_weighted_by_length",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

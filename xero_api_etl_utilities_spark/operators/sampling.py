@@ -211,3 +211,28 @@ def mixture_rebalance(
         .filter(b < F.col("_keep_ppm"))
         .drop("_g", "_keep_ppm")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_num,
+    weight_den: int,
+    salt: str = "weighted",
+) -> DataFrame:
+    """Per-row importance sampling: keep a row with probability
+    weight_num/weight_den (clamped to 1), where ``weight_num`` is a
+    Column (per-row integer weight) and ``weight_den`` a constant —
+    the quality-weighted corpus-sampling primitive (upweight long /
+    high-quality documents, downweight boilerplate) with the same
+    determinism contract as the rest of this module: the keep
+    decision is a pure scan predicate on the salted content hash, so
+    membership survives reruns, repartitioning and engine changes.
+
+    Exact integer form: keep ⟺ h32(salt‖key) · den < num · 2³²
+    (h32 uniform on [0, 2³²); both products fit a bigint for
+    den ≤ ~2²⁰), so no float rounding can disagree across engines."""
+    h = h32(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(
+        h * F.lit(weight_den) < weight_num.cast("long") * F.lit(2**32)
+    )

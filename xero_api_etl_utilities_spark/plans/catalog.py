@@ -56,6 +56,7 @@ _WINDOW_PRIORITY: list[str] = [
     "fuzzy_name_match",
     "agg_grouping_sets",
     "events_first_touch_attribution",
+    "sample_weighted_by_length",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",

@@ -562,3 +562,41 @@ SELECT flag, n_values,
 FROM s
 """,
 )
+
+
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (operators/sampling.py
+    weighted_sample): keep each document with probability
+    min(n_chars, 800)/1600 — longer documents upweighted, capped at
+    50% — as a pure deterministic scan predicate (exact integer
+    compare of the salted content hash against weight·2³², no float,
+    no RNG). The training-mixture primitive for importance sampling
+    by any per-row score."""
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.weighted_sample(
+        docs,
+        key_col="doc_id",
+        weight_num=F.least(F.col("n_chars"), F.lit(800)),
+        weight_den=1600,
+        salt="wlen",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+register(
+    "sample_weighted_by_length",
+    sample_weighted_by_length,
+    f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST({h32_sql("'wlen|' || CAST(doc_id AS VARCHAR)")} AS BIGINT) * 1600
+      < LEAST(n_chars, 800) * 4294967296
+GROUP BY lang
+""",
+)
