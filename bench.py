@@ -148,6 +148,9 @@ HEADLINE = [
     "agg_grouping_sets",
     "events_first_touch_attribution",
     "sample_weighted_by_length",
+    "unpivot_measures",
+    "window_share_of_total",
+    "events_top_paths",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -159,6 +159,17 @@ CHECKS = {
     "events_first_touch_attribution": [
         ("no join, user-keyed windows only", lambda p: "Join" not in p and "rangepartitioning" not in p and p.count("hashpartitioning") <= 2),
     ],
+    "unpivot_measures": [
+        ("melt as Expand projection, no shuffle before agg", lambda p: "Expand" in p and "Generate" not in p and "CartesianProduct" not in p),
+    ],
+    # the global window must run over the 25-row aggregate, never the
+    # fact table: SinglePartition exchange fed by the final agg
+    "window_share_of_total": [
+        ("ratio window over aggregate only", lambda p: "SinglePartition" in p and "rangepartitioning" not in p and "CartesianProduct" not in p),
+    ],
+    "events_top_paths": [
+        ("top-k paths, no global sort, no join", lambda p: "TakeOrderedAndProject" in p and "Join" not in p),
+    ],
 }
 
 

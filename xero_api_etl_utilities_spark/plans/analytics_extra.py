@@ -415,3 +415,61 @@ WHERE event_type = 'purchase'
 GROUP BY channel
 """,
 )
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: the most common event-type SEQUENCES per
+    30-min session. Within-session order is made deterministic by
+    sorting an array of (ts, event_id, type) structs — collect_list
+    alone has NO ordering guarantee across partitions/retries, the
+    classic correctness trap this query exists to demonstrate — then
+    the path string aggregates like any other key. Top-20 by
+    (count, path) total order."""
+    e = load_table(spark, sf_dir, "events")
+    s = ev.sessionize(e, gap_minutes=30)
+    paths = (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+    return paths
+
+
+register(
+    "events_top_paths",
+    events_top_paths,
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_seq,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+""",
+)

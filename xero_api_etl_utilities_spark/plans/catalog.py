@@ -57,6 +57,9 @@ _WINDOW_PRIORITY: list[str] = [
     "agg_grouping_sets",
     "events_first_touch_attribution",
     "sample_weighted_by_length",
+    "unpivot_measures",
+    "window_share_of_total",
+    "events_top_paths",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",

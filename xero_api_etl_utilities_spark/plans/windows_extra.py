@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from xero_api_etl_utilities_spark.operators.asof import asof_join_backward
 from xero_api_etl_utilities_spark.plans.catalog import register
-from xero_api_etl_utilities_spark.plans.flagship import _money, _out
+from xero_api_etl_utilities_spark.plans.flagship import DEC, _money, _out
 from xero_api_etl_utilities_spark.sources.parquet import load_table
 
 
@@ -551,5 +551,112 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                         (o_orderpriority), (o_orderstatus), ())
+""",
+)
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the four lineitem measures rotate from columns
+    into (measure, value) rows — the inverse of pivot_event_values,
+    completing the reshape pair. Spark expands the wide row in the
+    scan projection (an Expand node, no shuffle, no UDF); the rollup
+    after is an ordinary partial+final aggregate per measure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        li.select("l_returnflag", *[_money(F.col(m)).alias(m) for m in measures])
+        .unpivot(
+            ids=["l_returnflag"],
+            values=measures,
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            _out(F.sum("value")).alias("total"),
+            _out(F.max("value")).alias("max_value"),
+        )
+    )
+
+
+register(
+    "unpivot_measures",
+    unpivot_measures,
+    """
+WITH u AS (
+  SELECT l_returnflag, measure, value
+  FROM (
+    SELECT l_returnflag,
+      CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
+      CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+      CAST(l_discount AS DECIMAL(12,2)) AS l_discount,
+      CAST(l_tax AS DECIMAL(12,2)) AS l_tax
+    FROM lineitem
+  ) UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT l_returnflag, measure,
+  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total,
+  CAST(ROUND(MAX(value), 2) AS DOUBLE) AS max_value
+FROM u
+GROUP BY l_returnflag, measure
+""",
+)
+
+
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue via an
+    unpartitioned window SUM over the 25-row AGGREGATE (never over the
+    fact table — the global window runs after the rollup, so the
+    single-partition stage sees dimension-cardinality rows, not 100 TB
+    of lineitem). Share published in integer basis points (exact-cents
+    half-up convention, no float division in the hashed output)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    revenue = _money(F.col("l_extendedprice")) * (
+        F.lit(1).cast(DEC) - _money(F.col("l_discount"))
+    )
+    per_nation = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), F.col("c_nationkey") == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).alias("_rev"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_nation.withColumn("_total", F.sum("_rev").over(w))
+        .select(
+            "nation",
+            _out(F.col("_rev")).alias("revenue"),
+            F.expr(
+                "(2 * cast(_rev * 100 as bigint) * 10000"
+                " + cast(_total * 100 as bigint))"
+                " div (2 * cast(_total * 100 as bigint))"
+            ).alias("share_bp"),
+        )
+    )
+
+
+register(
+    "window_share_of_total",
+    window_share_of_total,
+    """
+WITH per_nation AS (
+  SELECT n_name AS nation,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT nation,
+  CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+  (2 * CAST(rev * 100 AS BIGINT) * 10000 + CAST(SUM(rev) OVER () * 100 AS BIGINT))
+    // (2 * CAST(SUM(rev) OVER () * 100 AS BIGINT)) AS share_bp
+FROM per_nation
 """,
 )
