@@ -151,6 +151,8 @@ HEADLINE = [
     "unpivot_measures",
     "window_share_of_total",
     "events_top_paths",
+    "profile_orders",
+    "basket_part_pairs",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

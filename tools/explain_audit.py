@@ -170,6 +170,16 @@ CHECKS = {
     "events_top_paths": [
         ("top-k paths, no global sort, no join", lambda p: "TakeOrderedAndProject" in p and "Join" not in p),
     ],
+    # every column's metrics from ONE scan — per-column passes would
+    # show as multiple parquet scans
+    "profile_orders": [
+        # formatted output names each scan twice (tree node + detail
+        # section), so one physical scan == 2 occurrences
+        ("single scan for all columns", lambda p: p.count("Scan parquet") <= 2),
+    ],
+    "basket_part_pairs": [
+        ("order-keyed equi-join, top-k", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "TakeOrderedAndProject" in p),
+    ],
 }
 
 

@@ -473,3 +473,97 @@ FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path ASC LIMIT 20
 """,
 )
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the orders table
+    (operators/profile.py): every column's null/distinct/min/max from
+    ONE scan + ONE aggregation — the pre-ingest data-quality survey.
+    Money pre-casts to DECIMAL and dates to DATE so the stringified
+    min/max render identically in both engines (raw DOUBLE→VARCHAR
+    formatting is engine-specific; DECIMAL's is not)."""
+    from xero_api_etl_utilities_spark.operators.profile import profile_columns
+    from xero_api_etl_utilities_spark.plans.flagship import _money
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _money(F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return profile_columns(
+        od,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
+def _profile_orders_oracle() -> str:
+    cols = {
+        "o_orderkey": "o_orderkey",
+        "o_custkey": "o_custkey",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "CAST(o_totalprice AS DECIMAL(12,2))",
+        "o_orderdate": "CAST(o_orderdate AS DATE)",
+        "o_orderpriority": "o_orderpriority",
+    }
+    parts = [
+        f"""SELECT '{name}' AS "column",
+  CAST(COUNT(*) FILTER ({expr} IS NULL) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+  CAST(MIN({expr}) AS VARCHAR) AS min_value,
+  CAST(MAX({expr}) AS VARCHAR) AS max_value
+FROM orders"""
+        for name, expr in cols.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+register("profile_orders", profile_orders, _profile_orders_oracle)
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part PAIRS appearing in
+    the same order. The pair join is a self equi-join ON THE ORDER KEY
+    — quadratic only within one order (baskets are bounded, ~7 line
+    items, so per-key fan-out is ≤ ~21 pairs regardless of table
+    size; the global shape stays linear). Dedup to distinct
+    (order, pair) first so a part appearing twice in an order cannot
+    double-count support."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+register(
+    "basket_part_pairs",
+    basket_part_pairs,
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+  CAST(COUNT(*) AS BIGINT) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 20
+""",
+)

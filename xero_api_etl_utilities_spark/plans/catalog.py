@@ -60,6 +60,8 @@ _WINDOW_PRIORITY: list[str] = [
     "unpivot_measures",
     "window_share_of_total",
     "events_top_paths",
+    "profile_orders",
+    "basket_part_pairs",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",
