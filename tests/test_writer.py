@@ -102,3 +102,23 @@ def test_versioned_run_exhaustion_raises(spark, tmp_path):
     write_versioned_run(df, base)
     with pytest.raises(RuntimeError, match="no free version"):
         write_versioned_run(df, base, max_versions=2)
+
+
+def test_compact_dir_reduces_files(spark, tmp_path):
+    """Many small files collapse to the byte-target count; data
+    survives bit-exact and re-compaction is a stable no-op."""
+    import glob
+
+    from xero_api_etl_utilities_spark.sources.writer import compact_dir
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(64).write.parquet(p)
+    assert len(glob.glob(f"{p}/*.parquet")) == 64
+    before = spark.read.parquet(p).groupBy().sum("id").collect()[0][0]
+
+    n = compact_dir(spark, p, target_file_bytes=1 << 20)
+    files = glob.glob(f"{p}/*.parquet")
+    assert len(files) == n < 64
+    assert spark.read.parquet(p).groupBy().sum("id").collect()[0][0] == before
+    # idempotent: same target -> same count
+    assert compact_dir(spark, p, target_file_bytes=1 << 20) == n

@@ -80,3 +80,45 @@ def write_versioned_run(
         f"write_versioned_run: no free version under {base_path!r} after"
         f" {max_versions} probes"
     ) from last_exc
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and atomically swap it in.
+    Returns the new file count.
+
+    The 100 TB housekeeping op: streaming sinks and per-batch MERGE
+    rewrites accrete kilobyte-scale files whose per-file open/footer
+    cost eventually dominates scans (and whose row groups are too
+    small for predicate skipping to bite). Repartition count comes
+    from the CURRENT on-disk bytes, so compaction is idempotent —
+    re-running on a compacted dir is a no-op rewrite to the same
+    count. coalesce() is deliberately NOT used: it would also narrow
+    the parallelism of the read stage to the target count; a real
+    shuffle keeps the read wide and only the write narrow.
+
+    Atomic publish mirrors streaming/cdc_sink.py: write to a sibling
+    tmp dir, rename away the old dir, rename the new one in — readers
+    see the old or new layout, never a partial mix.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp, old = f"{path}.compacting", f"{path}.precompact"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
