@@ -416,3 +416,46 @@ def test_streaming_cdc_apply_partitioned(spark, tmp_path):
     assert {
         f: os.path.getmtime(f) for f in glob.glob(f"{snap}/part=p2/*.parquet")
     } == p2_files
+
+
+def test_streaming_incremental_rollup(spark, tmp_path):
+    """Additive IVM: per-key sums/counts fold across availableNow runs
+    without a state store; totals equal the batch recomputation."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import apply_rollup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    drop, ckpt, snap = (str(tmp_path / d) for d in ("drop", "ckpt", "snap"))
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(drop)
+        q = apply_rollup_stream(
+            src, snap, group_cols=["k"],
+            agg_exprs={"n": "count(*)", "total": "sum(v)"},
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        return {
+            r["k"]: (r["n"], r["total"])
+            for r in spark.read.parquet(snap).collect()
+        }
+
+    spark.createDataFrame(
+        [("a", t0, 1), ("a", t0, 2), ("b", t0, 10)], schema
+    ).write.mode("append").parquet(drop)
+    assert run() == {"a": (2, 3), "b": (1, 10)}
+
+    spark.createDataFrame(
+        [("a", t0, 5), ("c", t0, 7)], schema
+    ).write.mode("append").parquet(drop)
+    assert run() == {"a": (3, 8), "b": (1, 10), "c": (1, 7)}

@@ -126,3 +126,59 @@ def apply_cdc_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def apply_rollup_stream(
+    events: DataFrame,
+    snapshot_dir: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+    checkpoint_dir: str | None = None,
+):
+    """Incremental view maintenance for ADDITIVE aggregates: maintain
+    a per-key rollup (sums/counts) over an unbounded event stream
+    without the state store — each micro-batch is pre-aggregated, then
+    SUMMED with the existing snapshot (sum-of-sums = sum, the
+    additivity that makes IVM exact), and the snapshot swapped in
+    atomically.
+
+    Contrast with the watermarked streaming aggregations in
+    filestream.py: those hold per-window state and must bound it with
+    a watermark; an all-time per-key rollup has no window to expire,
+    so its natural home is a materialized table of dimension-bounded
+    cardinality, not executor state. The per-batch cost is one
+    map-side-combinable aggregation of the DELTA plus a snapshot-size
+    merge — independent of total events ever seen.
+
+    ``agg_exprs`` maps output column → SQL aggregate over the input
+    (e.g. {"n": "count(*)", "total": "sum(value)"}); only additive
+    aggregates (sum/count) fold correctly across batches.
+    """
+    spark = events.sparkSession
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(*group_cols).agg(
+            *[F.expr(e).alias(c) for c, e in agg_exprs.items()]
+        )
+        if os.path.isdir(snapshot_dir):
+            current = spark.read.parquet(snapshot_dir)
+            merged = (
+                current.unionByName(delta)
+                .groupBy(*group_cols)
+                .agg(*[F.sum(c).alias(c) for c in agg_exprs])
+            )
+        else:
+            merged = delta
+        tmp = f"{snapshot_dir}.inprogress-{batch_id}"
+        old = f"{snapshot_dir}.replaced-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(snapshot_dir):
+            os.rename(snapshot_dir, old)
+        os.rename(tmp, snapshot_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    writer = events.writeStream.foreachBatch(_fold_batch).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
