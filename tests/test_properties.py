@@ -247,3 +247,74 @@ def test_token_ngrams_property(spark, data):
         }
         for i, t in enumerate(cases):
             assert got[i] == model_ngrams(t, n), (n, t)
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP edit distance (independent model)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_merge_latest_property(spark, data):
+    """merge_latest == python dict fold: per key the max-version row
+    wins; a winning tombstone removes the key."""
+    from xero_api_etl_utilities_spark.operators.merge import merge_latest
+
+    rows = data.draw(
+        st.dictionaries(
+            st.tuples(st.integers(0, 20), st.integers(0, 10)),  # (key, version)
+            st.tuples(st.booleans(), st.integers(-100, 100)),   # (del, payload)
+            min_size=1,
+            max_size=150,
+        )
+    )
+    flat = [(k, v, d, p) for (k, v), (d, p) in rows.items()]
+    model: dict[int, tuple[int, bool, int]] = {}
+    for k, v, d, p in flat:
+        if k not in model or v > model[k][0]:
+            model[k] = (v, d, p)
+    expect = {k: p for k, (v, d, p) in model.items() if not d}
+
+    df = spark.createDataFrame(flat, ["k", "v", "del", "p"])
+    got = {
+        r["k"]: r["p"]
+        for r in merge_latest(df, ["k"], "v", "del").collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_fuzzy_pairs_property(spark, data):
+    """SymSpell join == brute-force distance-1 pairs on a dense
+    alphabet (recall completeness AND no false positives)."""
+    from xero_api_etl_utilities_spark.operators.fuzzy import fuzzy_pairs_distance1
+
+    names = data.draw(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            min_size=2,
+            max_size=50,
+            unique=True,
+        )
+    )
+    rows = list(enumerate(names))
+    expect = {
+        (i, j)
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 1
+    }
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs_distance1(df, "id", "name").collect()
+    }
+    assert got == expect
