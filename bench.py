@@ -153,6 +153,7 @@ HEADLINE = [
     "events_top_paths",
     "profile_orders",
     "basket_part_pairs",
+    "embedding_pq_codes",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -180,6 +180,11 @@ CHECKS = {
     "basket_part_pairs": [
         ("order-keyed equi-join, top-k", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "TakeOrderedAndProject" in p),
     ],
+    # PQ encode must be a pure scan projection: centroids are inlined
+    # literals, so no shuffle and no Python evaluator anywhere
+    "embedding_pq_codes": [
+        ("zero-shuffle inlined-codebook encode", lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
 }
 
 

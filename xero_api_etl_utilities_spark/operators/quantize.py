@@ -55,3 +55,101 @@ def sq8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col("dim").cast("int").alias("dim"),
         code.cast("int").alias("code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the second FAISS compression recipe
+# ---------------------------------------------------------------------------
+
+def _kmeans_l2(vecs, k: int, iters: int, seed: int):
+    """Plain Lloyd L2 k-means over an ordered list (float64,
+    first-index argmin ties) — deterministic twin shared by the Spark
+    path and the oracle generator, mirroring ivf._kmeans_unit but in
+    EUCLIDEAN space: PQ minimizes reconstruction error, not cosine."""
+    import random
+
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.float64)
+    rng = random.Random(seed)
+    idx = rng.sample(range(len(vecs)), min(k, len(vecs)))
+    cents = x[idx].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def train_pq_codebooks_from_parquet(
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 4,
+    sample: int = 1000,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Train ``m`` per-subspace codebooks of ``k`` centroids each from
+    the first ``sample`` rows ordered by id (same determinism contract
+    as ivf.train_centroids_from_parquet): codebooks are tiny
+    (m·k·(dim/m) floats), training is driver-side on a bounded sample
+    — the standard PQ recipe; encoding is the distributed part."""
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=[id_col, vec_col])
+    ids = tb.column(id_col).to_pylist()
+    raw = tb.column(vec_col).to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:sample]
+    vecs = [[float(v) for v in raw[i]] for i in order]
+    dim = len(vecs[0])
+    ds = dim // m
+    books = []
+    for s in range(m):
+        sub = [v[s * ds : (s + 1) * ds] for v in vecs]
+        books.append(_kmeans_l2(sub, k, iters, seed + s))
+    return books
+
+
+def _sub_dist(vec_col: str, centroid: list[float], lo: int):
+    """Σ_d (vec[lo+d] − c_d)² with FIXED left-to-right association so
+    the oracle's identically-ordered sum is bit-equal."""
+    e = None
+    for d, c in enumerate(centroid):
+        t = F.element_at(F.col(vec_col), lo + d + 1).cast("double") - F.lit(float(c))
+        sq = t * t
+        e = sq if e is None else e + sq
+    return e
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, code_0..code_{m-1}): each subvector's nearest-codebook-
+    centroid index. Pure scan projection — centroids inline as
+    literals (JVM codegen, no Python, no shuffle), argmin via
+    sorted (distance, code) structs so ties break on the smaller
+    code in both engines."""
+    cols = [F.col(id_col)]
+    ds = len(codebooks[0][0])
+    for s, book in enumerate(codebooks):
+        arr = F.array(
+            *[
+                F.struct(
+                    _sub_dist(vec_col, c, s * ds).alias("d"),
+                    F.lit(j).alias("code"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        cols.append(
+            F.element_at(F.array_sort(arr), 1)["code"].cast("int").alias(f"code_{s}")
+        )
+    return df.select(*cols)

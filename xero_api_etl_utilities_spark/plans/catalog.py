@@ -62,6 +62,7 @@ _WINDOW_PRIORITY: list[str] = [
     "events_top_paths",
     "profile_orders",
     "basket_part_pairs",
+    "embedding_pq_codes",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",

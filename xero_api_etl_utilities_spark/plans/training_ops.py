@@ -600,3 +600,65 @@ WHERE CAST({h32_sql("'wlen|' || CAST(doc_id AS VARCHAR)")} AS BIGINT) * 1600
 GROUP BY lang
 """,
 )
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23 second half — PRODUCT quantization (FAISS PQ recipe): the
+    64-dim embedding splits into 4 subvectors, each encoded as its
+    nearest centroid in a per-subspace L2 codebook (16 codes → 4
+    bytes/vector vs 256 for float32). Training is a bounded
+    driver-side sample (standard PQ recipe, same contract as IVF
+    seeding); ENCODING is the distributed part — a pure scan
+    projection against inlined centroid literals, zero shuffle, zero
+    Python. The oracle re-runs the identical argmin on bit-identical
+    codebooks (fixed-association distance sums; struct-sort ties)."""
+    import os as _os
+
+    from xero_api_etl_utilities_spark.operators.quantize import (
+        pq_codes,
+        train_pq_codebooks_from_parquet,
+    )
+
+    books = train_pq_codebooks_from_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, "vec_id", "embedding", books)
+
+
+def _pq_oracle() -> str:
+    import os as _os
+
+    from xero_api_etl_utilities_spark.operators.quantize import (
+        train_pq_codebooks_from_parquet,
+    )
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    books = train_pq_codebooks_from_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    ds = len(books[0][0])
+    sel = []
+    for s, book in enumerate(books):
+        structs = []
+        for j, c in enumerate(book):
+            terms = " + ".join(
+                f"(v[{s * ds + d + 1}] - {float(cd)!r}) * (v[{s * ds + d + 1}] - {float(cd)!r})"
+                for d, cd in enumerate(c)
+            )
+            structs.append(f"{{'d': {terms}, 'code': {j}}}")
+        sel.append(
+            f"CAST((list_sort([{', '.join(structs)}]))[1].code AS INT) AS code_{s}"
+        )
+    cols = ",\n  ".join(sel)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id,
+  {cols}
+FROM e
+"""
+
+
+register("embedding_pq_codes", embedding_pq_codes, _pq_oracle)
