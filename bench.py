@@ -154,6 +154,7 @@ HEADLINE = [
     "profile_orders",
     "basket_part_pairs",
     "embedding_pq_codes",
+    "similarity_topk_ivfpq",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

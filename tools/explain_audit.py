@@ -185,6 +185,11 @@ CHECKS = {
     "embedding_pq_codes": [
         ("zero-shuffle inlined-codebook encode", lambda p: "Exchange" not in p and "EvalPython" not in p),
     ],
+    # ADC search: cell equi-join + code lookups — raw corpus vectors
+    # must never reach the scoring join
+    "similarity_topk_ivfpq": [
+        ("code-only scoring, no nested loop", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p and "EvalPython" not in p),
+    ],
 }
 
 

@@ -180,3 +180,58 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def topk_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance (ADC) — the full FAISS
+    IVFPQ recipe: candidates from the query's nprobe cells, scored
+    from PQ CODES alone. Each query precomputes one distance TABLE per
+    subspace (array of k subvector distances, inlined-centroid column
+    math); a candidate's approximate distance is then m table lookups
+    + an m-term sum — the corpus's float vectors are never touched at
+    search time, which is the entire point: the searchable index is
+    codes (4 bytes/vector) + cells, ~64× smaller than float32.
+
+    Scale shape: corpus side carries (id, cell, m codes) through ONE
+    equi-join on cell; queries (bounded set) broadcast with their
+    tables; ranking is a per-query window over candidates. No stage
+    touches raw vectors except query-table construction (queries are
+    few) and index build (one scan projection, see pq_codes)."""
+    from xero_api_etl_utilities_spark.operators.quantize import _sub_dist, pq_codes
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    cells = assign_cells(corpus, centroids, vec_col, 1).select(id_col, "cell")
+    codes = pq_codes(corpus, id_col, vec_col, codebooks)
+    index = cells.join(codes, id_col).withColumnRenamed(id_col, "neighbor_id")
+
+    tables = [
+        F.array(*[_sub_dist(vec_col, c, s * ds) for c in book]).alias(f"_t{s}")
+        for s, book in enumerate(codebooks)
+    ]
+    cq = assign_cells(queries, centroids, vec_col, nprobe).select(
+        F.col(id_col).alias("query_id"), "cell", *tables
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col(f"_t{s}"), F.col(f"code_{s}") + 1)
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("_sc"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(cq)
+        .join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("_sc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -63,6 +63,7 @@ _WINDOW_PRIORITY: list[str] = [
     "profile_orders",
     "basket_part_pairs",
     "embedding_pq_codes",
+    "similarity_topk_ivfpq",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",

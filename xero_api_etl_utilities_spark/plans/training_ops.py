@@ -662,3 +662,110 @@ FROM e
 
 
 register("embedding_pq_codes", embedding_pq_codes, _pq_oracle)
+
+
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path #3 — IVF-PQ with asymmetric distance: candidates
+    from probed cells, scored from 4-byte PQ codes via per-query
+    distance tables (operators/ivf.topk_ivf_pq). The searchable index
+    never materializes a float vector; this is the shape that holds
+    when the corpus embedding table itself is too large to scan per
+    query. Oracle recomputes cells, codes and the ADC sum on
+    bit-identical centroid/codebook literals."""
+    import os as _os
+
+    from xero_api_etl_utilities_spark.operators import ivf
+    from xero_api_etl_utilities_spark.operators.quantize import (
+        train_pq_codebooks_from_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+    books = train_pq_codebooks_from_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf.topk_ivf_pq(queries, emb, centroids, books, k=5, nprobe=4)
+
+
+def _ivfpq_oracle() -> str:
+    import os as _os
+
+    from xero_api_etl_utilities_spark.operators.ivf import (
+        train_centroids_from_parquet,
+    )
+    from xero_api_etl_utilities_spark.operators.quantize import (
+        train_pq_codebooks_from_parquet,
+    )
+    from xero_api_etl_utilities_spark.plans.sketch_oracles import _vec_lit
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = train_centroids_from_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"), k=16, iters=4, sample=1000
+    )
+    books = train_pq_codebooks_from_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    )
+    ds = len(books[0][0])
+    cell_structs = ", ".join(
+        f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cells = f"list_transform(list_reverse(list_sort([{cell_structs}])), s -> s.cell)"
+    # per-subspace code: argmin over sorted (distance, code) structs,
+    # distances with the SAME fixed association as the Spark encode
+    code_cols = []
+    for s, book in enumerate(books):
+        structs = []
+        for j, c in enumerate(book):
+            terms = " + ".join(
+                f"(v[{s * ds + d + 1}] - {float(cd)!r}) * (v[{s * ds + d + 1}] - {float(cd)!r})"
+                for d, cd in enumerate(c)
+            )
+            structs.append(f"{{'d': {terms}, 'code': {j}}}")
+        code_cols.append(f"(list_sort([{', '.join(structs)}]))[1].code AS code_{s}")
+    book_lits = ", ".join(
+        "[" + ", ".join(_vec_lit(c) for c in book) + f"] AS b{s}"
+        for s, book in enumerate(books)
+    )
+    # ADC score: for subspace s the selected centroid is b{s}[code_s+1];
+    # the 16-term distance sum uses the same left-to-right association
+    score_terms = " + ".join(
+        "("
+        + " + ".join(
+            f"(eq.v[{s * ds + d + 1}] - b{s}[c.code_{s} + 1][{d + 1}])"
+            f" * (eq.v[{s * ds + d + 1}] - b{s}[c.code_{s} + 1][{d + 1}])"
+            for d in range(ds)
+        )
+        + ")"
+        for s in range(len(books))
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), books AS (
+  SELECT {book_lits}
+), corpus AS (
+  SELECT vec_id, ({cells})[1] AS cell, {", ".join(code_cols)} FROM e
+), probes AS (
+  SELECT vec_id, UNNEST(({cells})[1:4]) AS cell
+  FROM e WHERE vec_id < 20
+), scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {score_terms} AS sc
+  FROM probes p
+  JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+  JOIN e eq ON eq.vec_id = p.vec_id
+  CROSS JOIN books
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sc ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+register("similarity_topk_ivfpq", similarity_topk_ivfpq, _ivfpq_oracle)
