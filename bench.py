@@ -155,6 +155,7 @@ HEADLINE = [
     "basket_part_pairs",
     "embedding_pq_codes",
     "similarity_topk_ivfpq",
+    "snapshot_diff_summary",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -190,6 +190,9 @@ CHECKS = {
     "similarity_topk_ivfpq": [
         ("code-only scoring, no nested loop", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p and "EvalPython" not in p),
     ],
+    "snapshot_diff_summary": [
+        ("one key-equi full-outer join", lambda p: "FullOuter" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 

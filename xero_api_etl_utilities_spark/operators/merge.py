@@ -44,3 +44,43 @@ def merge_latest(
     if delete_col is not None:
         out = out.filter(~F.col(delete_col)).drop(delete_col)
     return out.drop(version_col)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Inverse of the CDC apply: derive the change set between two
+    snapshot versions — one row per differing key with change_type in
+    {'added', 'removed', 'changed'} and the NEW payload (NULLs for
+    removed keys). Unchanged keys produce nothing.
+
+    Shape: ONE full-outer join on the key; payload comparison is a
+    null-safe struct equality (<=>) so NULL payload fields compare as
+    equal-to-NULL instead of unknown — with plain = a NULL field
+    would misclassify every such row as changed. At 100 TB both
+    sides shuffle once on the same key; if the snapshots were written
+    bucketed by the key (sources/writer.write_bucketed_table) the
+    exchange disappears entirely."""
+    payload = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        F.struct(*payload).alias("_o_p"),
+    )
+    n = new.select(*key_cols, F.struct(*payload).alias("_n_p"))
+    cond = [n[k].eqNullSafe(o[f"_o_{k}"]) for k in key_cols]
+    joined = n.join(o, cond, "full_outer")
+    change = (
+        F.when(o[f"_o_{key_cols[0]}"].isNull(), F.lit("added"))
+        .when(n[key_cols[0]].isNull(), F.lit("removed"))
+        .when(~F.col("_n_p").eqNullSafe(F.col("_o_p")), F.lit("changed"))
+    )
+    keys_out = [
+        F.coalesce(n[k], o[f"_o_{k}"]).alias(k) for k in key_cols
+    ]
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys_out, "change_type", F.col("_n_p").alias("new_payload"))
+    )

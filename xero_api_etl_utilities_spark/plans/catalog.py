@@ -64,6 +64,7 @@ _WINDOW_PRIORITY: list[str] = [
     "basket_part_pairs",
     "embedding_pq_codes",
     "similarity_topk_ivfpq",
+    "snapshot_diff_summary",
     # changed in round 3 (cosine pre-normalization; zip_with n-grams):
     # must sit where the driver can see a regression
     "dedup_embedding_cosine",

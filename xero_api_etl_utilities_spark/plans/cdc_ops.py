@@ -92,3 +92,71 @@ FROM snapshot
 GROUP BY o_orderpriority
 """,
 )
+
+
+def snapshot_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse CDC: diff two synthetic snapshot versions of orders —
+    v2 revises every 7th order's priority, drops every 13th, and adds
+    a shifted-key batch — then summarize the derived change set per
+    change_type (operators/merge.snapshot_diff: one full-outer join,
+    null-safe struct compare). The key checksum pins WHICH keys
+    changed, not just how many."""
+    from xero_api_etl_utilities_spark.operators.merge import snapshot_diff
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    new = (
+        od.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("0-REVISED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            od.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "o_orderpriority",
+                "o_totalprice",
+            )
+        )
+    )
+    diff = snapshot_diff(od, new, key_cols=["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+
+
+register(
+    "snapshot_diff_summary",
+    snapshot_diff_summary,
+    """
+WITH old AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN '0-REVISED' ELSE o_orderpriority END AS o_orderpriority,
+    o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+diff AS (
+  SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS k,
+    CASE WHEN old.o_orderkey IS NULL THEN 'added'
+         WHEN new.o_orderkey IS NULL THEN 'removed'
+         WHEN new.o_orderpriority IS DISTINCT FROM old.o_orderpriority
+           OR new.o_totalprice IS DISTINCT FROM old.o_totalprice THEN 'changed'
+    END AS change_type
+  FROM new FULL OUTER JOIN old ON new.o_orderkey = old.o_orderkey
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM diff WHERE change_type IS NOT NULL
+GROUP BY change_type
+""",
+)
