@@ -191,6 +191,8 @@ def topk_ivf_pq(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    corpus_codes: DataFrame | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search with asymmetric distance (ADC) — the full FAISS
     IVFPQ recipe: candidates from the query's nprobe cells, scored
@@ -202,24 +204,67 @@ def topk_ivf_pq(
     codes (4 bytes/vector) + cells, ~64× smaller than float32.
 
     Scale shape: corpus side carries (id, cell, m codes) through ONE
-    equi-join on cell; queries (bounded set) broadcast with their
-    tables; ranking is a per-query window over candidates. No stage
-    touches raw vectors except query-table construction (queries are
-    few) and index build (one scan projection, see pq_codes)."""
-    from xero_api_etl_utilities_spark.operators.quantize import _sub_dist, pq_codes
+    equi-join on cell; ranking is a per-query window over candidates.
+    Query tables are built DRIVER-SIDE from the collected (bounded,
+    guard-capped) query set — exactly what FAISS does, table build is
+    O(k·dim) per query — and ship as a small broadcast frame of DATA.
+    The first build inlined them as literal column expressions instead:
+    measured ~12 s PER SEARCH at sf0.1 with a fully cached index,
+    all of it Catalyst analyzing/serializing ~3000-node literal trees
+    (the rows cost microseconds). Constants belong in rows, not in
+    the plan. Table sums use an explicit left-to-right float64 loop —
+    bit-identical to the oracle's fixed-association SQL sums (numpy
+    .sum() would pairwise-sum and drift the last bit)."""
+    from xero_api_etl_utilities_spark.operators.quantize import pq_codes
 
     m = len(codebooks)
     ds = len(codebooks[0][0])
-    cells = assign_cells(corpus, centroids, vec_col, 1).select(id_col, "cell")
-    codes = pq_codes(corpus, id_col, vec_col, codebooks)
-    index = cells.join(codes, id_col).withColumnRenamed(id_col, "neighbor_id")
+    if corpus_index is not None:
+        # the fully-materialized (id, cell, codes) index: searches pay
+        # only query-side cost — built once, served many, the actual
+        # production deployment shape
+        index = corpus_index.withColumnRenamed(id_col, "neighbor_id")
+    else:
+        cells = assign_cells(corpus, centroids, vec_col, 1).select(id_col, "cell")
+        codes = (
+            corpus_codes
+            if corpus_codes is not None
+            else pq_codes(corpus, id_col, vec_col, codebooks)
+        )
+        index = cells.join(codes, id_col).withColumnRenamed(id_col, "neighbor_id")
 
-    tables = [
-        F.array(*[_sub_dist(vec_col, c, s * ds) for c in book]).alias(f"_t{s}")
-        for s, book in enumerate(codebooks)
-    ]
-    cq = assign_cells(queries, centroids, vec_col, nprobe).select(
-        F.col(id_col).alias("query_id"), "cell", *tables
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).limit(10_001).collect()
+    if len(qrows) > 10_000:
+        raise ValueError("topk_ivf_pq: query set exceeds the 10k driver guard")
+    spark = queries.sparkSession
+    table_rows = []
+    for r in qrows:
+        qid, qv = r[0], [float(x) for x in r[1]]
+        # probe cells: dot desc, cell desc on ties — the exact order of
+        # reverse(array_sort(struct(d, cell))) in assign_cells/oracle
+        dots = []
+        for i, c in enumerate(centroids):
+            d = 0.0
+            for a, b in zip(qv, c):
+                d += a * b
+            dots.append((d, i))
+        probes = [cell for _, cell in sorted(dots)[::-1][:nprobe]]
+        tables = []
+        for s, book in enumerate(codebooks):
+            sub = qv[s * ds : (s + 1) * ds]
+            tab = []
+            for c in book:
+                acc = 0.0
+                for a, b in zip(sub, c):
+                    t = a - b
+                    acc += t * t
+                tab.append(acc)
+            tables.append(tab)
+        for cell in probes:
+            table_rows.append((qid, cell, *tables))
+    cq = spark.createDataFrame(
+        table_rows,
+        ["query_id", "cell", *[f"_t{s}" for s in range(m)]],
     )
     score = None
     for s in range(m):

