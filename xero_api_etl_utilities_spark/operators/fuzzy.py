@@ -43,12 +43,20 @@ def fuzzy_pairs_distance1(
     df: DataFrame, id_col: str, name_col: str
 ) -> DataFrame:
     """All (id_a, id_b, name_a, name_b) pairs with id_a < id_b and
-    levenshtein(name_a, name_b) ≤ 1 (distinct names, so = 1)."""
+    levenshtein(name_a, name_b) ≤ 1 (distinct names, so = 1).
+
+    The join key is the variant's xxhash64, not the variant string:
+    the shuffle carries 8 bytes instead of ~key-length and compares
+    longs instead of strings (measured 1.25× at sf0.1). A hash
+    collision can only ADD a false candidate, never lose a true one —
+    and the exact levenshtein verify already filters false candidates,
+    so correctness is untouched (the deletion neighborhood itself
+    admits false candidates by design)."""
     sides = df.select(
         F.col(id_col).alias("_id"),
         F.col(name_col).alias("_name"),
-        F.explode(deletion_variants(name_col)).alias("_variant"),
-    )
+        F.explode(deletion_variants(name_col)).alias("_v"),
+    ).select("_id", "_name", F.xxhash64("_v").alias("_variant"))
     a = sides.select(
         F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "_variant"
     )
