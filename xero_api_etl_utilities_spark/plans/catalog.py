@@ -27,15 +27,37 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-3 additions (newest first) ---
+    # --- round-4 additions (newest first; names may be listed before
+    # their modules land — unregistered names are ignored) ---
+    "multimodal_audio_features",
+    "profile_orders_approx",
+    "q12_shipmode_priority",
+    "q21_suppliers_kept_waiting",
+    "split_leakage_safe",
+    "similarity_topk_ivfpq_dist",
+    # --- the 8 catalog queries that have NEVER had a driver
+    # CORRECTNESS row across r1–r3 (VERDICT r3 "What's missing" #1):
+    # close the gap so every query is driver-verified at least once ---
+    "agg_approx_distinct_ok",
+    "decontaminate_ngrams",
+    "doc_pack_chunks",
+    "events_json_props",
+    "join_above_avg",
+    "sample_stratified",
+    "text_rarity",
+    "window_distribution_ranks",
+    # --- changed in round 4 (must sit where the driver can see a
+    # regression): merge.py presence-marker rework; WindowExec fix ---
+    "snapshot_diff_summary",
+    "window_share_of_total",
+    "merge_cdc_snapshot",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    # --- round-3 additions whose only driver row is r3: keep the
+    # freshest wave visible one more round ---
     "events_trailing_7d",
     "agg_winsorized_revenue",
-    "q4_priority_returns",
     "dedup_cluster_sizes",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
     "events_daily_fill_forward",
     "events_transition_matrix",
     "multimodal_decode_features",
@@ -44,59 +66,33 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_per_source_topk",
     "sample_mixture_rebalance",
     "events_interarrival",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q22_dormant_customers",
-    "merge_cdc_snapshot",
     "window_equidepth_bins",
     "fuzzy_name_match",
-    "agg_grouping_sets",
     "events_first_touch_attribution",
     "sample_weighted_by_length",
-    "unpivot_measures",
-    "window_share_of_total",
     "events_top_paths",
     "profile_orders",
     "basket_part_pairs",
     "embedding_pq_codes",
     "similarity_topk_ivfpq",
-    "snapshot_diff_summary",
-    # changed in round 3 (cosine pre-normalization; zip_with n-grams):
-    # must sit where the driver can see a regression
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "join_skewed_salted",
-    # --- round-2 wave: never driver-checked before round 3 ---
-    "dedup_clusters",
-    "dedup_verified_pairs",
-    "events_funnel",
-    "events_cohort_retention",
-    "similarity_topk_pandas",
-    "text_normalize",
-    "text_pii_mask",
-    "text_repetition",
-    "text_top_terms",
-    "text_doc_frequency",
-    "text_rarity",
-    "decontaminate_ngrams",
-    "doc_pack_chunks",
-    "sample_stratified",
-    "events_json_props",
-    "agg_approx_distinct_ok",
-    "window_distribution_ranks",
-    "join_above_avg",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "parts_brand_margin",
+    "q4_priority_returns",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q22_dormant_customers",
     # --- heavier / sketch queries worth keeping under the driver's eye ---
     "pipeline_corpus_clean",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "join_skewed_salted",
     "similarity_topk_ivf",
     "cluster_assign",
     "agg_percentiles",
