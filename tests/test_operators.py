@@ -252,3 +252,29 @@ def test_range_join_bucketed_semantics(spark):
     assert ("k2", 5, "a") in pairs(7)
     with pytest.raises(ValueError, match="positive"):
         range_join_bucketed(points, intervals, "p", "s", "e", 0)
+
+
+def test_snapshot_diff_null_keys(spark):
+    """The full-outer join matches NULL keys across sides (eqNullSafe),
+    so presence must come from literal markers, not key nullness: a
+    genuinely-NULL key present and unchanged in both snapshots emits
+    nothing; changed/added/removed NULL-key rows classify correctly."""
+    from xero_api_etl_utilities_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, 1), ("a", 2), ("gone", 3)], "k string, v long"
+    )
+    new = spark.createDataFrame(
+        [(None, 1), ("a", 20), ("fresh", 4)], "k string, v long"
+    )
+    out = {
+        (r["k"], r["change_type"]): r["new_payload"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert set(out) == {("a", "changed"), ("gone", "removed"), ("fresh", "added")}
+
+    # NULL key changed -> 'changed', never 'added'
+    new2 = spark.createDataFrame([(None, 99)], "k string, v long")
+    old2 = spark.createDataFrame([(None, 1)], "k string, v long")
+    [row] = snapshot_diff(old2, new2, ["k"]).collect()
+    assert row["change_type"] == "changed" and row["new_payload"]["v"] == 99

@@ -459,3 +459,71 @@ def test_streaming_incremental_rollup(spark, tmp_path):
         [("a", t0, 5), ("c", t0, 7)], schema
     ).write.mode("append").parquet(drop)
     assert run() == {"a": (3, 8), "b": (1, 10), "c": (1, 7)}
+
+
+def test_rollup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: deleting the checkpoint's commit
+    marker for the last batch (the exact on-disk state after a crash
+    between snapshot publish and checkpoint commit) makes the restarted
+    query replay that batch. The (run, batch_id) marker in the snapshot
+    must keep the replay from double-counting the additive fold."""
+    import datetime
+    import os
+
+    from pyspark.sql import types as T
+
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import apply_rollup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    drop, ckpt, snap = (str(tmp_path / d) for d in ("drop", "ckpt", "snap"))
+
+    def run(ckpt_dir):
+        src = spark.readStream.schema(schema).parquet(drop)
+        q = apply_rollup_stream(
+            src, snap, group_cols=["k"],
+            agg_exprs={"n": "count(*)", "total": "sum(v)"},
+            checkpoint_dir=ckpt_dir,
+        )
+        q.awaitTermination()
+        return {
+            r["k"]: (r["n"], r["total"]) for r in spark.read.parquet(snap).collect()
+        }
+
+    spark.createDataFrame([("a", 1), ("a", 2), ("b", 10)], schema).write.mode(
+        "append"
+    ).parquet(drop)
+    assert run(ckpt) == {"a": (2, 3), "b": (1, 10)}
+
+    # crash simulation: batch 0 published to the snapshot but its
+    # checkpoint commit never landed. Restart from a restored copy of
+    # that pre-commit checkpoint state (fresh path so the same-JVM
+    # concurrent-use guard doesn't trip; the query id in `metadata` —
+    # the marker's run identity — is identical): Spark replays batch 0.
+    import shutil
+
+    ckpt_restored = str(tmp_path / "ckpt_restored")
+    shutil.copytree(ckpt, ckpt_restored)
+    os.remove(os.path.join(ckpt_restored, "commits", "0"))
+    # a real crash also never wrote the checksum twin; leaving it would
+    # make the commit re-write look like a concurrent writer
+    os.remove(os.path.join(ckpt_restored, "commits", ".0.crc"))
+    assert run(ckpt_restored) == {"a": (2, 3), "b": (1, 10)}  # not double-counted
+
+    # a genuinely new batch in the same run still folds
+    spark.createDataFrame([("a", 5)], schema).write.mode("append").parquet(drop)
+    assert run(ckpt_restored) == {"a": (3, 8), "b": (1, 10)}
+
+    # a FRESH checkpoint has a new query id and restarts batch ids at
+    # 0, re-ingesting the whole drop dir; its batch 0 must NOT be
+    # mistaken for a replay of the old run's batch 0 (the re-fold
+    # re-counts everything — that is fresh-checkpoint semantics, the
+    # marker only guards same-run replays)
+    ckpt_fresh = str(tmp_path / "ckpt_fresh")
+    spark.createDataFrame([("c", 7)], schema).write.mode("append").parquet(drop)
+    out = run(ckpt_fresh)
+    assert out["c"] == (1, 7)

@@ -122,3 +122,39 @@ def test_compact_dir_reduces_files(spark, tmp_path):
     assert spark.read.parquet(p).groupBy().sum("id").collect()[0][0] == before
     # idempotent: same target -> same count
     assert compact_dir(spark, p, target_file_bytes=1 << 20) == n
+
+
+def test_versioned_run_reraises_non_collision_errors(spark, tmp_path):
+    """An AnalysisException that is NOT a path collision (here: CSV
+    cannot serialize an array column) must surface immediately instead
+    of burning every probe and reporting 'no free version'."""
+    from pyspark.errors import AnalysisException
+
+    from xero_api_etl_utilities_spark.sources.writer import write_versioned_run
+
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+    with pytest.raises(AnalysisException):
+        write_versioned_run(df, str(tmp_path / "bad"), fmt="csv")
+    # no version directories were probed into existence
+    assert not (tmp_path / "bad").exists()
+
+
+def test_compact_dir_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between the two publish renames strands data in
+    .precompact; the next compact_dir restores and completes."""
+    import glob
+    import os
+
+    from xero_api_etl_utilities_spark.sources.writer import compact_dir
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 1000).repartition(16).write.parquet(p)
+    total = spark.read.parquet(p).groupBy().sum("id").collect()[0][0]
+    # simulate the crash window: old dir renamed away, new never landed
+    os.rename(p, f"{p}.precompact")
+    assert not os.path.isdir(p)
+
+    n = compact_dir(spark, p, target_file_bytes=1 << 30)
+    assert os.path.isdir(p) and not os.path.isdir(f"{p}.precompact")
+    assert len(glob.glob(f"{p}/*.parquet")) == n == 1
+    assert spark.read.parquet(p).groupBy().sum("id").collect()[0][0] == total

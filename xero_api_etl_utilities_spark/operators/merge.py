@@ -59,21 +59,28 @@ def snapshot_diff(
     Shape: ONE full-outer join on the key; payload comparison is a
     null-safe struct equality (<=>) so NULL payload fields compare as
     equal-to-NULL instead of unknown — with plain = a NULL field
-    would misclassify every such row as changed. At 100 TB both
-    sides shuffle once on the same key; if the snapshots were written
-    bucketed by the key (sources/writer.write_bucketed_table) the
-    exchange disappears entirely."""
+    would misclassify every such row as changed. Presence on each side
+    is tracked with literal marker columns rather than key nullness:
+    the join deliberately matches NULL keys across sides (eqNullSafe),
+    so a genuinely-NULL key value present in both snapshots must not
+    read as 'added'. At 100 TB both sides shuffle once on the same
+    key; if the snapshots were written bucketed by the key
+    (sources/writer.write_bucketed_table) the exchange disappears
+    entirely."""
     payload = [c for c in new.columns if c not in key_cols]
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in key_cols],
         F.struct(*payload).alias("_o_p"),
+        F.lit(True).alias("_o_present"),
     )
-    n = new.select(*key_cols, F.struct(*payload).alias("_n_p"))
+    n = new.select(
+        *key_cols, F.struct(*payload).alias("_n_p"), F.lit(True).alias("_n_present")
+    )
     cond = [n[k].eqNullSafe(o[f"_o_{k}"]) for k in key_cols]
     joined = n.join(o, cond, "full_outer")
     change = (
-        F.when(o[f"_o_{key_cols[0]}"].isNull(), F.lit("added"))
-        .when(n[key_cols[0]].isNull(), F.lit("removed"))
+        F.when(F.col("_o_present").isNull(), F.lit("added"))
+        .when(F.col("_n_present").isNull(), F.lit("removed"))
         .when(~F.col("_n_p").eqNullSafe(F.col("_o_p")), F.lit("changed"))
     )
     keys_out = [

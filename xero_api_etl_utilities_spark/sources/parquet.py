@@ -55,8 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return raw
         if ts_type == "timestamp":
             # Session-tz-adjusted micros: strip the zone deterministically.
+            # A bare TIMESTAMP→TIMESTAMP_NTZ cast renders the instant in
+            # the SESSION timezone (value would drift with the session
+            # conf); pre-shifting by the actual session zone makes the
+            # rendered wall-clock the UTC one regardless of session tz.
+            tz = spark.conf.get("spark.sql.session.timeZone")
             return raw.withColumn(
-                "ts", F.to_utc_timestamp(F.col("ts"), "UTC").cast("timestamp_ntz")
+                "ts", F.to_utc_timestamp(F.col("ts"), tz).cast("timestamp_ntz")
             )
         # Legacy nanos path. Scope the legacy conf to THIS read: the
         # nanos→long schema conversion happens at footer-schema

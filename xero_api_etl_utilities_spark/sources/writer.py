@@ -74,7 +74,14 @@ def write_versioned_run(
         try:
             df.write.mode("errorifexists").format(fmt).save(path)
             return path
-        except AnalysisException as exc:  # path exists — probe the next
+        except AnalysisException as exc:
+            # Only a genuine path collision advances the probe; any other
+            # analysis failure (bad schema, unsupported type for the
+            # format) would otherwise burn all max_versions probes and
+            # surface as a misleading "no free version" error.
+            err_class = getattr(exc, "getErrorClass", lambda: None)()
+            if err_class != "PATH_ALREADY_EXISTS" and "already exists" not in str(exc):
+                raise
             last_exc = exc
     raise RuntimeError(
         f"write_versioned_run: no free version under {base_path!r} after"
@@ -103,11 +110,33 @@ def compact_dir(
 
     Atomic publish mirrors streaming/cdc_sink.py: write to a sibling
     tmp dir, rename away the old dir, rename the new one in — readers
-    see the old or new layout, never a partial mix.
+    see the old or new layout, never a partial MIX of files. The swap
+    is two renames, so there IS a sub-millisecond window where the
+    directory does not exist: a concurrent reader's listing can get
+    ENOENT and must treat it as transient (retry-on-missing is the
+    reader contract; each individual state is consistent). A crash
+    between the renames strands the data in ``.precompact`` — the
+    recovery preamble below restores it on the next invocation, so
+    compact_dir is also the repair tool for its own interrupted runs.
     """
     import math
     import os
     import shutil
+
+    tmp, old = f"{path}.compacting", f"{path}.precompact"
+    # startup recovery for a previous interrupted swap:
+    #  - .compacting left over → incomplete write, discard it
+    #  - .precompact present with path missing → crashed between the
+    #    two renames: restore the original directory
+    #  - .precompact present alongside path → crashed after publish,
+    #    before cleanup: the old copy is dead weight
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
 
     total = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -116,7 +145,6 @@ def compact_dir(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp, old = f"{path}.compacting", f"{path}.precompact"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -7,10 +7,17 @@ atomic directory swap.
 Why foreachBatch: a parquet streaming sink is append-only; MERGE
 needs to READ the current snapshot, collapse it with the new batch,
 and REPLACE it. ``foreachBatch`` hands each micro-batch to batch-mode
-code where that read-merge-swap is expressible, while the stream's
-checkpoint still provides exactly-once batch tracking (a replayed
-batch re-merges idempotently: max_by over the same inputs is
-deterministic, so the re-published snapshot is value-identical).
+code where that read-merge-swap is expressible. foreachBatch itself is
+AT-LEAST-ONCE: a crash between snapshot publish and checkpoint commit
+replays the batch. The CDC merge sink tolerates that for free (max_by
+re-merge over the same inputs is deterministic, so the re-published
+snapshot is value-identical); the additive rollup sink does NOT
+(sum-folding the same delta twice double-counts), so it records the
+last-applied batch_id in a ``_last_batch_id`` marker inside the
+snapshot directory — published atomically with the data by the same
+rename — and skips any batch it has already folded. Underscore-prefixed
+files are invisible to Spark's parquet reader, so the marker rides the
+snapshot without affecting readers.
 
 Why a directory SWAP (write new → atomic rename) instead of
 overwrite-in-place: a reader that lists the snapshot dir mid-overwrite
@@ -49,6 +56,49 @@ from xero_api_etl_utilities_spark.operators.merge import merge_latest
 # version, the applied snapshot is by definition older than all of them
 _BASE_VERSION = -(2**62)
 
+# last-applied batch marker: lives inside the snapshot dir so the
+# atomic dir rename publishes data + marker together; the leading
+# underscore hides it from Spark's parquet file listing.  The marker
+# records (run_id, batch_id) — batch ids restart at 0 under a FRESH
+# checkpoint, so a bare batch_id would wrongly skip the first batches
+# of a legitimate new run; the run_id (derived from the checkpoint
+# location, which is 1:1 with a batch-id sequence) scopes the
+# comparison to replays of the same query lineage.
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _query_run_id(checkpoint_dir: str | None) -> str:
+    """Identity of the batch-id sequence: the streaming query id from
+    the checkpoint's ``metadata`` file. Stable across restarts of the
+    same checkpoint (replays keep their batch ids), regenerated when
+    the checkpoint is recreated (fresh id ⇒ fresh batch-id sequence,
+    so old markers can never suppress the new run's batches). Read
+    lazily at batch time — the metadata file is written at query start,
+    before any batch runs."""
+    if checkpoint_dir is None:
+        return "adhoc"
+    try:
+        import json
+
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except (OSError, ValueError, KeyError):
+        return checkpoint_dir
+
+
+def _last_applied_batch(snapshot_dir: str, run_id: str) -> int | None:
+    try:
+        with open(os.path.join(snapshot_dir, _BATCH_MARKER)) as f:
+            stored_run, _, stored_batch = f.read().strip().partition("\n")
+            return int(stored_batch) if stored_run == run_id else None
+    except (OSError, ValueError):
+        return None
+
+
+def _write_batch_marker(dir_path: str, run_id: str, batch_id: int) -> None:
+    with open(os.path.join(dir_path, _BATCH_MARKER), "w") as f:
+        f.write(f"{run_id}\n{batch_id}")
+
 
 def apply_cdc_stream(
     changes: DataFrame,
@@ -62,6 +112,14 @@ def apply_cdc_stream(
     """Start an availableNow query that folds the change stream into
     the parquet snapshot at ``snapshot_dir`` via read-merge-swap.
     Returns the started StreamingQuery (caller awaits termination).
+
+    ``partition_col`` must be COARSE-grained (a date / region / tenant
+    style column, at most a few thousand distinct values per batch):
+    the touched-partition set is collected to the driver to drive
+    directory pruning and stale-partition cleanup. A high-cardinality
+    partition column would both bloat that collect and produce a
+    pathological small-files layout — repartition the table design,
+    not this sink.
     """
     spark = changes.sparkSession
 
@@ -153,10 +211,22 @@ def apply_rollup_stream(
     ``agg_exprs`` maps output column → SQL aggregate over the input
     (e.g. {"n": "count(*)", "total": "sum(value)"}); only additive
     aggregates (sum/count) fold correctly across batches.
+
+    Replay safety: foreachBatch is at-least-once, and sum-folding is
+    not naturally idempotent — a batch replayed after a crash between
+    snapshot publish and checkpoint commit would be counted twice. The
+    sink therefore persists the last-applied (run, batch_id) in the
+    snapshot directory (same atomic rename as the data) and skips any
+    batch_id ≤ the marker within the same run, making the fold
+    effectively exactly-once.
     """
     spark = events.sparkSession
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = _query_run_id(checkpoint_dir)
+        last = _last_applied_batch(snapshot_dir, run_id)
+        if last is not None and batch_id <= last:
+            return  # already folded into the published snapshot — replay
         delta = batch_df.groupBy(*group_cols).agg(
             *[F.expr(e).alias(c) for c, e in agg_exprs.items()]
         )
@@ -172,6 +242,7 @@ def apply_rollup_stream(
         tmp = f"{snapshot_dir}.inprogress-{batch_id}"
         old = f"{snapshot_dir}.replaced-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        _write_batch_marker(tmp, run_id, batch_id)  # publishes WITH the data
         if os.path.isdir(snapshot_dir):
             os.rename(snapshot_dir, old)
         os.rename(tmp, snapshot_dir)
