@@ -94,17 +94,36 @@ def image_decode_features(content: bytes, dim: int = 8) -> list[float]:
     return image_features(content, dim)
 
 
+def audio_decode_features(content: bytes, dim: int = 8) -> list[float]:
+    """REAL audio decode path — pure-stdlib 16-bit PCM WAV decoder
+    (RIFF chunk walk, functions/audiocodec.py). Features are
+    integer-derived (duration, rate, per-channel RMS via isqrt) so
+    they are deterministic across runs and executors. Raises
+    ValueError on bytes that aren't a supported WAV."""
+    from xero_api_etl_utilities_spark.functions.audiocodec import audio_features
+
+    return audio_features(content, dim)
+
+
 def real_decode_features(content: bytes, dim: int = 8) -> list[float]:
-    """Decode slot for arbitrary media. Images decode for real via the
-    stdlib codec; audio/video bytes still need an external library
-    (librosa/ffmpeg — not in this container by design)."""
+    """Decode slot for arbitrary media, sniffed from magic bytes:
+    images (PNG/BMP/PPM) and audio (PCM WAV) decode for real via the
+    stdlib codecs. Video containers genuinely require an external
+    codec (ffmpeg — not in this container by design): pass
+    ``decode_fn=<your decoder>`` to the operators for those; bytes no
+    decoder recognizes raise ValueError like any other malformed
+    input."""
     try:
         return image_decode_features(content, dim)
     except ValueError:
-        pass  # not an image — fall through to the audio/video gate
-    raise NotImplementedError(
-        "audio/video byte decoding requires a codec library; plug one in "
-        "here and pass decode_fn=<your decoder>"
+        pass  # not an image — try the audio decoder
+    try:
+        return audio_decode_features(content, dim)
+    except ValueError:
+        pass
+    raise ValueError(
+        "unrecognized media bytes: not a PNG/BMP/PPM image or 16-bit PCM "
+        "WAV; video (or other codecs) plug in via decode_fn=<your decoder>"
     )
 
 
@@ -197,6 +216,92 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).select(
         "media_id", "frame_no", (F.col("frame_no") * every_ms).alias("frame_ts_ms")
     )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("channel", T.IntegerType(), True),
+        T.StructField("s_sum", T.LongType(), True),
+        T.StructField("s_sumsq", T.LongType(), True),
+        T.StructField("s_min", T.LongType(), True),
+        T.StructField("s_max", T.LongType(), True),
+    ]
+)
+
+
+def synth_wav_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic 16-bit PCM WAV bytes per id — the binary SOURCE
+    stand-in for corpora without an audio column (like synth_ppm_media
+    for images). Per id ``d``: rate = 8000 + (d%3)*4000, channels =
+    1 + d%2, frames = 200 + (d%5)*50, and sample i of channel c is
+    ``((d*37 + i*13 + c*7) % 4001) - 2000``. Closed-form by design so
+    a SQL oracle can predict what the REAL decoder must extract from
+    the bytes without itself parsing anything."""
+    from xero_api_etl_utilities_spark.functions.audiocodec import encode_wav
+
+    def _gen(batches) -> Iterator:
+        import pandas as pd
+
+        def wav(d: int) -> bytes:
+            rate = 8000 + (d % 3) * 4000
+            n_ch = 1 + d % 2
+            n_fr = 200 + (d % 5) * 50
+            chans = [
+                [((d * 37 + i * 13 + c * 7) % 4001) - 2000 for i in range(n_fr)]
+                for c in range(n_ch)
+            ]
+            return encode_wav(rate, chans)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "content": [wav(int(d)) for d in pdf[id_col]]}
+            )
+
+    return ids.mapInPandas(_gen, schema="media_id bigint, content binary")
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Integer audio features through the FULL decoder: RIFF chunk
+    walk → int16 frames → per-channel sum / sum-of-squares / min /
+    max, one output row per (media_id, channel). Every output is
+    integer math over decoded bytes, so an oracle that knows the
+    source generation rule checks the whole encode→decode chain
+    value-exactly. Arrow-batched ``mapInPandas``; audio bytes never
+    shuffle (the stage is a projection of the media scan)."""
+    from xero_api_etl_utilities_spark.functions.audiocodec import audio_stats
+
+    def _stats(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, c in zip(pdf["media_id"], pdf["content"]):
+                st = audio_stats(bytes(c))
+                for ch in st["channels"]:
+                    rows.append(
+                        [
+                            int(d),
+                            st["sample_rate"],
+                            st["n_channels"],
+                            st["n_frames"],
+                            st["duration_ms"],
+                            ch["channel"],
+                            ch["s_sum"],
+                            ch["s_sumsq"],
+                            ch["s_min"],
+                            ch["s_max"],
+                        ]
+                    )
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
 
 
 GRAY_BLOCKS_SCHEMA = T.StructType(

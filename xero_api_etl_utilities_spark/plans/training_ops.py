@@ -284,6 +284,56 @@ FROM documents
 )
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4's audio half made driver-visible (r4 — closes the last
+    decode gate): deterministic 16-bit PCM WAV bytes per doc_id
+    (operators/multimodal.synth_wav_media; rate/channels/frames and
+    every sample are closed-form in doc_id) pushed through the REAL
+    stdlib RIFF decoder (functions/audiocodec.py) to per-channel
+    integer stats. The oracle regenerates the same samples in SQL via
+    generate_series and aggregates them — a wrong byte anywhere in
+    the encode→chunk-walk→int16 decode path hash-mismatches."""
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_wav_media(docs, "doc_id")
+    return mm.decode_audio_stats(media)
+
+
+register(
+    "multimodal_audio_features",
+    multimodal_audio_features,
+    """
+WITH base AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + (doc_id % 2) AS n_ch,
+         200 + (doc_id % 5) * 50 AS n_fr
+  FROM documents
+), ch AS (
+  SELECT doc_id, rate, n_ch, n_fr, unnest(generate_series(0, n_ch - 1)) AS c
+  FROM base
+), s AS (
+  SELECT doc_id, rate, n_ch, n_fr, c,
+         ((doc_id * 37 + i * 13 + c * 7) % 4001) - 2000 AS v
+  FROM (SELECT ch.*, unnest(generate_series(0, n_fr - 1)) AS i FROM ch)
+)
+SELECT doc_id AS media_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n_ch AS INT) AS n_channels,
+       CAST(n_fr AS BIGINT) AS n_frames,
+       CAST(n_fr * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(c AS INT) AS channel,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * v) AS BIGINT) AS s_sumsq,
+       CAST(MIN(v) AS BIGINT) AS s_min,
+       CAST(MAX(v) AS BIGINT) AS s_max
+FROM s
+GROUP BY doc_id, rate, n_ch, n_fr, c
+""",
+)
+
+
 # ------------------------------------------------- gap-fill / transitions
 
 def events_daily_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
