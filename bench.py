@@ -152,6 +152,7 @@ HEADLINE = [
     "window_share_of_total",
     "events_top_paths",
     "profile_orders",
+    "profile_orders_approx",
     "basket_part_pairs",
     "embedding_pq_codes",
     "similarity_topk_ivfpq",

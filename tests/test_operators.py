@@ -278,3 +278,35 @@ def test_snapshot_diff_null_keys(spark):
     old2 = spark.createDataFrame([(None, 1)], "k string, v long")
     [row] = snapshot_diff(old2, new2, ["k"]).collect()
     assert row["change_type"] == "changed" and row["new_payload"]["v"] == 99
+
+
+def test_profile_columns_modes(spark):
+    """exact/approx/checked agree on nulls/min/max; approx_ok holds on
+    small data; approx mode emits the sketch estimate as n_distinct."""
+    from xero_api_etl_utilities_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, None), (3, "y")], "k long, s string"
+    )
+
+    def rows(mode):
+        return {
+            r["column"]: r.asDict()
+            for r in profile_columns(df, ["k", "s"], distinct_mode=mode).collect()
+        }
+
+    exact = rows("exact")
+    assert exact["k"]["n_distinct"] == 3 and exact["s"]["n_distinct"] == 2
+    assert exact["s"]["n_nulls"] == 1
+    assert (exact["k"]["min_value"], exact["k"]["max_value"]) == ("1", "3")
+
+    checked = rows("checked")
+    for c in ("k", "s"):
+        assert checked[c]["approx_ok"] is True
+        assert checked[c]["n_distinct"] == exact[c]["n_distinct"]
+
+    approx = rows("approx")  # tiny cardinalities: HLL++ is exact here
+    assert approx["k"]["n_distinct"] == 3 and "approx_ok" not in approx["k"]
+
+    with pytest.raises(ValueError, match="distinct_mode"):
+        profile_columns(df, ["k"], distinct_mode="bogus")

@@ -530,6 +530,51 @@ FROM orders"""
 register("profile_orders", profile_orders, _profile_orders_oracle)
 
 
+def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB profiling path, itself verified (r4): the
+    same single-pass profile with every per-column distinct count ALSO
+    computed as an HLL++ sketch (rsd 2%) and a per-column approx_ok
+    asserting the sketch lands within 5% of the exact count — the
+    'checked' mode of operators/profile.py. In production the 'approx'
+    mode drops the exact aggregates (and with them the 28-way
+    n-distinct Expand) entirely; this query is the gate that keeps
+    that swap honest."""
+    from xero_api_etl_utilities_spark.operators.profile import profile_columns
+    from xero_api_etl_utilities_spark.plans.flagship import _money
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _money(F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return profile_columns(
+        od,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+        distinct_mode="checked",
+    )
+
+
+def _profile_orders_approx_oracle() -> str:
+    return _profile_orders_oracle().replace(
+        "AS max_value", "AS max_value, TRUE AS approx_ok"
+    )
+
+
+register(
+    "profile_orders_approx", profile_orders_approx, _profile_orders_approx_oracle
+)
+
+
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the top-20 part PAIRS appearing in
     the same order. The pair join is a self equi-join ON THE ORDER KEY
