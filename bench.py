@@ -183,6 +183,38 @@ def main() -> None:
     # warm-up: JIT/codegen + file-listing caches, not measured
     materialize(qs["scan_project_filter"](spark, sf_dir))
 
+    # Environment self-calibration (r4): round-over-round comparisons
+    # were polluted by the box itself drifting — r3's environment ran
+    # every untouched sub-second query 2.3-3.8x slower than r2's
+    # records (PLANS.md round-4 findings). Two probes quantify the two
+    # drift axes so future rounds can normalize before calling a
+    # per-query delta a regression:
+    #   calib_jvm_sec   — pure whole-stage-codegen compute (sum of
+    #                     id*id over range(2e8)): core throughput.
+    #   calib_sched_sec — 20 one-row jobs: per-job fixed overhead
+    #                     (scheduler + task launch), the term that
+    #                     dominates trivial queries.
+    def _calibrate() -> dict[str, float]:
+        best_jvm = best_sched = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # double sum: the long sum of id*id overflows under ANSI
+            spark.range(200_000_000).selectExpr(
+                "sum(cast(id * id as double))"
+            ).collect()
+            best_jvm = min(best_jvm, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for _ in range(20):
+                spark.range(1).count()
+            best_sched = min(best_sched, time.perf_counter() - t0)
+        return {
+            "calib_jvm_sec": round(best_jvm, 3),
+            "calib_sched_sec": round(best_sched, 3),
+        }
+
+    calib = _calibrate()
+    print(f"bench calibration: {calib}", file=sys.stderr, flush=True)
+
     # best-of-2: the box shows multi-second CPU-steal stalls that can
     # inflate a single run 10-40x; the min of two runs measures the
     # query, not the neighbor.
@@ -205,7 +237,10 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(
-            {"sf": sf, "unit": "sec", "queries": timings}, f, indent=1, sort_keys=True
+            {"sf": sf, "unit": "sec", "calibration": calib, "queries": timings},
+            f,
+            indent=1,
+            sort_keys=True,
         )
     print(
         json.dumps(
@@ -216,6 +251,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": os.path.basename(detail_path),
+                **calib,
             }
         )
     )
