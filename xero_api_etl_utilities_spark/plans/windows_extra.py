@@ -624,6 +624,11 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).alias("_rev"))
     )
+    # Deliberately unpartitioned: the global window runs over the
+    # 25-row rollup, never the fact table. (WindowExec's per-task "No
+    # Partition Defined" warning is silenced at the logger level in
+    # session.get_spark — a literal partition key doesn't work, the
+    # optimizer folds it back to the empty spec.)
     w = Window.partitionBy()
     return (
         per_nation.withColumn("_total", F.sum("_rev").over(w))

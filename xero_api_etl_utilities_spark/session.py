@@ -70,4 +70,28 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_benign_window_warning(spark)
+    return spark
+
+
+def _quiet_benign_window_warning(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR, scoped to that one class.
+
+    The engine's only unpartitioned window (window_share_of_total) runs
+    over a 25-row aggregate — the stage the warning exists to flag
+    never sees fact-table data, but the per-task WARN flooded the r3
+    bench tail and buried real warnings. A literal partition key can't
+    silence it (the optimizer folds it back to the empty spec), and
+    sc.setLogLevel would mute EVERYTHING; the scoped log4j2 override
+    mutes exactly this logger. Plan-quality enforcement lives in
+    tools/explain_audit.py, which still asserts no unpartitioned
+    window ever touches a fact table."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 logging backends: the warning is only noise
