@@ -50,6 +50,7 @@ def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     key_cols: list[str],
+    null_safe: bool | None = None,
 ) -> DataFrame:
     """Inverse of the CDC apply: derive the change set between two
     snapshot versions — one row per differing key with change_type in
@@ -66,7 +67,31 @@ def snapshot_diff(
     read as 'added'. At 100 TB both sides shuffle once on the same
     key; if the snapshots were written bucketed by the key
     (sources/writer.write_bucketed_table) the exchange disappears
-    entirely."""
+    entirely — PROVIDED the key columns are declared non-nullable.
+    Null-safe equality on a nullable key is planned with rewritten
+    join keys (coalesce/isnull wrappers), and a bucket layout on the
+    raw column cannot satisfy a distribution on those expressions, so
+    Spark re-shuffles both sides. The condition below therefore uses
+    plain equality per key wherever BOTH schemas declare the key
+    non-nullable (identical semantics — no NULLs exist to match) and
+    keeps eqNullSafe only for genuinely nullable keys.
+
+    ``null_safe`` overrides the schema-driven choice: file-backed
+    catalog tables read back every column as nullable (Spark drops
+    nullability through saveAsTable round trips), so a caller whose
+    keys are non-null BY CONTRACT — the normal CDC situation, and the
+    only way bucketed snapshots elide the exchange — passes
+    ``null_safe=False``. With that assertion a genuinely-NULL key
+    would mis-diff as one 'removed' + one 'added' row; that is the
+    caller's contract to keep, exactly as in a table format's MERGE.
+    tools/explain_audit.py asserts the zero-Exchange plan on bucketed
+    tables with ``null_safe=False``."""
+    if null_safe is None:
+        nullable = {
+            k: any(df.schema[k].nullable for df in (old, new)) for k in key_cols
+        }
+    else:
+        nullable = {k: null_safe for k in key_cols}
     payload = [c for c in new.columns if c not in key_cols]
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in key_cols],
@@ -76,7 +101,10 @@ def snapshot_diff(
     n = new.select(
         *key_cols, F.struct(*payload).alias("_n_p"), F.lit(True).alias("_n_present")
     )
-    cond = [n[k].eqNullSafe(o[f"_o_{k}"]) for k in key_cols]
+    cond = [
+        n[k].eqNullSafe(o[f"_o_{k}"]) if nullable[k] else n[k] == o[f"_o_{k}"]
+        for k in key_cols
+    ]
     joined = n.join(o, cond, "full_outer")
     change = (
         F.when(F.col("_o_present").isNull(), F.lit("added"))
