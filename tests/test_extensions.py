@@ -375,3 +375,61 @@ def test_fuzzy_pairs_distance1(spark):
     # substitution, insertion, deletion all matched; (6,7) VERIFIED
     # AWAY — "abc"/"bcd" share deletion variant "bc" at true distance 2
     assert got == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_topk_ivf_pq_distributed_matches_driver_path(spark):
+    """Past the 10k driver guard the ADC distance tables are built in a
+    mapInPandas stage instead of being raised on (r4). Both builders
+    share the same float loops, so for identical queries the two paths
+    must return IDENTICAL (query, neighbor, rank) rows — proven by
+    running a 10,050-query frame (distributed) whose first 50 ids
+    duplicate the small frame (driver-side) and comparing."""
+    import math
+    import random
+
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    rng = random.Random(7)
+    dim = 8
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    centers = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(4)]
+    corpus_rows = [
+        (c * 1000 + i, [x + rng.gauss(0, 0.05) for x in centers[c]])
+        for c in range(4)
+        for i in range(25)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    centroids = ivf.train_centroids(corpus, k=4, iters=4, sample=100, seed=3)
+    # handcrafted 2x4x4 PQ codebooks: ADC equality doesn't need good
+    # codebooks, only shared ones
+    codebooks = [
+        [[rng.gauss(0, 1) for _ in range(4)] for _ in range(4)] for _ in range(2)
+    ]
+
+    q_small_rows = [
+        (i, [x + rng.gauss(0, 0.05) for x in centers[i % 4]]) for i in range(50)
+    ]
+    q_big_rows = q_small_rows + [
+        (50 + i, [x + 0.001 * (i % 9) for x in centers[i % 4]]) for i in range(10_000)
+    ]
+    q_small = spark.createDataFrame(q_small_rows, "vec_id long, embedding array<float>")
+    q_big = spark.createDataFrame(q_big_rows, "vec_id long, embedding array<float>")
+
+    def rows(res):
+        return {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in res.collect()
+            if r["query_id"] < 50
+        }
+
+    driver_res = rows(
+        ivf.topk_ivf_pq(q_small, corpus, centroids, codebooks, k=3, nprobe=2)
+    )
+    dist_res = rows(
+        ivf.topk_ivf_pq(q_big, corpus, centroids, codebooks, k=3, nprobe=2)
+    )
+    assert driver_res == dist_res and len(driver_res) == 150

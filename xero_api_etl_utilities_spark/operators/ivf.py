@@ -182,6 +182,90 @@ def topk_ivf(
     )
 
 
+def _probe_tables(
+    qv: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    ds: int,
+) -> tuple[list[int], list[list[float]]]:
+    """Per-query probe cells + ADC distance tables. Pure Python float
+    math, shared verbatim by the driver-side and mapInPandas builders
+    so both paths are bit-identical (explicit left-to-right sums —
+    the oracle's fixed-association SQL; numpy would pairwise-sum and
+    drift the last bit). Probe order: dot desc, cell desc on ties —
+    the exact order of reverse(array_sort(struct(d, cell))) in
+    assign_cells/the oracle."""
+    dots = []
+    for i, c in enumerate(centroids):
+        d = 0.0
+        for a, b in zip(qv, c):
+            d += a * b
+        dots.append((d, i))
+    probes = [cell for _, cell in sorted(dots)[::-1][:nprobe]]
+    tables = []
+    for s, book in enumerate(codebooks):
+        sub = qv[s * ds : (s + 1) * ds]
+        tab = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(sub, c):
+                t = a - b
+                acc += t * t
+            tab.append(acc)
+        tables.append(tab)
+    return probes, tables
+
+
+def _query_tables_distributed(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+) -> DataFrame:
+    """Distance-table build as an executor-side stage: one output row
+    per (query, probe cell) with the m ADC tables as array<double>
+    columns. Centroids/codebooks ride the task closure (k·dim floats —
+    kilobytes). This is the >10k-queries path: table build is
+    embarrassingly parallel over the query frame, and nothing is
+    collected to the driver."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    id_type = queries.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type, False),
+            T.StructField("cell", T.IntegerType(), False),
+            *[
+                T.StructField(f"_t{s}", T.ArrayType(T.DoubleType()), False)
+                for s in range(m)
+            ],
+        ]
+    )
+
+    def _gen(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for qid, vec in zip(pdf[id_col], pdf[vec_col]):
+                qv = [float(x) for x in vec]
+                probes, tables = _probe_tables(qv, centroids, codebooks, nprobe, ds)
+                for cell in probes:
+                    rows.append((qid, cell, *tables))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "cell", *[f"_t{s}" for s in range(m)]]
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(_gen, schema)
+
+
 def topk_ivf_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -205,9 +289,12 @@ def topk_ivf_pq(
 
     Scale shape: corpus side carries (id, cell, m codes) through ONE
     equi-join on cell; ranking is a per-query window over candidates.
-    Query tables are built DRIVER-SIDE from the collected (bounded,
-    guard-capped) query set — exactly what FAISS does, table build is
-    O(k·dim) per query — and ship as a small broadcast frame of DATA.
+    Query tables for ≤10k queries are built DRIVER-SIDE from the
+    collected query set — exactly what FAISS does, table build is
+    O(k·dim) per query — and ship as a small broadcast frame of DATA;
+    past 10k the identical math runs as a mapInPandas stage over the
+    query frame (_query_tables_distributed — no driver collect, plain
+    cell join), so cloud-scale query fan-in needs no cap.
     The first build inlined them as literal column expressions instead:
     measured ~12 s PER SEARCH at sf0.1 with a fully cached index,
     all of it Catalyst analyzing/serializing ~3000-node literal trees
@@ -233,46 +320,39 @@ def topk_ivf_pq(
         )
         index = cells.join(codes, id_col).withColumnRenamed(id_col, "neighbor_id")
 
-    qrows = queries.select(id_col, vec_col).orderBy(id_col).limit(10_001).collect()
-    if len(qrows) > 10_000:
-        raise ValueError("topk_ivf_pq: query set exceeds the 10k driver guard")
+    # size probe: counts a 10k-limited id projection (no vectors move)
+    n_queries = queries.select(id_col).limit(10_001).count()
     spark = queries.sparkSession
-    table_rows = []
-    for r in qrows:
-        qid, qv = r[0], [float(x) for x in r[1]]
-        # probe cells: dot desc, cell desc on ties — the exact order of
-        # reverse(array_sort(struct(d, cell))) in assign_cells/oracle
-        dots = []
-        for i, c in enumerate(centroids):
-            d = 0.0
-            for a, b in zip(qv, c):
-                d += a * b
-            dots.append((d, i))
-        probes = [cell for _, cell in sorted(dots)[::-1][:nprobe]]
-        tables = []
-        for s, book in enumerate(codebooks):
-            sub = qv[s * ds : (s + 1) * ds]
-            tab = []
-            for c in book:
-                acc = 0.0
-                for a, b in zip(sub, c):
-                    t = a - b
-                    acc += t * t
-                tab.append(acc)
-            tables.append(tab)
-        for cell in probes:
-            table_rows.append((qid, cell, *tables))
-    cq = spark.createDataFrame(
-        table_rows,
-        ["query_id", "cell", *[f"_t{s}" for s in range(m)]],
-    )
+    if n_queries > 10_000:
+        # Cloud-scale query sets: the same table-build math runs as an
+        # Arrow-batched mapInPandas stage over the query frame — no
+        # driver collect, no broadcast (the table frame can be bigger
+        # than the index side; the cell equi-join shuffles it instead,
+        # and AQE still broadcasts when it turns out small).
+        cq = _query_tables_distributed(
+            queries, id_col, vec_col, centroids, codebooks, nprobe
+        )
+        broadcast_tables = False
+    else:
+        qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+        table_rows = []
+        for r in qrows:
+            qid, qv = r[0], [float(x) for x in r[1]]
+            probes, tables = _probe_tables(qv, centroids, codebooks, nprobe, ds)
+            for cell in probes:
+                table_rows.append((qid, cell, *tables))
+        cq = spark.createDataFrame(
+            table_rows,
+            ["query_id", "cell", *[f"_t{s}" for s in range(m)]],
+        )
+        broadcast_tables = True
     score = None
     for s in range(m):
         term = F.element_at(F.col(f"_t{s}"), F.col(f"code_{s}") + 1)
         score = term if score is None else score + term
     w = Window.partitionBy("query_id").orderBy(F.asc("_sc"), F.asc("neighbor_id"))
     return (
-        F.broadcast(cq)
+        (F.broadcast(cq) if broadcast_tables else cq)
         .join(index, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", score.alias("_sc"))
