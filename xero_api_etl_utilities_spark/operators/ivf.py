@@ -277,6 +277,7 @@ def topk_ivf_pq(
     nprobe: int = 4,
     corpus_codes: DataFrame | None = None,
     corpus_index: DataFrame | None = None,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """IVF-PQ search with asymmetric distance (ADC) — the full FAISS
     IVFPQ recipe: candidates from the query's nprobe cells, scored
@@ -320,10 +321,15 @@ def topk_ivf_pq(
         )
         index = cells.join(codes, id_col).withColumnRenamed(id_col, "neighbor_id")
 
-    # size probe: counts a 10k-limited id projection (no vectors move)
-    n_queries = queries.select(id_col).limit(10_001).count()
+    # size probe: counts a 10k-limited id projection (no vectors move).
+    # force_distributed skips the probe and takes the executor-side
+    # table-build path regardless of size — used to keep the >10k path
+    # continuously oracle-verified on small fixtures.
+    n_queries = (
+        0 if force_distributed else queries.select(id_col).limit(10_001).count()
+    )
     spark = queries.sparkSession
-    if n_queries > 10_000:
+    if force_distributed or n_queries > 10_000:
         # Cloud-scale query sets: the same table-build math runs as an
         # Arrow-batched mapInPandas stage over the query frame — no
         # driver collect, no broadcast (the table frame can be bigger

@@ -380,6 +380,32 @@ def _dedup_clusters_oracle() -> str:
 register("dedup_clusters", dedup_clusters, _dedup_clusters_oracle)
 
 
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 completion — LEAKAGE-SAFE train/val/test split: the split
+    bucket hashes the near-dup CLUSTER id, not the document id, so
+    every member of a duplicate component lands in the same split (a
+    doc-keyed split puts near-identical twins on both sides of the
+    train/test fence — benchmark contamination by construction).
+    Reuses the once-per-session doc_clusters substrate; the split
+    itself is a zero-shuffle projection on top (operators/sampling
+    assign_split keyed by cluster_id)."""
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    clusters = doc_clusters(spark, sf_dir)
+    return sampling.assign_split(clusters, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return sk.split_leakage_safe_oracle()
+
+
+register("split_leakage_safe", split_leakage_safe, _split_leakage_oracle)
+
+
 # --------------------------------------------------------------------------
 # Arrow-batched exact similarity twin
 # --------------------------------------------------------------------------

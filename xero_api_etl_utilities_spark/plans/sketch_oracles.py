@@ -445,3 +445,42 @@ reach AS (
 SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
 FROM reach GROUP BY doc
 """
+
+def split_leakage_safe_oracle() -> str:
+    """Twin of split_leakage_safe: the dedup_clusters component chain,
+    then the train/val/test hash bucket computed on the CLUSTER id —
+    the same crosshash-h32 md5 form as sample_split_assign's oracle,
+    keyed by cluster so every member of a near-dup component lands in
+    the same split."""
+    chain = minhash_cand_ctes(
+        n_hashes=64, seed=42, bands=16, rows_per_band=4, max_bucket=500
+    )
+    return f"""
+WITH RECURSIVE {chain},
+{jaccard_verify_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS doc, r.lbl AS lbl
+  FROM reach r JOIN edges e ON e.src = r.doc
+  WHERE r.lbl < e.dst
+),
+clusters AS (
+  SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY doc
+),
+bucketed AS (
+  SELECT doc_id, cluster_id,
+    CAST(CAST('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8)
+         AS UBIGINT) AS BIGINT) % 100 AS sb
+  FROM clusters
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split
+FROM bucketed
+"""

@@ -835,3 +835,136 @@ WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
 GROUP BY c_nationkey
 """,
 )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (ref src/queries.ts has no analytic tier; this
+    rounds out the decorrelation wave): late-shipment counts split by
+    order-priority class, grouped over the line's status — the
+    two-class conditional-count-after-join pattern. The testdata
+    schema has no l_shipmode/l_commitdate/l_receiptdate, so the
+    two-mode filter becomes the two-valued l_linestatus and "late" is
+    ship-lag > 60 days against the order date. The ship-year window
+    filters lineitem BEFORE the join (pushed to the scan); the
+    orderkey equi-join shuffles both fact tables on the same key —
+    no broadcast, both sides are fact-sized at 100 TB."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            > 60
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+register(
+    "q12_shipmode_priority",
+    q12_shipmode_priority,
+    """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    finished multi-supplier order — the classic correlated
+    EXISTS + NOT-EXISTS pair over the same fact table. Decorrelated
+    the scale way: ONE per-order aggregate (distinct suppliers,
+    distinct LATE suppliers) replaces both self-join subqueries, and
+    the whole chain — orderkey join, groupBy orderkey, stats
+    join-back — stays on one hash partitioning, so Spark plans a
+    single Exchange for all three steps instead of the oracle's two
+    correlated re-scans. "Late" is ship-lag > 90 days (schema has no
+    l_commitdate/l_receiptdate). The supplier→nation probe side is a
+    broadcast dim chain, as in q7."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lines = li.join(od, li.l_orderkey == od.o_orderkey).withColumn(
+        "late",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 90,
+    )
+    stats = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    dim = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        lines.filter(F.col("late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+register(
+    "q21_suppliers_kept_waiting",
+    q21_suppliers_kept_waiting,
+    """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_9'
+  AND l1.late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)

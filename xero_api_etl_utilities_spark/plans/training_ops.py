@@ -850,3 +850,32 @@ FROM ranked WHERE rank <= 5
 
 
 register("similarity_topk_ivfpq", similarity_topk_ivfpq, _ivfpq_oracle)
+
+
+def similarity_topk_ivfpq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 scale completion — the SAME IVF-PQ ADC search forced down
+    the >10k-queries path: per-query distance tables built in an
+    Arrow-batched mapInPandas stage over the query frame (no driver
+    collect, plain cell equi-join instead of a broadcast). The table
+    math (_probe_tables) is shared verbatim with the driver-side
+    builder, so both paths are bit-identical and this query reuses the
+    exact-literal oracle of similarity_topk_ivfpq — a continuous proof
+    that cloud-scale query fan-in returns the same ranks."""
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, books, index = _pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf.topk_ivf_pq(
+        queries,
+        emb,
+        centroids,
+        books,
+        k=5,
+        nprobe=4,
+        corpus_index=index,
+        force_distributed=True,
+    )
+
+
+register("similarity_topk_ivfpq_dist", similarity_topk_ivfpq_dist, _ivfpq_oracle)
