@@ -35,6 +35,7 @@ _WINDOW_PRIORITY: list[str] = [
     "q21_suppliers_kept_waiting",
     "split_leakage_safe",
     "similarity_topk_ivfpq_dist",
+    "similarity_topk_ivfpq_rerank",
     # --- the 8 catalog queries that have NEVER had a driver
     # CORRECTNESS row across r1–r3 (VERDICT r3 "What's missing" #1):
     # close the gap so every query is driver-verified at least once ---

@@ -767,6 +767,14 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle() -> str:
+    return _ivfpq_oracle_sql(rerank=None)
+
+
+def _ivfpq_rerank_oracle() -> str:
+    return _ivfpq_oracle_sql(rerank=50)
+
+
+def _ivfpq_oracle_sql(rerank: int | None) -> str:
     import os as _os
 
     from xero_api_etl_utilities_spark.operators.ivf import (
@@ -821,7 +829,7 @@ def _ivfpq_oracle() -> str:
         + ")"
         for s in range(len(books))
     )
-    return f"""
+    base = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), books AS (
@@ -843,10 +851,36 @@ WITH e AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY sc ASC, neighbor_id ASC) AS rank
   FROM scored
-)
+)"""
+    if rerank is None:
+        return (
+            base
+            + """
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+        )
+    # refine: exact cosine over the ADC shortlist only (same
+    # list_cosine_similarity primitive the exact-top-k oracle uses)
+    return (
+        base
+        + f""", refined AS (
+  SELECT r.query_id, r.neighbor_id,
+         list_cosine_similarity(qe.v, ne.v) AS sim
+  FROM ranked r
+  JOIN e qe ON qe.vec_id = r.query_id
+  JOIN e ne ON ne.vec_id = r.neighbor_id
+  WHERE r.rank <= {rerank}
+), reranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM refined
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM reranked WHERE rank <= 5
+"""
+    )
 
 
 register("similarity_topk_ivfpq", similarity_topk_ivfpq, _ivfpq_oracle)
@@ -879,3 +913,31 @@ def similarity_topk_ivfpq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_ivfpq_dist", similarity_topk_ivfpq_dist, _ivfpq_oracle)
+
+
+def similarity_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 refine stage — IVF-PQ + exact re-rank (the FAISS
+    IndexRefineFlat recipe, and the setting a production deployment
+    should default to): ADC produces a 50-candidate shortlist per
+    query from codes alone, then ONLY those candidates' float vectors
+    are fetched (broadcast candidate frame → point-lookup equi-join;
+    the corpus float table still never scans per query) and re-ranked
+    by exact cosine. tools/ann_recall.py measures why this stage is
+    not optional: pure-ADC recall@5 collapses to ~0.2 on a clustered
+    corpus — true neighbors sit WITHIN PQ quantization error of each
+    other, so their table distances tie and the shortlist order is
+    arbitrary — while the reranked form restores recall to the IVF
+    cell-probe ceiling (0.96 at nprobe=2, 1.0 at nprobe=4)."""
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, books, index = _pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf.topk_ivf_pq(
+        queries, emb, centroids, books, k=5, nprobe=4, corpus_index=index, rerank=50
+    )
+
+
+register(
+    "similarity_topk_ivfpq_rerank", similarity_topk_ivfpq_rerank, _ivfpq_rerank_oracle
+)
