@@ -193,3 +193,59 @@ def test_event_time_timeout_finalizes_open_session(spark, tmp_path):
     ).write.mode("append").parquet(drop)
     rows = run()
     assert sorted(r["user_id"] for r in rows) == [1, 2]
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """Stream-stream interval join: pairs emit only when both sides
+    have arrived; a left row buffered in batch 1 matches a right row
+    arriving in batch 2 (state survives the checkpoint restart); rows
+    outside the 10-minute horizon never pair."""
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        stream_drop_dir,
+        stream_stream_interval_join,
+    )
+
+    drop, ckpt, out = (
+        str(tmp_path / "jdrop"),
+        str(tmp_path / "jckpt"),
+        str(tmp_path / "jout"),
+    )
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+
+    def run():
+        src = stream_drop_dir(spark, drop, FUNNEL_SCHEMA)
+        q = (
+            stream_stream_interval_join(src, src, within_minutes=10)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r["l_id"], r["r_id"]) for r in spark.read.parquet(out).collect()}
+
+    # batch 1: user 1 view@0 + click@5 (pairs now); user 2 view@0 with
+    # no click yet (buffers); user 3 view@0 + click@20 (outside horizon)
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view"),
+            (2, t0 + 5 * mins, 1, "click"),
+            (3, t0, 2, "view"),
+            (4, t0, 3, "view"),
+            (5, t0 + 20 * mins, 3, "click"),
+        ],
+        FUNNEL_SCHEMA,
+    ).write.mode("append").parquet(drop)
+    assert run() == {(1, 2)}
+
+    # batch 2: user 2's click@8 arrives late — it must pair with the
+    # view BUFFERED ACROSS THE RESTART; user 1's second click@7 also
+    # pairs with the batch-1 view (both-sides state)
+    spark.createDataFrame(
+        [(6, t0 + 8 * mins, 2, "click"), (7, t0 + 7 * mins, 1, "click")],
+        FUNNEL_SCHEMA,
+    ).write.mode("append").parquet(drop)
+    assert run() == {(1, 2), (3, 6), (1, 7)}

@@ -107,3 +107,55 @@ def fingerprint(text: Column) -> Column:
     cross-run dedup bookkeeping.
     """
     return F.md5(text)
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 30,
+    max_words: int = 500,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_per_10_words: int = 1,
+    min_alpha_words_per_5: int = 4,
+    min_distinct_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document-quality rule pack (Rae et al. 2021 §A1.1
+    "quality filtering" heuristics, thresholds adapted to the synthetic
+    corpus scale): each rule is an independent boolean so a pipeline
+    can report WHY a document was dropped, plus the conjunction
+    ``keep``. Same engineering contract as quality_flags: every ratio
+    threshold is an integer cross-multiplication (3·words ≤ word_chars
+    etc.), so no float ever reaches a hashed comparison, and the whole
+    pack is one zero-shuffle scan projection.
+
+    Rules: word count bounds; mean word length bounds; symbol-to-word
+    ratio (# and ellipsis); fraction of words containing an alphabetic
+    char; at least N distinct stopwords present.
+    """
+    toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    n_words = F.size(toks).cast("bigint")
+    n_word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("bigint")
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("bigint")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast(
+        "bigint"
+    )
+    w = F.greatest(n_words, F.lit(1).cast("bigint"))
+    return {
+        "n_words": n_words,
+        "n_stop_distinct": n_stop_distinct,
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (min_mean_word_len * w <= n_word_chars)
+        & (n_word_chars <= max_mean_word_len * w),
+        "rule_symbol_ratio": 10 * n_symbols <= max_symbol_per_10_words * w,
+        "rule_alpha_words": 5 * n_alpha_words >= min_alpha_words_per_5 * n_words,
+        "rule_stopwords": n_stop_distinct >= min_distinct_stopwords,
+    }

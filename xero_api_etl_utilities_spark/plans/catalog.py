@@ -36,6 +36,9 @@ _WINDOW_PRIORITY: list[str] = [
     "split_leakage_safe",
     "similarity_topk_ivfpq_dist",
     "similarity_topk_ivfpq_rerank",
+    "text_gopher_rules",
+    "text_bm25_topk",
+    "events_daily_anomalies",
     # --- the 8 catalog queries that have NEVER had a driver
     # CORRECTNESS row across r1–r3 (VERDICT r3 "What's missing" #1):
     # close the gap so every query is driver-verified at least once ---
@@ -137,6 +140,7 @@ def _load_extra_modules() -> None:
         scale_ops,
         training_ops,
         cdc_ops,
+        retrieval_quality,
     )
 
 

@@ -941,3 +941,70 @@ def similarity_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "similarity_topk_ivfpq_rerank", similarity_topk_ivfpq_rerank, _ivfpq_rerank_oracle
 )
+
+
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 completion — trailing-baseline ANOMALY flags on the daily
+    event-type rollup: a day is anomalous when its count deviates from
+    the trailing 7-day mean by more than 50%. The comparison is pure
+    integer cross-multiplication (|n·days − Σ|·2 > Σ ⟺
+    |n − mean| > mean/2), so no float division ever reaches the hashed
+    result — the same exactness contract as the quality-rule packs.
+    The trailing frame is a RANGE over epoch-day (rows-preceding
+    frames mis-age absent days); warm-up days (< 3 trailing days) are
+    never flagged. At 100 TB the rollup is the only shuffle; the
+    window runs per event_type over ~days-sized partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-7, -1)
+    )
+    tn = F.count(F.lit(1)).over(w).cast("bigint")
+    ts_ = F.sum("n").over(w).cast("bigint")
+    dev = F.abs(F.col("n") * F.col("trailing_days") - F.col("trailing_sum"))
+    return (
+        daily.select(
+            "day",
+            "event_type",
+            "n",
+            tn.alias("trailing_days"),
+            ts_.alias("trailing_sum"),
+        )
+        .withColumn(
+            "anomaly",
+            F.when(
+                F.col("trailing_days") >= 3,
+                2 * dev > F.col("trailing_sum"),
+            ).otherwise(F.lit(False)),
+        )
+    )
+
+
+register(
+    "events_daily_anomalies",
+    events_daily_anomalies,
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE), event_type
+), win AS (
+  SELECT day, event_type, n,
+    CAST(COUNT(*) OVER w AS BIGINT) AS trailing_days,
+    CAST(SUM(n) OVER w AS BIGINT) AS trailing_sum
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY datediff('day', DATE '1970-01-01', day)
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, event_type, n, trailing_days, trailing_sum,
+  CASE WHEN trailing_days >= 3
+       THEN 2 * abs(n * trailing_days - trailing_sum) > trailing_sum
+       ELSE FALSE END AS anomaly
+FROM win
+""",
+)

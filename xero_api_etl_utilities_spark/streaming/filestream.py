@@ -171,3 +171,67 @@ def enrich_stream_with_dim(
     from pyspark.sql import functions as F
 
     return stream_df.join(F.broadcast(dim_df), on=on, how=how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_type: str = "view",
+    right_type: str = "click",
+    within_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the conversion/attribution
+    pattern: pair each ``left_type`` event with every ``right_type``
+    event by the same key that follows it within ``within_minutes``.
+
+    This is the one streaming join that needs state on BOTH sides:
+    a left row must wait for future right rows and vice versa. Two
+    things bound that state, and both are mandatory at scale:
+
+    - a watermark on each side (how late data may arrive), and
+    - the TIME-RANGE predicate inside the join condition itself
+      (``r.ts between l.ts and l.ts + within``) — this is what lets
+      Spark compute, per side, the event-time horizon beyond which a
+      buffered row can never match again and evict it. An equi-only
+      stream-stream join without the range predicate keeps every row
+      forever (unbounded state) and Spark rightly refuses it in
+      append mode.
+
+    State size ≈ rate × (watermark + within) per side, independent of
+    stream length — the only shape that survives an unbounded feed.
+    Inner join: emitted exactly when both sides have arrived;
+    exactly-once across restarts via the checkpointed state store
+    (proven by the two-batch test in tests/test_stateful_streaming.py).
+    """
+    # Stream-stream watermarks demand TIMESTAMP (zone-aware): the
+    # cross-side eviction horizon is an absolute instant, which NTZ
+    # cannot provide (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast
+    # is deterministic because get_spark pins the session timezone.
+    l = (  # noqa: E741
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("ts").cast("timestamp").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("ts").cast("timestamp").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key), "l_id", "r_id", "l_ts", "r_ts"
+    )
