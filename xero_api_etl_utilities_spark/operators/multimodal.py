@@ -5,11 +5,15 @@ metadata struct, following the binaryFile-source pattern the reference
 uses for workbook attachments (S10, /root/reference/src/helpers.ts:74-80).
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages — the Spark-side plumbing (schemas, batch
-shapes, partitioning) is real and tested. IMAGE bytes decode for real
-through a pure-stdlib codec (PNG via zlib inflate + full filter
-reconstruction, 24-bit BMP, P6 PPM — functions/imagecodec.py,
-golden-byte tested end-to-end like the S2 xlsx decoder); audio/video
-remain import-gated (no codec library ships in this container), with
+shapes, partitioning) is real and tested. Three formats decode FOR
+REAL through pure-stdlib codecs, golden-byte tested end-to-end like
+the S2 xlsx decoder: images (PNG via zlib inflate + full filter
+reconstruction, 24-bit BMP, P6 PPM — functions/imagecodec.py), audio
+(16-bit PCM WAV RIFF walk — functions/audiocodec.py), and video
+CONTAINER METADATA (ISO-BMFF/MP4 box parse: mvhd duration/timescale,
+tkhd track dims — functions/videometa.py). Video FRAME decode is the
+one genuinely codec-bound slot (ffmpeg is not in this container by
+design): it stays a documented plug-in via ``decode_fn=``, with
 ``fake_decode_features`` as the deterministic stand-in for testing
 the distributed shape with arbitrary bytes.
 
@@ -389,3 +393,83 @@ def decode_gray_blocks(media: DataFrame, resize_to: tuple[int, int] = (2, 2)) ->
             )
 
     return media.mapInPandas(_feats, schema=GRAY_BLOCKS_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("duration_units", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_mp4_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic ISO-BMFF (MP4) bytes per id — the binary SOURCE
+    stand-in for corpora without a video column. Per id ``d``:
+    timescale = 600 + (d%4)·300, duration = 1200 + (d%7)·600 units,
+    1 + d%2 tracks at (160·(1+d%3)) × (120·(1+d%3)) px (track 2, when
+    present, at half size), and mvhd/tkhd version alternates d%2 so
+    BOTH 32- and 64-bit box layouts flow through the real parser.
+    Closed-form by design: the SQL oracle predicts what the parser
+    must extract without touching a byte."""
+    from xero_api_etl_utilities_spark.functions.videometa import encode_mp4_meta
+
+    def _gen(batches) -> Iterator:
+        import pandas as pd
+
+        def mp4(d: int) -> bytes:
+            ts = 600 + (d % 4) * 300
+            dur = 1200 + (d % 7) * 600
+            w, h = 160 * (1 + d % 3), 120 * (1 + d % 3)
+            tracks = [(1, w, h)]
+            if d % 2:
+                tracks.append((2, w // 2, h // 2))
+            return encode_mp4_meta(ts, dur, tracks, version=d % 2)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "content": [mp4(int(d)) for d in pdf[id_col]]}
+            )
+
+    return ids.mapInPandas(_gen, schema="media_id bigint, content binary")
+
+
+def decode_video_meta(media: DataFrame) -> DataFrame:
+    """Container metadata through the REAL ISO-BMFF box parser
+    (functions/videometa.py): duration/timescale from mvhd, track
+    count, first-track display dims from tkhd 16.16 fixed point —
+    the planning metadata a pipeline needs BEFORE any frame decode
+    (which remains the documented external-codec plug-in). All-integer
+    outputs; Arrow-batched mapInPandas; video bytes never shuffle."""
+    from xero_api_etl_utilities_spark.functions.videometa import video_meta
+
+    def _meta(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, c in zip(pdf["media_id"], pdf["content"]):
+                m = video_meta(bytes(c))
+                rows.append(
+                    [
+                        int(d),
+                        m["brand"],
+                        m["timescale"],
+                        m["duration_units"],
+                        m["duration_ms"],
+                        m["n_tracks"],
+                        m["width"],
+                        m["height"],
+                    ]
+                )
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in VIDEO_META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_meta, schema=VIDEO_META_SCHEMA)

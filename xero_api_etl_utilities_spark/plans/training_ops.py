@@ -1008,3 +1008,46 @@ SELECT day, event_type, n, trailing_days, trailing_sum,
 FROM win
 """,
 )
+
+
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4's video half made driver-visible (r4): deterministic
+    ISO-BMFF bytes per doc_id (operators/multimodal.synth_mp4_media —
+    timescale/duration/tracks/dims closed-form in doc_id, mvhd/tkhd
+    version alternating by parity so both 32- and 64-bit layouts are
+    continuously exercised) pushed through the REAL stdlib box parser
+    (functions/videometa.py) to planning metadata. Frame decode stays
+    the documented external-codec plug-in — container metadata is the
+    part that is honestly parseable without one, and it is what a
+    pipeline partitions/samples on. The oracle predicts every integer
+    from the generation rule without touching a byte."""
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_mp4_media(docs, "doc_id")
+    return mm.decode_video_meta(media)
+
+
+register(
+    "multimodal_video_meta",
+    multimodal_video_meta,
+    """
+WITH base AS (
+  SELECT doc_id,
+         600 + (doc_id % 4) * 300 AS ts,
+         1200 + (doc_id % 7) * 600 AS dur,
+         160 * (1 + doc_id % 3) AS w,
+         120 * (1 + doc_id % 3) AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CAST(ts AS BIGINT) AS timescale,
+       CAST(dur AS BIGINT) AS duration_units,
+       CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height
+FROM base
+""",
+)
