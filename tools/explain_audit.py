@@ -193,6 +193,58 @@ CHECKS = {
     "snapshot_diff_summary": [
         ("one key-equi full-outer join", lambda p: "FullOuter" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # round-4 wave
+    "q12_shipmode_priority": [
+        ("ship-year filter pushed to lineitem scan", lambda p: "PushedFilters: [" in p and "IsNotNull(l_shipdate)" in p),
+        ("fact-fact equi-join, no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    # the decorrelated Q21: join -> groupBy -> join-back must stay on
+    # ONE orderkey hash partitioning (plus the tiny broadcast dims)
+    "q21_suppliers_kept_waiting": [
+        ("EXISTS pair decorrelated, no correlated re-scan", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("supplier/nation side broadcast", lambda p: "BroadcastHashJoin" in p),
+    ],
+    # split bucket hashes the CLUSTER id on the checkpointed cluster
+    # frame: no extra shuffle beyond the substrate build
+    "split_leakage_safe": [
+        ("projection over checkpointed clusters", lambda p: "Scan ExistingRDD" in p and "Exchange" not in p),
+    ],
+    # BM25: tf/dl as array projections (no explode, no (doc,term)
+    # shuffle), idf inlined (no join for constants), top-k TakeOrdered
+    "text_bm25_topk": [
+        ("no explode, no term shuffle", lambda p: "Generate" not in p and "hashpartitioning" not in p),
+        ("top-k not global sort", lambda p: "TakeOrderedAndProject" in p and "rangepartitioning" not in p),
+        ("no Python in scoring", lambda p: "EvalPython" not in p),
+    ],
+    "text_gopher_rules": [
+        ("zero-shuffle rule pack", lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "events_daily_anomalies": [
+        ("rollup then type-keyed RANGE window, no global sort", lambda p: "rangepartitioning" not in p and "CartesianProduct" not in p),
+    ],
+    # explicit pivot values: one conditional aggregation, and no extra
+    # distinct-scan job to discover columns (2 scan mentions = 1 scan)
+    "events_pivot_daily": [
+        ("one scan, no value-discovery pass", lambda p: p.count("Scan parquet") <= 2),
+        ("single shuffle", lambda p: p.count("hashpartitioning") == 1),
+    ],
+    # cumulative distinct via first-seen agg + tiny running sum — the
+    # window must run on a SinglePartition of the ~30-row rollup
+    "events_user_accumulation": [
+        ("running sum over rollup only", lambda p: "SinglePartition" in p and "rangepartitioning" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "set_customer_segments": [
+        ("EXCEPT/INTERSECT as anti/semi hash joins", lambda p: "LeftAnti" in p and "LeftSemi" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    # refine stage: ADC shortlist broadcast back for the float fetch —
+    # the corpus float table must never be nested-loop scanned
+    "similarity_topk_ivfpq_rerank": [
+        ("shortlist-bounded float fetch, no nested loop", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
+    "multimodal_video_meta": [
+        ("Arrow-batched parse, no shuffle of media bytes", lambda p: "MapInPandas" in p and "Exchange" not in p),
+    ],
 }
 
 

@@ -40,6 +40,9 @@ _WINDOW_PRIORITY: list[str] = [
     "text_bm25_topk",
     "events_daily_anomalies",
     "multimodal_video_meta",
+    "events_pivot_daily",
+    "events_user_accumulation",
+    "set_customer_segments",
     # --- the 8 catalog queries that have NEVER had a driver
     # CORRECTNESS row across r1–r3 (VERDICT r3 "What's missing" #1):
     # close the gap so every query is driver-verified at least once ---

@@ -848,3 +848,55 @@ SELECT event_id, user_id, event_type, ts FROM (
 ) WHERE rn = 1
 """,
 )
+
+
+def set_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family completion (r4) — SQL SET ALGEBRA over two customer
+    populations (ordered in 1996 vs 1997): EXCEPT both ways +
+    INTERSECT, tagged and unioned into one segment table. Operator
+    choice is plan-driven: ``subtract()`` (EXCEPT DISTINCT) lowers to
+    a LEFT-ANTI hash join and ``intersect()`` to a LEFT-SEMI — while
+    ``exceptAll()`` lowers to Spark's count-replication rewrite
+    (union of +1/−1 counts, two extra aggregations; verified via
+    explain), pointless overhead when the inputs are already distinct
+    sets. No sort, no cartesian; the audit pins anti+semi. The oracle
+    uses the SQL EXCEPT/INTERSECT operators literally."""
+    od = load_table(spark, sf_dir, "orders")
+
+    def year_custs(y: int) -> DataFrame:
+        return (
+            od.filter(F.year(F.col("o_orderdate").cast("date")) == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = year_custs(1996), year_custs(1997)
+    return (
+        a.subtract(b).select("o_custkey", F.lit("only_1996").alias("segment"))
+        .unionAll(
+            b.subtract(a).select("o_custkey", F.lit("only_1997").alias("segment"))
+        )
+        .unionAll(
+            a.intersect(b).select("o_custkey", F.lit("both_years").alias("segment"))
+        )
+    )
+
+
+register(
+    "set_customer_segments",
+    set_customer_segments,
+    """
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1996
+), b AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1997
+)
+SELECT o_custkey, 'only_1996' AS segment FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT o_custkey, 'only_1997' AS segment FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+UNION ALL
+SELECT o_custkey, 'both_years' AS segment FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+""",
+)

@@ -1051,3 +1051,103 @@ SELECT doc_id AS media_id,
 FROM base
 """,
 )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape completion (UNPIVOT landed r3; this is the PIVOT
+    direction): the day × event-type count matrix, lowered by hand to
+    conditional aggregates — ``sum(when(type = v, 1))`` per listed
+    value — in ONE shuffle on the day key.
+
+    Measured reason not to use ``groupBy().pivot(values)`` even with
+    the value list explicit: Spark plans pivot as TWO aggregations —
+    groupBy(day, type) count, Exchange on (day, type), then a
+    ``pivotfirst`` re-aggregation with a SECOND Exchange on day
+    (verified via explain on this very query) — double the shuffle of
+    the conditional-agg form for a fixed small value set. (An UNLISTED
+    pivot is worse still: an extra eager distinct-scan job at plan
+    time to discover columns.) The audit pins this plan to a single
+    hashpartitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ]
+    )
+
+
+register(
+    "events_pivot_daily",
+    events_pivot_daily,
+    f"""
+SELECT CAST(ts AS DATE) AS day,
+  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+
+
+def events_user_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting rollup: per day — active users, NEW users
+    (first-ever activity), returning = active − new, and CUMULATIVE
+    distinct users to date. The scale shape matters: cumulative
+    distinct is NOT a running count_distinct window (quadratic state,
+    and Spark rightly refuses DISTINCT in windows) — it is first-seen
+    day per user (one agg), then daily new-user counts, then a running
+    SUM over the ~days-sized frame. Two fact-table aggs + one tiny
+    window; nothing quadratic anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_active = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily_new = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_active.join(daily_new, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .repartition(1)  # ~30 rows: the running sum runs on the rollup
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("bigint")
+        )
+        .withColumn(
+            "returning_users",
+            (F.col("active_users") - F.col("new_users")).cast("bigint"),
+        )
+    )
+
+
+register(
+    "events_user_accumulation",
+    events_user_accumulation,
+    """
+WITH active AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+  FROM events GROUP BY CAST(ts AS DATE)
+), fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), newu AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY day
+)
+SELECT a.day, a.active_users,
+  CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users,
+  CAST(a.active_users - COALESCE(n.new_users, 0) AS BIGINT) AS returning_users
+FROM active a LEFT JOIN newu n ON a.day = n.day
+""",
+)
