@@ -167,6 +167,33 @@ HEADLINE = [
     "embedding_pq_codes",
     "similarity_topk_ivfpq",
     "snapshot_diff_summary",
+    # round-4 wave (X34-X39): media decode, refined/forced-distributed
+    # IVF-PQ, BM25, Gopher rules, Q12/Q21/set algebra, growth/anomaly/
+    # pivot analytics. split_leakage_safe rides the shared cluster
+    # substrate, so it sits after dedup_clusters like its siblings.
+    "multimodal_audio_features",
+    "multimodal_video_meta",
+    "similarity_topk_ivfpq_rerank",
+    "similarity_topk_ivfpq_dist",
+    "text_bm25_topk",
+    "text_gopher_rules",
+    "split_leakage_safe",
+    "q12_shipmode_priority",
+    "q21_suppliers_kept_waiting",
+    "set_customer_segments",
+    "events_user_accumulation",
+    "events_daily_anomalies",
+    "events_pivot_daily",
+    # TPC-H completion wave: the last four classic shapes (argmin
+    # join-back, HAVING-vs-scalar, NOT-IN anti join, semi-join chain)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+    # graph/sketch wave (X40-X42)
+    "graph_triangle_counts",
+    "events_max_concurrency",
+    "events_heavy_hitters_cms",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -245,6 +245,32 @@ CHECKS = {
     "multimodal_video_meta": [
         ("Arrow-batched parse, no shuffle of media bytes", lambda p: "MapInPandas" in p and "Exchange" not in p),
     ],
+    # graph/sketch wave (X40-X42)
+    "graph_triangle_counts": [
+        ("oriented wedge joins are hash equi-joins", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "events_max_concurrency": [
+        ("within-day running sum is day-partitioned", lambda p: "hashpartitioning(day" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "events_heavy_hitters_cms": [
+        ("bounded sketch broadcast for the estimate join", lambda p: "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    # TPC-H completion wave: q2/q11/q16/q20
+    "q2_min_cost_supplier": [
+        ("offers materialized: min+argmin read the checkpoint", lambda p: "Scan ExistingRDD" in p),
+        ("min+argmin equi-joins, dims broadcast", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q11_important_stock": [
+        ("per-part agg materialized: both branches read the checkpoint", lambda p: "Scan ExistingRDD" in p),
+        ("total embedded as literal: no join, no NLJ in output branch", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
+    "q16_supplier_part_counts": [
+        ("NOT IN lowered to broadcast anti join", lambda p: ("BroadcastHashJoin" in p and "LeftAnti" in p) and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "q20_excess_stock_suppliers": [
+        ("one conditional agg + semi join, no correlated re-scan", lambda p: "LeftSemi" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 

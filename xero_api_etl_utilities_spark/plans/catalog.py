@@ -29,6 +29,13 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "graph_triangle_counts",
+    "events_max_concurrency",
+    "events_heavy_hitters_cms",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
     "multimodal_audio_features",
     "profile_orders_approx",
     "q12_shipmode_priority",
@@ -145,6 +152,7 @@ def _load_extra_modules() -> None:
         training_ops,
         cdc_ops,
         retrieval_quality,
+        graph_ops,
     )
 
 

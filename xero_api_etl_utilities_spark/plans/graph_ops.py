@@ -1,0 +1,246 @@
+"""Graph + frequency-sketch analytics over the events stream
+(SURVEY §2.12 X40–X42): triangle counting with degree-ordered
+orientation, distributed sweep-line max-concurrency, and count-min
+heavy hitters. No reference counterpart (src/queries.ts is a
+bookkeeping ETL); these are the network/stream diagnostics a
+training-data or product-analytics pipeline runs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+from xero_api_etl_utilities_spark.operators.graph import triangles
+from xero_api_etl_utilities_spark.operators.sketches import cms_build, cms_estimate
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+def _co_edges(spark: SparkSession, sf_dir: str, min_shared: int = 3) -> DataFrame:
+    """Co-occurrence edges: user pairs sharing >= ``min_shared``
+    distinct (day, event_type, hour) activity cells. The self-join is
+    keyed on the CELL, so it is quadratic only within one cell's user
+    list (bounded — same argument as basket_part_pairs), linear in
+    cells globally."""
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.col("event_type").alias("t"),
+        F.hour("ts").alias("h"),
+    ).distinct()
+    a = uc.select(
+        F.col("user_id").alias("u1"), "d", "t", "h"
+    )
+    b = uc.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"), F.col("t").alias("t2"), F.col("h").alias("h2"))
+    return (
+        a.join(
+            b,
+            (F.col("d") == F.col("d2"))
+            & (F.col("t") == F.col("t2"))
+            & (F.col("h") == F.col("h2"))
+            & (F.col("u1") < F.col("u2")),
+        )
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("u1", "u2")
+    )
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by triangle participation in the co-occurrence
+    graph. The triangle engine uses degree-ordered orientation
+    (operators/graph.py:triangles — wedge fan-out capped at
+    O(sqrt(|E|)) per vertex regardless of hub skew); the oracle runs
+    the NAIVE unoriented three-way join, so the driver row proves the
+    orientation rewrite loses / duplicates nothing."""
+    tri = triangles(_co_edges(spark, sf_dir))
+    member = tri.select(F.explode(F.array("t1", "t2", "t3")).alias("user_id"))
+    return (
+        member.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+register(
+    "graph_triangle_counts",
+    graph_triangle_counts,
+    """
+WITH uc AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) d, event_type t, hour(ts) h
+  FROM events
+),
+edges AS (
+  SELECT a.user_id u1, b.user_id u2
+  FROM uc a JOIN uc b
+    ON a.d = b.d AND a.t = b.t AND a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+tri AS (
+  SELECT e1.u1 t1, e1.u2 t2, e2.u2 t3
+  FROM edges e1
+  JOIN edges e2 ON e2.u1 = e1.u2
+  JOIN edges e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+),
+member AS (
+  SELECT t1 AS user_id FROM tri
+  UNION ALL SELECT t2 FROM tri
+  UNION ALL SELECT t3 FROM tri
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM member
+GROUP BY user_id
+ORDER BY n_triangles DESC, user_id ASC
+LIMIT 20
+""",
+)
+
+
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute activity windows per day — the
+    sweep-line (+1 at start, −1 at end) with its running sum computed
+    the DISTRIBUTED way: a global ORDER BY prefix sum would drag every
+    boundary to one partition, so the prefix is split into (a) a
+    within-day running sum (day-partitioned window — each day's
+    boundaries stay on one task, the natural parallel grain) plus
+    (b) an exclusive cross-day offset from the per-day delta totals
+    (a #days-row aggregate; ITS global window runs over that tiny
+    frame only — same 25-row precedent as window_share_of_total).
+    Boundary order is total: (ts, delta, event_id) with ends before
+    starts at the same instant, i.e. half-open [ts, ts+30m)
+    intervals. Every number is an integer; the oracle replays the
+    identical two-level decomposition."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    starts = ev.select(
+        F.col("ts").alias("bts"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("bts"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    b = starts.unionAll(ends).withColumn("day", F.col("bts").cast("date"))
+    run_w = (
+        Window.partitionBy("day")
+        .orderBy("bts", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("run", F.sum("delta").over(run_w))
+    day_tot = b.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    off_w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = day_tot.withColumn(
+        "offset", F.sum("day_delta").over(off_w) - F.col("day_delta")
+    ).select("day", "offset")
+    # the day's peak must also consider the level CARRIED INTO the day
+    # (offset alone): sessions opened yesterday and still all open at
+    # 00:00 dominate until the first boundary of the day fires
+    return (
+        within.join(F.broadcast(offsets), "day")
+        .groupBy("day")
+        .agg(
+            F.greatest(
+                F.max(F.col("offset") + F.col("run")), F.min("offset")
+            )
+            .cast("bigint")
+            .alias("max_concurrency")
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "events_max_concurrency",
+    events_max_concurrency,
+    """
+WITH b AS (
+  SELECT ts AS bts, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 30 MINUTE, -1, event_id FROM events
+),
+bb AS (SELECT *, CAST(bts AS DATE) AS day FROM b),
+within AS (
+  SELECT day, bts,
+    SUM(delta) OVER (PARTITION BY day ORDER BY bts, delta, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run
+  FROM bb
+),
+offsets AS (
+  SELECT day,
+    SUM(day_delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - day_delta
+      AS off
+  FROM (SELECT day, SUM(delta) AS day_delta FROM bb GROUP BY day)
+)
+SELECT w.day,
+  CAST(GREATEST(MAX(o.off + w.run), MIN(o.off)) AS BIGINT) AS max_concurrency
+FROM within w JOIN offsets o ON w.day = o.day
+GROUP BY w.day
+ORDER BY w.day
+""",
+)
+
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest users by count-min ESTIMATE, with the exact
+    count beside it — the fixed-memory frequency sketch
+    (operators/sketches.py) read back for a candidate set. At 100 TB
+    the sketch build shuffles <= d·w counters per task however many
+    distinct keys exist; the exact column here is the audit trail
+    (est >= exact always; equality when no bucket collision). The
+    oracle re-runs the identical md5-bucketed sketch in SQL, so the
+    ESTIMATES are hash-verified, not just bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", d=_CMS_D, w=_CMS_W)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(exact, sketch, "user_id", d=_CMS_D, w=_CMS_W)
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(str(i) for i in range(_CMS_D))
+    hashed = h32_sql("i || ':' || CAST(user_id AS VARCHAR)")
+    bucket = f"CAST({hashed} AS BIGINT) % {_CMS_W}"
+    return f"""
+WITH keyed AS (
+  SELECT user_id, i, {bucket} AS b
+  FROM events CROSS JOIN (SELECT UNNEST([{rows}]) AS i)
+),
+sketch AS (
+  SELECT i, b, COUNT(*) AS c FROM keyed GROUP BY i, b
+),
+cand AS (
+  SELECT DISTINCT user_id, i, b FROM keyed
+),
+est AS (
+  SELECT cand.user_id, MIN(sketch.c) AS est_count
+  FROM cand JOIN sketch ON sketch.i = cand.i AND sketch.b = cand.b
+  GROUP BY cand.user_id
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+)
+SELECT exact.user_id AS user_id, CAST(est_count AS BIGINT) AS est_count,
+  CAST(exact_count AS BIGINT) AS exact_count
+FROM exact JOIN est ON est.user_id = exact.user_id
+ORDER BY est_count DESC, exact.user_id ASC
+LIMIT 10
+"""
+
+
+register("events_heavy_hitters_cms", events_heavy_hitters_cms, _cms_oracle)

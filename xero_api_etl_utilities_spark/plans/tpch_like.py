@@ -968,3 +968,271 @@ ORDER BY numwait DESC, s_name
 LIMIT 10
 """,
 )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s)
+    offering the minimum cost in one region — the classic correlated
+    scalar-MIN subquery, decorrelated the scale way. The testdata has
+    no partsupp table, so the part↔supplier offer relation is DERIVED
+    from lineitem: offer cost = MIN(l_extendedprice) per
+    (l_partkey, l_suppkey) — one fact-table aggregate partitioned on
+    l_partkey. The per-part minimum is a second aggregate on the SAME
+    key followed by a join-back on (partkey, cost), so the whole
+    min+argmin chain rides one hash partitioning of the offers frame;
+    the eligible-supplier probe (supplier⋈nation⋈region) and the
+    filtered part dim are broadcast. The offers frame feeds BOTH the
+    per-part min and the join-back; Spark plans no ReusedExchange for
+    that diamond (measured — see q11), so offers is materialized once
+    ((part,supp)-cardinality, tiny next to the fact) and the min +
+    join-back chain reads the checkpoint. Ties on the minimum survive
+    (TPC-H semantics) and the sort is total, so output is
+    deterministic. Oracle keeps the CORRELATED form, proving the
+    decorrelation equivalent. Ref provenance: src/queries.ts has no
+    analytic tier; this completes the 22-shape TPC-H sweep."""
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    offers = materialize(
+        li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(_money(F.col("l_extendedprice"))).alias("cost"))
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.l_partkey == F.col("b_partkey"))
+            & (offers.cost == F.col("min_cost")),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            offers.l_partkey.alias("p_partkey"),
+            _out(F.col("cost")).alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+register(
+    "q2_min_cost_supplier",
+    q2_min_cost_supplier,
+    """
+WITH dim AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN dim ON s_suppkey = l_suppkey
+  WHERE p_type = 'SMALL' AND p_size IN (5, 15, 25, 35, 45)
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS s_acctbal, s_name, n_name,
+  l_partkey AS p_partkey, CAST(ROUND(cost, 2) AS DOUBLE) AS min_cost
+FROM offers o1
+WHERE cost = (SELECT MIN(cost) FROM offers o2 WHERE o2.l_partkey = o1.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, kept only where the part's value exceeds a fixed
+    fraction of the nation's TOTAL value — the HAVING-against-scalar-
+    subquery pattern. Value is derived from lineitem (no partsupp):
+    SUM(l_extendedprice) per l_partkey over NATION_3 suppliers. The
+    scalar total is a second-stage re-aggregate of the per-part sums
+    broadcast back as a 1-row frame; the threshold compare is decimal
+    cross-multiplied (value * 1000 > total) so no division ever runs.
+
+    Two scale decisions this query pins down (measured, PLANS.md):
+    Spark does NOT reuse the per-part aggregate exchange between the
+    total branch and the output branch (no ReusedExchange even
+    pre-AQE), so the naive lazy form scans the 100 TB fact TWICE —
+    the per-part frame is therefore materialized (part-cardinality
+    rows, tiny next to the fact) and both branches read the
+    checkpoint. The total itself becomes a 1-row driver scalar
+    embedded as a filter literal — the same documented pattern as the
+    quality gates and convergence checks (a join attach either
+    nested-loops a conditionless 1-row build or constant-folds an
+    equi-key away back to the nested loop; the literal keeps the
+    output branch a pure zero-shuffle filter over the checkpoint).
+    Oracle uses the scalar subquery form."""
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    per_part = materialize(
+        li.join(F.broadcast(su.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_money(F.col("l_extendedprice"))).alias("val"))
+    )
+    # 1-row driver-side scalar over the ALREADY-materialized aggregate
+    # (exact Decimal survives the round-trip into the literal)
+    total = per_part.agg(F.sum("val").alias("total")).collect()[0]["total"]
+    return (
+        per_part.filter(F.col("val") * 1000 > F.lit(total))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            _out(F.col("val")).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+register(
+    "q11_important_stock",
+    q11_important_stock,
+    """
+WITH v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey = 3
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+FROM v
+WHERE val * 1000 > (SELECT SUM(val) FROM v)
+ORDER BY part_value DESC, p_partkey
+""",
+)
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish parts
+    of each (brand, type, size) combo, excluding a complaints-flagged
+    supplier set — the NOT-IN-subquery + COUNT-DISTINCT-after-join
+    pattern. The part↔supplier relation is the distinct
+    (l_partkey, l_suppkey) projection of lineitem; NOT IN lowers to a
+    broadcast LEFT ANTI join (the exclusion list is provably
+    null-free, so anti-join semantics match NOT IN exactly); the part
+    attribute filter is a broadcast dim. The only fact-sized shuffle
+    is the final count-distinct aggregate, keyed on the 3-part group —
+    distinct (part,supp) pairs are first collapsed map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(pa.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+register(
+    "q16_supplier_part_counts",
+    q16_supplier_part_counts,
+    """
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: name the suppliers in one nation whose
+    shipments of a part family concentrate in the target year — the
+    nested semi-join chain (supplier IN … partkey IN … correlated
+    quantity threshold). Without partsupp, "excess stock" is re-read
+    off lineitem itself: a (l_partkey, l_suppkey) pair qualifies when
+    its 1997-shipped quantity exceeds half its all-time quantity.
+    Both quantities come from ONE conditional aggregate over a single
+    fact scan (never two correlated re-scans, which is how the oracle
+    states it); the compare is integer cross-multiplied (2*q97 >
+    total). Qualifying pairs collapse to distinct suppkeys (tiny) and
+    semi-join the broadcast nation-filtered supplier dim."""
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    q97 = F.when(
+        F.year(F.col("l_shipdate").cast("date")) == 1997, F.col("l_quantity")
+    ).otherwise(F.lit(0.0))
+    qualifying = (
+        li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(q97).cast("bigint").alias("q_1997"),
+            F.sum("l_quantity").cast("bigint").alias("q_total"),
+        )
+        .filter(F.lit(2) * F.col("q_1997") > F.col("q_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    return (
+        su.join(qualifying, su.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", F.round(F.col("s_acctbal"), 2).cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+register(
+    "q20_excess_stock_suppliers",
+    q20_excess_stock_suppliers,
+    """
+SELECT s_name, CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_nationkey = 7
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_partkey, l_suppkey
+    HAVING 2 * CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1997
+                             THEN l_quantity ELSE 0 END) AS BIGINT)
+           > CAST(SUM(l_quantity) AS BIGINT)
+  )
+ORDER BY s_name
+""",
+)
