@@ -194,6 +194,10 @@ HEADLINE = [
     "graph_triangle_counts",
     "events_max_concurrency",
     "events_heavy_hitters_cms",
+    # runtime-filter / layout / novelty wave (X43-X45)
+    "join_bloom_pruned",
+    "layout_zorder_stats",
+    "text_bigram_novelty",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

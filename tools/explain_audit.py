@@ -245,6 +245,17 @@ CHECKS = {
     "multimodal_video_meta": [
         ("Arrow-batched parse, no shuffle of media bytes", lambda p: "MapInPandas" in p and "Exchange" not in p),
     ],
+    # runtime-filter / layout / novelty wave (X43-X45)
+    "join_bloom_pruned": [
+        ("bloom membership test pushed into the probe side", lambda p: "getbit" in p),
+        ("exact semi join after the prefilter", lambda p: "LeftSemi" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
+    "layout_zorder_stats": [
+        ("z-encode is a scan projection: one agg exchange, no join", lambda p: "Join" not in p and p.count("Exchange") <= 4),
+    ],
+    "text_bigram_novelty": [
+        ("vocab broadcast; bodies never shuffle", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ],
     # graph/sketch wave (X40-X42)
     "graph_triangle_counts": [
         ("oriented wedge joins are hash equi-joins", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),

@@ -29,6 +29,9 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "join_bloom_pruned",
+    "layout_zorder_stats",
+    "text_bigram_novelty",
     "graph_triangle_counts",
     "events_max_concurrency",
     "events_heavy_hitters_cms",

@@ -421,3 +421,79 @@ def similarity_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("similarity_topk_pandas", similarity_topk_pandas, TOPK_EXACT_ORACLE)
+
+
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45: language-model-ish quality signal without a model — each
+    document's NOVELTY against the corpus bigram vocabulary (bigrams
+    with document frequency >= 3). High novelty = text whose word
+    transitions the corpus has rarely seen: gibberish, boilerplate
+    mangling, or genuinely rare content — the cheap distributed proxy
+    for the KenLM-perplexity filter in C4/Gopher-style pipelines,
+    with the perplexity's float log-sums replaced by an integer
+    basis-point ratio (exact, hash-verifiable).
+
+    Shape: vocab = one distinct-bigram aggregate (the reusable corpus
+    artifact at scale — build once, broadcast to every scoring run);
+    scoring = explode + broadcast left-join + per-doc counts. Bodies
+    never shuffle; the shuffled unit is a bigram string. Tokenizer and
+    n-gram builder are the lambda-free shared helpers
+    (operators/dedup.py:tokens/token_ngrams — the zip_with form, see
+    PLANS.md lambda-CSE finding)."""
+    from xero_api_etl_utilities_spark.operators.dedup import token_ngrams, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(token_ngrams(tokens(F.col("text")), 2))).alias(
+            "ng"
+        ),
+    )
+    vocab = (
+        grams.groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("ng", F.lit(True).alias("known"))
+    )
+    return (
+        grams.join(F.broadcast(vocab), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.expr("n_unseen * 10000 div n_bigrams").cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "text_bigram_novelty",
+    text_bigram_novelty,
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+        i -> toks[i] || ' ' || toks[i+1]))) AS ng
+  FROM toks
+), vocab AS (
+  SELECT ng FROM grams GROUP BY ng HAVING COUNT(*) >= 3
+)
+SELECT g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(COUNT(*) FILTER (WHERE v.ng IS NULL) AS BIGINT) AS n_unseen,
+  CAST((COUNT(*) FILTER (WHERE v.ng IS NULL)) * 10000 // COUNT(*) AS BIGINT)
+    AS novelty_bp
+FROM grams g LEFT JOIN vocab v USING (ng)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)

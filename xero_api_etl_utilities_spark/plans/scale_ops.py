@@ -117,3 +117,111 @@ FROM pairs p JOIN customer a ON p.id_a = a.c_custkey
 GROUP BY a.c_nationkey
 """,
 )
+
+
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: explicit runtime-filter join — Spark's InjectRuntimeFilter
+    pattern, hand-built so it is visible, testable, and portable. The
+    selective build side (orders with o_totalprice > 490000) emits a
+    bounded md5 bloom bit-set (operators/bloom.py, 8192 bits / 128
+    bigint words via a bit_or aggregate) that is pushed into the
+    LINEITEM scan as a literal-array membership filter: a fact row
+    failing the test never leaves its input task, so at 100 TB the
+    orderkey shuffle carries only the ~surviving fraction. The exact
+    semi join afterwards removes bloom false positives, which is why
+    the oracle is the PLAIN semi join — no false negatives, provably
+    identical rows."""
+    from xero_api_etl_utilities_spark.operators.bloom import bloom_pruned_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 490000)
+        .select("o_orderkey")
+    )
+    kept = bloom_pruned_semi_join(li, od, "l_orderkey", "o_orderkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "join_bloom_pruned",
+    join_bloom_pruned,
+    """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: Z-order (Morton) layout assignment — the multi-dimension
+    clustering key behind Delta/Iceberg OPTIMIZE ZORDER. Each order is
+    keyed by interleaving 16 bits of customer and 16 bits of
+    order-day (functions/zorder.py, pure literal-shift codegen); the
+    top 8 z-bits are the target file bucket. The result reports each
+    bucket's row count and its min/max span in BOTH dimensions — the
+    evidence that every file covers a narrow rectangle, i.e. min/max
+    skipping prunes on either predicate column. Zero shuffles besides
+    the one stats groupBy; the z-value itself is a scan projection.
+    The DuckDB oracle re-runs the same generated bit expression, so
+    the encoding is hash-verified cross-engine."""
+    from xero_api_etl_utilities_spark.functions.zorder import z_interleave16
+
+    od = load_table(spark, sf_dir, "orders")
+    # 10-bit dims (this corpus spans ~1.5k customers / ~1.4k days, so
+    # 10 masked bits fill the range; at larger scale widen the masks
+    # and the bucket shift together) -> z < 2^20, top 8 bits = bucket
+    x = F.col("o_custkey").bitwiseAND(F.lit(1023))
+    y = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    ).bitwiseAND(F.lit(1023))
+    z = z_interleave16(x, y)
+    return (
+        od.select(x.alias("xd"), y.alias("yd"), z.alias("zval"))
+        .withColumn("bucket", F.shiftright(F.col("zval"), 12))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xd").alias("x_min"),
+            F.max("xd").alias("x_max"),
+            F.min("yd").alias("y_min"),
+            F.max("yd").alias("y_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _zorder_oracle() -> str:
+    from xero_api_etl_utilities_spark.functions.zorder import z_interleave16_sql
+
+    z = z_interleave16_sql("xd", "yd")
+    return f"""
+WITH dims AS (
+  SELECT CAST(o_custkey AS BIGINT) & 1023 AS xd,
+    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS BIGINT) & 1023 AS yd
+  FROM orders
+),
+keyed AS (SELECT xd, yd, {z} AS zval FROM dims)
+SELECT zval >> 12 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(xd) AS x_min, MAX(xd) AS x_max, MIN(yd) AS y_min, MAX(yd) AS y_max
+FROM keyed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+register("layout_zorder_stats", layout_zorder_stats, _zorder_oracle)
