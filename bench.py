@@ -198,6 +198,10 @@ HEADLINE = [
     "join_bloom_pruned",
     "layout_zorder_stats",
     "text_bigram_novelty",
+    # negative-sampling / rolling-distinct / skew-diag wave (X46-X48)
+    "sample_negative_pairs",
+    "events_trailing_7d_distinct",
+    "diag_key_skew",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

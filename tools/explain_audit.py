@@ -245,6 +245,16 @@ CHECKS = {
     "multimodal_video_meta": [
         ("Arrow-batched parse, no shuffle of media bytes", lambda p: "MapInPandas" in p and "Exchange" not in p),
     ],
+    # negative-sampling / rolling-distinct / skew-diag wave (X46-X48)
+    "sample_negative_pairs": [
+        ("hash-computed negatives equi-join the corpus, no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "events_trailing_7d_distinct": [
+        ("window fan-out is an explode projection + semi join, not a range NLJ", lambda p: "Generate" in p and "LeftSemi" in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "diag_key_skew": [
+        ("per-key histogram materialized; census reads the checkpoint", lambda p: "Scan ExistingRDD" in p and "Join" not in p),
+    ],
     # runtime-filter / layout / novelty wave (X43-X45)
     "join_bloom_pruned": [
         ("bloom membership test pushed into the probe side", lambda p: "getbit" in p),

@@ -29,6 +29,9 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "sample_negative_pairs",
+    "events_trailing_7d_distinct",
+    "diag_key_skew",
     "join_bloom_pruned",
     "layout_zorder_stats",
     "text_bigram_novelty",

@@ -1151,3 +1151,172 @@ SELECT a.day, a.active_users,
 FROM active a LEFT JOIN newu n ON a.day = n.day
 """,
 )
+
+
+# ----------------------------------------------------- negative sampling
+
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46: contrastive negative sampling — for every anchor document,
+    k pseudo-random negative partners drawn WITHOUT any cartesian or
+    RNG: neg_j(doc) = H32(doc_id || ':' || j) mod N, an exact integer
+    hash the oracle replays. This is the standard trick for building
+    contrastive / triplet training pairs at 100 TB: the anchor side
+    explodes k ways (k tiny) and equi-joins the corpus on the computed
+    id — shuffle cost is k rows per anchor, never N×N. Self-collisions
+    (neg == anchor) are filtered, not re-drawn, so per-anchor counts
+    are k or k-1, deterministically. N is a 1-row driver scalar
+    (documented pattern); the oracle's N is the same COUNT(*) scalar
+    subquery."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = docs.count()  # bounded driver scalar; doc ids are 0..N-1
+    k = 4
+    anchors = docs.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        h32(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}")))
+                        % n
+                    ).cast("bigint")
+                    for j in range(k)
+                ]
+            )
+        ).alias("j", "neg_id"),
+    ).filter(F.col("neg_id") != F.col("anchor_id"))
+    negs = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return (
+        anchors.join(negs, "neg_id")
+        .select("anchor_id", "j", "neg_id", "neg_source")
+        .orderBy("anchor_id", "j")
+    )
+
+
+register(
+    "sample_negative_pairs",
+    sample_negative_pairs,
+    f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+anchors AS (
+  SELECT doc_id AS anchor_id, j,
+    CAST({h32_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+         AS BIGINT) % (SELECT n FROM n) AS neg_id
+  FROM documents CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j)
+)
+SELECT anchor_id, j, neg_id, d.source AS neg_source
+FROM anchors JOIN documents d ON d.doc_id = anchors.neg_id
+WHERE neg_id <> anchor_id
+ORDER BY anchor_id, j
+""",
+)
+
+
+# ------------------------------------------- trailing-window distinct users
+
+def events_trailing_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: rolling 7-day DISTINCT users per day — the sliding-window
+    metric whose naive form (a DISTINCT inside a RANGE window) Spark
+    cannot express and a 100 TB engine must decompose anyway:
+    (1) collapse the fact to DISTINCT (day, user) — the only
+    fact-sized aggregate, after which everything is per-day-cardinality;
+    (2) fan each deduped row out over the <=7 target days it serves —
+    as an EXPLODE of sequence(day, day+6), a pure projection (a range
+    join against the day list would plan as a broadcast nested loop;
+    the explode form needs no join at all), semi-joined against the
+    tiny real-day list to drop phantom targets past the horizon;
+    (3) count distinct per target day. Fan-out is bounded by the
+    window length and happens AFTER dedup — the lesson is the order:
+    dedupe-then-fan-out shuffles |days|×users rows, fan-out-then-dedupe
+    would shuffle 7× the raw fact."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    fanned = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("d"),
+        "user_id",
+    )
+    return (
+        fanned.join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_7d"))
+        .orderBy("d")
+        .withColumnRenamed("d", "day")
+    )
+
+
+register(
+    "events_trailing_7d_distinct",
+    events_trailing_7d_distinct,
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day AS d FROM du)
+SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+FROM du JOIN days ON datediff('day', du.day, d) BETWEEN 0 AND 6
+GROUP BY d
+ORDER BY d
+""",
+)
+
+
+# ------------------------------------------------------- key-skew diagnosis
+
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48: join-key skew diagnosis — the pre-flight a 100 TB pipeline
+    runs before keying a shuffle on a column. One pass builds the
+    per-key histogram; a second (tiny, key-cardinality) aggregate
+    derives the skew verdict in exact integers: hottest key's share in
+    basis points and how many keys exceed 2× the mean (cross-
+    multiplied — ``cnt * n_keys > 2 * total`` — so no division ever
+    runs). Reading the output: top1_share_bp >> 10000/n_keys means a
+    degenerate hot key → route the join through salted_inner_join
+    (operators/skew.py) or let AQE split it."""
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    ev = load_table(spark, sf_dir, "events")
+    # the only fact-sized pass; materialized because BOTH the totals
+    # and the hot-key census read it (agg diamonds re-scan the fact
+    # otherwise — the measured no-ReusedExchange finding, see q11)
+    per_key = materialize(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
+    ).collect()[0]
+    n_keys, total = int(tot["n_keys"]), int(tot["total"])
+    return per_key.agg(
+        F.lit(n_keys).cast("bigint").alias("n_keys"),
+        F.lit(total).cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        F.min("cnt").cast("bigint").alias("min_key_rows"),
+        F.expr(f"max(cnt) * 10000 div {total}").cast("bigint").alias("top1_share_bp"),
+        # keys heavier than 2x the mean, division-free:
+        # cnt * n_keys > 2 * total
+        F.sum(
+            F.when(F.col("cnt") * F.lit(n_keys) > F.lit(2 * total), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hot_keys"),
+    )
+
+
+register(
+    "diag_key_skew",
+    diag_key_skew,
+    """
+WITH per_key AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+tot AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS total FROM per_key)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+  CAST(total AS BIGINT) AS total_rows,
+  CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+  CAST(MIN(cnt) AS BIGINT) AS min_key_rows,
+  CAST(MAX(cnt) * 10000 // total AS BIGINT) AS top1_share_bp,
+  CAST(SUM(CASE WHEN cnt * n_keys > 2 * total THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hot_keys
+FROM per_key CROSS JOIN tot
+GROUP BY n_keys, total
+""",
+)
