@@ -201,6 +201,7 @@ HEADLINE = [
     # negative-sampling / rolling-distinct / skew-diag wave (X46-X48)
     "sample_negative_pairs",
     "events_trailing_7d_distinct",
+    "events_trailing_7d_distinct_approx",
     "diag_key_skew",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded

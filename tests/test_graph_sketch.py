@@ -99,3 +99,21 @@ class TestSweepLineDecomposition:
         # 00:10; event 4 (00:40) overlaps nothing → day-2 peak is the
         # carried 3, provable only if the offset term is correct
         assert got == {"2024-01-01": 3, "2024-01-02": 3}
+
+
+class TestObservedGate:
+    def test_metrics_ride_the_materializing_pass(self, spark):
+        from pyspark.sql import functions as F
+        from xero_api_etl_utilities_spark.operators.quality import observed_gate
+
+        df = spark.range(1000).select(
+            F.col("id"), F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("ref")
+        )
+        gated, obs = observed_gate(
+            df, "refs",
+            n=F.count(F.lit(1)),
+            n_null=F.sum(F.isnull("ref").cast("int")),
+        )
+        gated.write.format("noop").mode("overwrite").save()  # the ONLY action
+        assert obs.get["n"] == 1000
+        assert obs.get["n_null"] == 100

@@ -255,6 +255,9 @@ CHECKS = {
     "diag_key_skew": [
         ("per-key histogram materialized; census reads the checkpoint", lambda p: "Scan ExistingRDD" in p and "Join" not in p),
     ],
+    "events_trailing_7d_distinct_approx": [
+        ("sketches fan out via explode, unioned per window - no range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
     # runtime-filter / layout / novelty wave (X43-X45)
     "join_bloom_pruned": [
         ("bloom membership test pushed into the probe side", lambda p: "getbit" in p),

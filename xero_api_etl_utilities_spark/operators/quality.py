@@ -67,3 +67,33 @@ def all_true(df: DataFrame, flag_col: str) -> bool:
     (src/helpers.ts:188) as a single bool_and aggregate."""
     row = df.agg(F.bool_and(F.col(flag_col)).alias("ok")).collect()[0]
     return bool(row["ok"]) if row["ok"] is not None else True
+
+
+def observed_gate(df: DataFrame, name: str, **metric_exprs):
+    """Zero-extra-pass gate metrics via ``DataFrame.observe``.
+
+    The gates above each cost one extra (cheap) job; when the frame is
+    about to be fully materialized anyway — the D4 fan-out persist, a
+    sink write — even that probe is wasted work at 100 TB. Spark's
+    observation API attaches named aggregates that are computed DURING
+    whatever action materializes the frame: the metrics ride the
+    existing pass, touching every row exactly once, for free.
+
+    Usage::
+
+        gated, obs = observed_gate(df, "invoices",
+                                   n=F.count(F.lit(1)),
+                                   n_null=F.sum(F.isnull("ref").cast("int")))
+        gated.write...                  # any full action
+        obs.get["n"], obs.get["n_null"] # available after the action
+
+    Returns ``(df_with_observation, Observation)``. ``Observation.get``
+    blocks until an action has run — call it AFTER materializing, and
+    raise QualityGateError at the call site if a metric violates its
+    bound (the enforce step stays driver-side and one row, like every
+    other gate here).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[expr.alias(k) for k, expr in metric_exprs.items()]), obs

@@ -1320,3 +1320,72 @@ FROM per_key CROSS JOIN tot
 GROUP BY n_keys, total
 """,
 )
+
+
+def events_trailing_7d_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47's 100 TB path: the same rolling 7-day distinct-user metric
+    computed from MERGEABLE per-day HLL sketches — at scale you never
+    re-touch user ids per window; each day contributes ONE fixed-size
+    sketch (map-side combinable) and a window is hll_union of <= 7
+    sketches. Here each day's sketch fans out to the windows it
+    serves (same explode-not-range-join lowering as the exact form)
+    and the union+estimate runs per target day. The exact count rides
+    along and the published column is the honesty boolean — estimate
+    within 5% — the same tolerance-oracle pattern as
+    agg_approx_distinct_ok (sketch internals are engine-specific, so
+    the DuckDB oracle asserts the exact count and TRUE)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_sketch = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    days = day_sketch.select(F.col("day").alias("d")).distinct()
+    fanned = day_sketch.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("d"),
+        "sk",
+    )
+    approx = (
+        fanned.join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_7d"))
+    )
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    exact = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("d"),
+            "user_id",
+        )
+        .join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_7d"))
+    )
+    return (
+        exact.join(approx, "d")
+        .select(
+            F.col("d").alias("day"),
+            "exact_7d",
+            (
+                F.abs(F.col("approx_7d") - F.col("exact_7d")) * 100
+                <= 5 * F.col("exact_7d")
+            ).alias("approx_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "events_trailing_7d_distinct_approx",
+    events_trailing_7d_distinct_approx,
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day AS d FROM du)
+SELECT d AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_7d,
+  TRUE AS approx_ok
+FROM du JOIN days ON datediff('day', du.day, d) BETWEEN 0 AND 6
+GROUP BY d
+ORDER BY d
+""",
+)
