@@ -203,6 +203,7 @@ HEADLINE = [
     "events_trailing_7d_distinct",
     "events_trailing_7d_distinct_approx",
     "diag_key_skew",
+    "graph_pagerank",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

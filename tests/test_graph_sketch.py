@@ -117,3 +117,31 @@ class TestObservedGate:
         gated.write.format("noop").mode("overwrite").save()  # the ONLY action
         assert obs.get["n"] == 1000
         assert obs.get["n_null"] == 100
+
+
+class TestPageRankInt:
+    def test_star_center_dominates(self, spark):
+        from xero_api_etl_utilities_spark.operators.graph import pagerank_int
+
+        star = spark.createDataFrame(
+            [(1, k) for k in range(2, 12)], "u1 long, u2 long"
+        )
+        ranks = {r["v"]: r["rank"] for r in pagerank_int(star, iters=5).collect()}
+        center, leaves = ranks[1], [ranks[k] for k in range(2, 12)]
+        assert center > max(leaves) * 3
+        assert len(set(leaves)) == 1  # symmetry → identical integer ranks
+
+    def test_symmetric_cycle_is_uniform_and_mass_conserved(self, spark):
+        from xero_api_etl_utilities_spark.operators.graph import pagerank_int
+
+        n = 8
+        cyc = spark.createDataFrame(
+            [(i, (i + 1) % n) if i < (i + 1) % n else ((i + 1) % n, i) for i in range(n)],
+            "u1 long, u2 long",
+        )
+        scale = 10**12
+        ranks = [r["rank"] for r in pagerank_int(cyc, iters=5, scale=scale).collect()]
+        assert len(set(ranks)) == 1  # vertex-transitive graph → equal ranks
+        total = sum(ranks)
+        # integer truncation loses a bounded amount of mass, never gains
+        assert scale * 0.99 < total <= scale

@@ -258,6 +258,10 @@ CHECKS = {
     "events_trailing_7d_distinct_approx": [
         ("sketches fan out via explode, unioned per window - no range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    "graph_pagerank": [
+        ("iterative rounds read the per-round checkpoint", lambda p: "Scan ExistingRDD" in p),
+        ("rank propagation is a hash equi-join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     # runtime-filter / layout / novelty wave (X43-X45)
     "join_bloom_pruned": [
         ("bloom membership test pushed into the probe side", lambda p: "getbit" in p),

@@ -167,3 +167,64 @@ def triangles(
         srt.getItem(1).alias("t2"),
         srt.getItem(2).alias("t3"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    a_col: str = "u1",
+    b_col: str = "u2",
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED graph in pure integer arithmetic —
+    every rank is a bigint in units of ``1/scale``, so the result is
+    deterministic, order-independent (integer sums commute exactly,
+    float sums do not) and bit-reproducible in any engine: the catalog
+    oracle replays the identical recurrence in DuckDB.
+
+    Recurrence (integerized, all divisions integral and all values
+    positive so truncation semantics agree across engines)::
+
+        contrib(e) = rank[src] div deg[src]
+        rank'[v]   = (15 * (scale div n)) div 100
+                     + (damping_pct * sum_in(v)) div 100
+
+    Scale shape: per round ONE equi-join (edges × ranks on src) and
+    ONE groupBy-sum — the same bounded pattern as
+    :func:`connected_components`, with partial aggregation absorbing
+    hub skew map-side and lineage truncated per round via
+    :func:`materialize`. ``n`` is a 1-row driver scalar (documented
+    pattern). Undirected edges are expanded to both directions, so
+    every vertex has degree >= 1 — no dangling-mass term needed.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    directed = edges.select(a.alias("src"), b.alias("dst")).unionAll(
+        edges.select(b.alias("src"), a.alias("dst"))
+    )
+    directed = materialize(directed, checkpoint_dir)
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # vertex count: 1-row driver scalar
+    base = (15 * (scale // n)) // 100
+    ranks = deg.select(
+        F.col("src").alias("v"), F.lit(scale // n).cast("long").alias("rank")
+    )
+    withdeg = directed.join(deg, "src")
+    for _ in range(iters):
+        contrib = withdeg.join(ranks, withdeg.src == ranks.v).select(
+            F.col("dst"), F.expr("rank div deg").alias("c")
+        )
+        ranks = materialize(
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+            .select(
+                F.col("dst").alias("v"),
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_pct} * in_sum div 100").cast("long")
+                ).alias("rank"),
+            ),
+            checkpoint_dir,
+        )
+    return ranks

@@ -29,6 +29,7 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "graph_pagerank",
     "events_trailing_7d_distinct_approx",
     "sample_negative_pairs",
     "events_trailing_7d_distinct",

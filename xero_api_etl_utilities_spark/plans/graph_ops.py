@@ -244,3 +244,73 @@ LIMIT 10
 
 
 register("events_heavy_hitters_cms", events_heavy_hitters_cms, _cms_oracle)
+
+
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50: top-20 users by integer-exact PageRank over the same
+    co-occurrence graph as the triangle query. Five rounds of the
+    equi-join + groupBy-sum recurrence (operators/graph.py:
+    pagerank_int) with per-round lineage truncation — the second
+    iterative operator family (after connected components), and the
+    proof that iterative float algorithms become hash-verifiable when
+    integerized: the oracle replays all five rounds in DuckDB with
+    identical integral division, so every rank digit matches."""
+    from xero_api_etl_utilities_spark.operators.graph import pagerank_int
+
+    ranks = pagerank_int(
+        _co_edges(spark, sf_dir), iters=_PR_ITERS, scale=_PR_SCALE
+    )
+    return (
+        ranks.select(F.col("v").alias("user_id"), "rank")
+        .orderBy(F.desc("rank"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    rounds = []
+    for i in range(1, _PR_ITERS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT d.d AS v,
+    (15 * ({_PR_SCALE} // (SELECT n FROM n))) // 100
+      + 85 * SUM(r.rank // g.deg) // 100 AS rank
+  FROM directed d JOIN {prev} r ON r.v = d.s JOIN deg g ON g.s = d.s
+  GROUP BY d.d
+)"""
+        )
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH uc AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) dd, event_type t, hour(ts) h
+  FROM events
+),
+edges AS (
+  SELECT a.user_id u1, b.user_id u2
+  FROM uc a JOIN uc b
+    ON a.dd = b.dd AND a.t = b.t AND a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+directed AS (
+  SELECT u1 AS s, u2 AS d FROM edges
+  UNION ALL SELECT u2, u1 FROM edges
+),
+deg AS (SELECT s, COUNT(*) AS deg FROM directed GROUP BY s),
+n AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT s AS v, {_PR_SCALE} // (SELECT n FROM n) AS rank FROM deg),
+{rounds_sql}
+SELECT v AS user_id, CAST(rank AS BIGINT) AS rank
+FROM {prev}
+ORDER BY rank DESC, v ASC
+LIMIT 20
+"""
+
+
+register("graph_pagerank", graph_pagerank, _pagerank_oracle)
