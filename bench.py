@@ -204,6 +204,8 @@ HEADLINE = [
     "events_trailing_7d_distinct_approx",
     "diag_key_skew",
     "graph_pagerank",
+    "join_asof_tolerance",
+    "events_session_window",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -258,6 +258,12 @@ CHECKS = {
     "events_trailing_7d_distinct_approx": [
         ("sketches fan out via explode, unioned per window - no range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    "join_asof_tolerance": [
+        ("tolerance costs no extra shuffle over the asof window", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "Join" not in p),
+    ],
+    "events_session_window": [
+        ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
     "graph_pagerank": [
         ("iterative rounds read the per-round checkpoint", lambda p: "Scan ExistingRDD" in p),
         ("rank propagation is a hash equi-join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),

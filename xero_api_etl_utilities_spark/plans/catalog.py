@@ -29,6 +29,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "join_asof_tolerance",
+    "events_session_window",
     "graph_pagerank",
     "events_trailing_7d_distinct_approx",
     "sample_negative_pairs",

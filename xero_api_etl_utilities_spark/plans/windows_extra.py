@@ -665,3 +665,102 @@ SELECT nation,
 FROM per_nation
 """,
 )
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas merge_asof's
+    ``tolerance``, unavailable natively in either engine): the latest
+    signup at-or-before each purchase counts only when it is <= 7 days
+    old, else the match is NULL. Lowering: the SAME single-shuffle
+    union-sort-window as join_asof, then one null-out projection —
+    tolerance costs nothing extra. Semantics note the oracle pins:
+    tolerance FILTERS the picked row, it does not fall back to an
+    older in-tolerance row (there is none — picked is the newest);
+    both attached columns null together (the one-struct fill rule,
+    operators/asof.py)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases, signups, on="user_id", right_cols=["event_id"]
+    )
+    fresh = F.col("ts_right") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("event_id_right")).alias("signup_event_id"),
+        F.when(fresh, F.col("ts_right")).alias("signup_ts"),
+    )
+
+
+register(
+    "join_asof_tolerance",
+    join_asof_tolerance,
+    """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts,
+  CASE WHEN s.ts >= p.ts - INTERVAL 7 DAY THEN s.event_id END
+    AS signup_event_id,
+  CASE WHEN s.ts >= p.ts - INTERVAL 7 DAY THEN s.ts END AS signup_ts
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window aggregate (F.session_window, the
+    dynamic-gap session primitive shared by batch and Structured
+    Streaming) — proven EQUIVALENT to the manual gaps-and-islands
+    sessionization: the oracle computes sessions the lag+cumsum way
+    and must hash-match. Window semantics pinned: session end = last
+    event + gap (half-open), merge when next event < previous end.
+    One shuffle on (user, session-window assignment)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+register(
+    "events_session_window",
+    events_session_window,
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
