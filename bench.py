@@ -206,6 +206,10 @@ HEADLINE = [
     "graph_pagerank",
     "join_asof_tolerance",
     "events_session_window",
+    "agg_value_variance_exact",
+    "agg_kmv_distinct",
+    "text_posting_lists",
+    "replica_bucket_diff",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

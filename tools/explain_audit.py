@@ -258,6 +258,18 @@ CHECKS = {
     "events_trailing_7d_distinct_approx": [
         ("sketches fan out via explode, unioned per window - no range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    "agg_value_variance_exact": [
+        ("sufficient statistics in one map-side-combinable pass", lambda p: "Join" not in p and "Exchange" in p),
+    ],
+    "agg_kmv_distinct": [
+        ("bottom-k over the distinct-hash frame, no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "text_posting_lists": [
+        ("one distinct projection + one term agg", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
+    "replica_bucket_diff": [
+        ("only 256 checksums join, never rows", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "join_asof_tolerance": [
         ("tolerance costs no extra shuffle over the asof window", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "Join" not in p),
     ],

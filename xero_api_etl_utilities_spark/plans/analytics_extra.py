@@ -612,3 +612,142 @@ GROUP BY a.l_partkey, b.l_partkey
 ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 20
 """,
 )
+
+
+def agg_value_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53: population variance with NO floats anywhere — the sufficient
+    statistics (n, Σx, Σx²) in integer cents / DECIMAL(38,0), published
+    as the cross-multiplied pair (var_num, var_den) where
+    variance = var_num / var_den = (n·Σx² − (Σx)²) / n². All three
+    statistics are map-side-combinable single-pass aggregates (the
+    same shape stddev_pop compiles to), but unlike the float form the
+    result is order-independent and hash-verifiable digit-for-digit.
+    Σx² needs DECIMAL(38,0): cents² × row-count overflows a bigint at
+    sf0.1 already — exactly the overflow a 100 TB engine must plan
+    for, not discover."""
+    ev_ = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    return (
+        ev_.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(cents.cast(d38)).alias("s"),
+            F.sum((cents * cents).cast(d38)).alias("ss"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("sum_cents"),
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast(d38)
+            .alias("var_num"),
+            (F.col("n") * F.col("n")).cast(d38).alias("var_den"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "agg_value_variance_exact",
+    agg_value_variance_exact,
+    """
+WITH st AS (
+  SELECT event_type,
+    COUNT(*) AS n,
+    SUM(CAST(round(value * 100) AS HUGEINT)) AS s,
+    SUM(CAST(round(value * 100) AS HUGEINT)
+        * CAST(round(value * 100) AS HUGEINT)) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents,
+  CAST(n * ss - s * s AS DECIMAL(38,0)) AS var_num,
+  CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS var_den
+FROM st
+ORDER BY event_type
+""",
+)
+
+
+_KMV_K = 32
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: KMV (k-minimum-values) distinct sketch, fully
+    hash-verified — unlike HLL (engine-internal binary), KMV is plain
+    order statistics over the md5 hash space, so the DuckDB oracle
+    replays the ENTIRE estimator: est = (k−1)·2³² / h_(k), integer
+    division, digit-exact. Per event type: the k-th smallest
+    H32(user_id), the estimate, the exact count, and the honesty
+    boolean (within 30% — KMV's σ ≈ 1/√k ≈ 18% at k=32).
+
+    Scale note (honest): the bottom-k here is a rank window over the
+    DISTINCT-hash frame — fine when distinct counts fit a partition
+    per group. The production path for pure counting stays
+    approx_count_distinct; KMV's value is the verifiable algebra and
+    that sketches UNION by taking the k smallest of the merged lists."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+
+    ev_ = load_table(spark, sf_dir, "events")
+    hashes = ev_.select(
+        "event_type", h32(F.col("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == _KMV_K)
+        .select("event_type", F.col("h").alias("kth_min"))
+    )
+    exact = ev_.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    est = (F.lit(_KMV_K - 1) * F.lit(2**32)).cast("long") / F.col("kth_min")
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_users",
+            F.col("kth_min").cast("bigint").alias("kth_min"),
+            F.expr(f"cast({_KMV_K - 1} * 4294967296 div kth_min as bigint)").alias(
+                "kmv_estimate"
+            ),
+        )
+        .withColumn(
+            "kmv_ok",
+            F.abs(F.col("kmv_estimate") - F.col("exact_users")) * 100
+            <= 30 * F.col("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _kmv_oracle() -> str:
+    from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+
+    h = h32_sql("user_id")
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, CAST({h} AS BIGINT) AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM hashes
+),
+kth AS (SELECT event_type, h AS kth_min FROM ranked WHERE r = {_KMV_K}),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events
+  GROUP BY event_type
+)
+SELECT exact.event_type AS event_type,
+  CAST(exact_users AS BIGINT) AS exact_users,
+  CAST(kth_min AS BIGINT) AS kth_min,
+  CAST({_KMV_K - 1} * 4294967296 // kth_min AS BIGINT) AS kmv_estimate,
+  abs({_KMV_K - 1} * 4294967296 // kth_min - exact_users) * 100
+    <= 30 * exact_users AS kmv_ok
+FROM exact LEFT JOIN kth ON kth.event_type = exact.event_type
+ORDER BY event_type
+"""
+
+
+register("agg_kmv_distinct", agg_kmv_distinct, _kmv_oracle)

@@ -160,3 +160,82 @@ FROM diff WHERE change_type IS NOT NULL
 GROUP BY change_type
 """,
 )
+
+
+def replica_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56: anti-entropy replica verification — find which of 256
+    buckets diverge between two copies of a table WITHOUT comparing
+    rows: each side folds to one COMMUTATIVE checksum per bucket
+    (sum of md5-derived row hashes — order/partitioning independent
+    by integer commutativity, the same property the integerization
+    rule exploits everywhere), and only bucket checksums cross the
+    wire. At 100 TB that is 256 longs per replica instead of the
+    table; diverged buckets then repair by re-sync of those buckets
+    alone (Cassandra/Dynamo Merkle-lite, one level). The 'replica'
+    here is the same table with a deterministic 3-row corruption
+    injected, so the query proves detection: exactly the buckets
+    owning a corrupted key differ. Integer-exact; oracle replays both
+    sides."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    corrupted = od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3000 == 7, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+
+    def checksums(df):
+        row_h = h32(
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        )
+        return (
+            df.select((F.col("o_orderkey") % 256).alias("bucket"), row_h.alias("h"))
+            .groupBy("bucket")
+            .agg(F.sum("h").alias("checksum"))
+        )
+
+    a = checksums(od).withColumnRenamed("checksum", "checksum_primary")
+    b = checksums(corrupted).withColumnRenamed("checksum", "checksum_replica")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("checksum_primary") != F.col("checksum_replica"))
+        .orderBy("bucket")
+    )
+
+
+def _replica_diff_oracle() -> str:
+    from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+
+    def cks(status_expr: str, name: str) -> str:
+        h = h32_sql(
+            "CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)"
+            f" || ':' || {status_expr}"
+        )
+        return f"""
+{name} AS (
+  SELECT o_orderkey % 256 AS bucket, SUM(CAST({h} AS BIGINT)) AS checksum
+  FROM orders GROUP BY 1
+)"""
+
+    return f"""
+WITH {cks("o_orderstatus", "a")},
+{cks("CASE WHEN o_orderkey % 3000 = 7 THEN 'X' ELSE o_orderstatus END", "b")}
+SELECT a.bucket AS bucket, a.checksum AS checksum_primary,
+  b.checksum AS checksum_replica
+FROM a JOIN b ON a.bucket = b.bucket
+WHERE a.checksum <> b.checksum
+ORDER BY a.bucket
+"""
+
+
+register("replica_bucket_diff", replica_bucket_diff, _replica_diff_oracle)

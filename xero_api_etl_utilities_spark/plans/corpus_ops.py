@@ -497,3 +497,51 @@ GROUP BY g.doc_id
 ORDER BY g.doc_id
 """,
 )
+
+
+def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: inverted-index build — the top-20 terms by document
+    frequency with their first-10 posting entries (doc ids, ascending)
+    — i.e. the artifact a lexical search engine materializes from the
+    corpus. Shape: one distinct (term, doc) projection, one groupBy
+    per term; the posting array is sort_array(collect_list) SLICED to
+    the head — at production scale posting lists are written sharded
+    (term-bucketed files), but the head-slice form keeps this bounded
+    per group while pinning the build's semantics. Integer/string
+    exact throughout."""
+    from xero_api_etl_utilities_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    td = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+                "posting_head"
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+register(
+    "text_posting_lists",
+    text_posting_lists,
+    """
+WITH td AS (
+  SELECT DISTINCT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+  (list_sort(list(doc_id)))[1:10] AS posting_head
+FROM td
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 20
+""",
+)
