@@ -210,6 +210,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "text_posting_lists",
     "replica_bucket_diff",
+    "text_retrieve_rerank",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -103,10 +103,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_TERMS, k=BM25_K)
 
 
-def _bm25_oracle() -> str:
-    """Oracle twin: recompute the SAME constants from the parquet via
-    duckdb + the same python math.log, inline them, and mirror the
-    Spark expression tree literal-for-literal, paren-for-paren."""
+def _bm25_score_exprs() -> tuple[str, str]:
+    """(score_expr, tf_total_expr) for the DuckDB twin: recompute the
+    SAME constants from the parquet via duckdb + the same python
+    math.log, inline them, and mirror the Spark expression tree
+    literal-for-literal, paren-for-paren. Shared by the bm25 oracle
+    and the two-stage rerank oracle (identical stage-1 shortlist)."""
     import math
     import os as _os
 
@@ -144,8 +146,11 @@ def _bm25_oracle() -> str:
             f"({idf[i]!r} * (({tf} * {c_tf!r}) / ({tf} + ({c_fixed!r} + {c_len!r}"
             f" * (CAST(len(toks) AS DOUBLE) / {avgdl!r})))))"
         )
-    score = " + ".join(terms)
-    tf_total = " + ".join(tfs)
+    return " + ".join(terms), " + ".join(tfs)
+
+
+def _bm25_oracle() -> str:
+    score, tf_total = _bm25_score_exprs()
     return f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -165,3 +170,96 @@ FROM ranked WHERE rank <= {BM25_K}
 
 
 register("text_bm25_topk", text_bm25_topk, _bm25_oracle)
+
+
+RERANK_SHORTLIST = 50
+RERANK_K = 10
+
+
+def text_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 — two-stage retrieval: a cheap BM25 shortlist (top-50),
+    then a second-stage re-rank over the shortlist only — the lexical
+    twin of the IVF-PQ refine lesson (PLANS.md: a coarse stage's job
+    is RECALL; precision comes from a bounded re-rank). Stage 2 keys
+    on INTEGER evidence (distinct query terms matched, then total
+    term frequency, then doc id), so the published columns are exact
+    while the float BM25 score stays internal to stage 1 — whose
+    shortlist boundary the oracle replays bit-exactly via the shared
+    inlined-literal expression tree. Stage-2 cost is shortlist-sized:
+    the candidate ids broadcast back for the feature fetch, the
+    corpus is never re-scored."""
+    from xero_api_etl_utilities_spark.operators.retrieval import (
+        TOKEN_PATTERN,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    short = bm25_topk(docs, BM25_TERMS, k=RERANK_SHORTLIST).select("doc_id")
+    cand = docs.join(F.broadcast(short), "doc_id")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), 0)
+    base = cand.select("doc_id", toks.alias("_toks"))
+    n_match = None
+    tf_total = None
+    for t in BM25_TERMS:
+        present = F.array_contains("_toks", t).cast("long")
+        tf = F.size(F.filter("_toks", lambda x: x == F.lit(t))).cast("long")
+        n_match = present if n_match is None else n_match + present
+        tf_total = tf if tf_total is None else tf_total + tf
+    from pyspark.sql import Window as W
+
+    reranked = base.select(
+        "doc_id",
+        n_match.alias("n_terms_matched"),
+        tf_total.alias("tf_total"),
+    )
+    top = (
+        reranked.orderBy(
+            F.desc("n_terms_matched"), F.desc("tf_total"), F.asc("doc_id")
+        )
+        .limit(RERANK_K)
+        .repartition(1)
+    )
+    w = W.orderBy(F.desc("n_terms_matched"), F.desc("tf_total"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_terms_matched",
+        "tf_total",
+        F.row_number().over(w).cast("int").alias("rerank"),
+    )
+
+
+def _rerank_oracle() -> str:
+    score, tf_total = _bm25_score_exprs()
+    n_match = " + ".join(
+        f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END"
+        for t in BM25_TERMS
+    )
+    tf_int = " + ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))" for t in BM25_TERMS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, toks, {score} AS s
+  FROM t
+  WHERE {tf_total} > 0
+), shortlist AS (
+  SELECT doc_id, toks,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r1
+  FROM scored
+), reranked AS (
+  SELECT doc_id,
+    CAST({n_match} AS BIGINT) AS n_terms_matched,
+    CAST({tf_int} AS BIGINT) AS tf_total,
+    row_number() OVER (ORDER BY ({n_match}) DESC, ({tf_int}) DESC, doc_id ASC)
+      AS rerank
+  FROM shortlist WHERE r1 <= {RERANK_SHORTLIST}
+)
+SELECT doc_id, n_terms_matched, tf_total, CAST(rerank AS INT) AS rerank
+FROM reranked WHERE rerank <= {RERANK_K}
+"""
+
+
+register("text_retrieve_rerank", text_retrieve_rerank, _rerank_oracle)
