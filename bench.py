@@ -211,6 +211,7 @@ HEADLINE = [
     "text_posting_lists",
     "replica_bucket_diff",
     "text_retrieve_rerank",
+    "nested_invoice_stats",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -258,6 +258,9 @@ CHECKS = {
     "events_trailing_7d_distinct_approx": [
         ("sketches fan out via explode, unioned per window - no range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    "nested_invoice_stats": [
+        ("higher-order folds in-row: no explode after assembly", lambda p: "Generate" not in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "text_retrieve_rerank": [
         ("stage-2 rerank is shortlist-bounded: candidates broadcast back", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],

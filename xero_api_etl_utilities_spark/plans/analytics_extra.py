@@ -751,3 +751,79 @@ ORDER BY event_type
 
 
 register("agg_kmv_distinct", agg_kmv_distinct, _kmv_oracle)
+
+
+def nested_invoice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58: analytics over NESTED documents via higher-order functions
+    — assemble order→lines array-of-structs (the D1/D2 document
+    shape), then compute per-document measures WITHOUT re-flattening:
+    aggregate(filter(...)) folds, exists(...), array_max(transform(...))
+    all run inside the row, zero extra shuffle after the one assembly
+    groupBy. The oracle computes the same measures from the FLAT
+    relational form — proving the nested/flat duality: a user holding
+    pre-nested documents (the common lakehouse layout for
+    order/invoice data) gets identical answers without exploding
+    billions of line rows back out. All measures integer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("qty", "cents", "flag")).alias("lines")
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    docs = od.join(nested, od.o_orderkey == nested.l_orderkey)
+    heavy_cents = F.aggregate(
+        F.filter("lines", lambda x: x["qty"] >= 30),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["cents"],
+    )
+    has_return = F.exists("lines", lambda x: x["flag"] == "R")
+    max_qty = F.array_max(F.transform("lines", lambda x: x["qty"]))
+    per_doc = docs.select(
+        "o_orderpriority",
+        F.size("lines").alias("n_lines"),
+        heavy_cents.alias("heavy_cents"),
+        has_return.cast("int").alias("has_return"),
+        max_qty.alias("max_qty"),
+    )
+    return (
+        per_doc.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("has_return").cast("bigint").alias("n_with_return"),
+            F.sum("heavy_cents").cast("bigint").alias("sum_heavy_cents"),
+            F.max("max_qty").cast("bigint").alias("max_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "nested_invoice_stats",
+    nested_invoice_stats,
+    """
+WITH per_doc AS (
+  SELECT o_orderkey, o_orderpriority,
+    COUNT(*) AS n_lines,
+    SUM(CASE WHEN CAST(l_quantity AS BIGINT) >= 30
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END)
+      AS heavy_cents,
+    CASE WHEN BOOL_OR(l_returnflag = 'R') THEN 1 ELSE 0 END AS has_return,
+    MAX(CAST(l_quantity AS BIGINT)) AS max_qty
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+  CAST(SUM(has_return) AS BIGINT) AS n_with_return,
+  CAST(SUM(heavy_cents) AS BIGINT) AS sum_heavy_cents,
+  CAST(MAX(max_qty) AS BIGINT) AS max_qty
+FROM per_doc
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
