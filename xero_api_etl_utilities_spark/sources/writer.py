@@ -150,3 +150,41 @@ def compact_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def write_zorder_table(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` Z-ORDER clustered on two integer dimension columns
+    (functions/zorder.py) — the OPTIMIZE ZORDER layout: rows land in
+    files by Morton-key range, so every file covers a narrow rectangle
+    in BOTH dimensions and engine min/max skipping prunes on either
+    predicate column (a plain sort gives pruning on the leading column
+    only). Lowering: repartitionByRange(z) assigns contiguous z-ranges
+    to files (one skew-aware range exchange — Spark samples the key),
+    sortWithinPartitions(z) makes each file internally ordered for
+    row-group stats. Dimensions are masked to 16 bits; callers bucket
+    wider domains first. The locality guarantee is pinned by
+    tests/test_bloom_zorder.py against the per-file min/max spans the
+    skipping engine would read."""
+    from pyspark.sql import functions as F
+
+    from xero_api_etl_utilities_spark.functions.zorder import z_interleave16
+
+    z = z_interleave16(
+        F.col(x_col).bitwiseAND(F.lit(65535)),
+        F.col(y_col).bitwiseAND(F.lit(65535)),
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
