@@ -212,6 +212,7 @@ HEADLINE = [
     "replica_bucket_diff",
     "text_retrieve_rerank",
     "nested_invoice_stats",
+    "diag_join_size_estimate",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

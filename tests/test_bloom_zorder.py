@@ -139,3 +139,42 @@ class TestZOrderWrite:
         back = spark.read.parquet(path)
         assert back.count() == 5000
         assert sorted(back.columns) == ["x", "y"]
+
+
+class TestZOrderProperties:
+    def test_roundtrip_hypothesis(self):
+        from hypothesis import given, strategies as st
+
+        from xero_api_etl_utilities_spark.functions.zorder import (
+            py_z_deinterleave16,
+            py_z_interleave16,
+        )
+
+        @given(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        )
+        def check(x, y):
+            assert py_z_deinterleave16(py_z_interleave16(x, y)) == (x, y)
+
+        check()
+
+    def test_quadrant_prefix_property(self):
+        # the property file skipping relies on: equal high bits of both
+        # dims ⇔ equal high bits of z (same quadrant → contiguous z)
+        from hypothesis import given, strategies as st
+
+        from xero_api_etl_utilities_spark.functions.zorder import py_z_interleave16
+
+        @given(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        )
+        def check(x1, y1, x2, y2):
+            same_quadrant = (x1 >> 8 == x2 >> 8) and (y1 >> 8 == y2 >> 8)
+            z1, z2 = py_z_interleave16(x1, y1), py_z_interleave16(x2, y2)
+            assert same_quadrant == (z1 >> 16 == z2 >> 16)
+
+        check()

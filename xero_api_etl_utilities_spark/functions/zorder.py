@@ -51,3 +51,14 @@ def py_z_interleave16(x: int, y: int) -> int:
         z |= ((x >> i) & 1) << (2 * i)
         z |= ((y >> i) & 1) << (2 * i + 1)
     return z
+
+
+def py_z_deinterleave16(z: int) -> tuple[int, int]:
+    """Inverse of :func:`py_z_interleave16` — recover (x, y) from a
+    z-value. Used to turn a file's [z_min, z_max] range back into the
+    dimension rectangles a skipping planner prunes with."""
+    x = y = 0
+    for i in range(BITS):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y

@@ -29,6 +29,7 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "diag_join_size_estimate",
     "nested_invoice_stats",
     "text_retrieve_rerank",
     "agg_value_variance_exact",

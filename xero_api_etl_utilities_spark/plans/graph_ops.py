@@ -314,3 +314,87 @@ LIMIT 20
 
 
 register("graph_pagerank", graph_pagerank, _pagerank_oracle)
+
+
+_JS_D, _JS_W = 4, 512
+
+
+def diag_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59: sketch-based join-size estimation — the planner pre-flight
+    that predicts |A ⋈ B| BEFORE paying the shuffle. Classic
+    AMS/count-min algebra: build a d×w counter sketch of each side's
+    join key, estimate = min over rows of Σ_buckets cmsA·cmsB (the
+    dot product upper-bounds the true size, tightest row wins;
+    overestimate only, like the point estimate). Both sketches are
+    bounded aggregates; the 'join' that produces the estimate touches
+    2·d·w counters, never a data row. The exact size rides along
+    (Σ per-key cntA·cntB) with the honesty boolean, and — because the
+    buckets are the repo's md5 hashes — the DuckDB oracle replays the
+    ESTIMATE itself digit-for-digit, not just the bound."""
+    from xero_api_etl_utilities_spark.operators.sketches import cms_build
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    sa = cms_build(od, "k", d=_JS_D, w=_JS_W)
+    sb = cms_build(li, "k", d=_JS_D, w=_JS_W)
+    est = (
+        sa.join(
+            sb.withColumnRenamed("cms_count", "cnt_b"),
+            ["cms_row", "cms_bucket"],
+        )
+        .groupBy("cms_row")
+        .agg(F.sum(F.col("cms_count") * F.col("cnt_b")).alias("dot"))
+        .agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    )
+    ka = od.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    kb = li.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        ka.join(kb, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("exact_join_size"))
+    )
+    # both sides are 1-row aggregates: driver literals, no NLJ attach
+    e = est.collect()[0]["est_join_size"]
+    x = exact.collect()[0]["exact_join_size"]
+    return spark.createDataFrame(
+        [(int(x), int(e), bool(e >= x), bool(e * 100 <= 130 * x))],
+        "exact_join_size bigint, est_join_size bigint, never_under boolean, within_30pct boolean",
+    )
+
+
+def _join_size_oracle() -> str:
+    hashed = h32_sql("i || ':' || CAST(k AS VARCHAR)")
+    bucket = f"CAST({hashed} AS BIGINT) % {_JS_W}"
+    rows = ", ".join(str(i) for i in range(_JS_D))
+    return f"""
+WITH ka AS (SELECT o_orderkey AS k FROM orders),
+kb AS (SELECT l_orderkey AS k FROM lineitem),
+sa AS (
+  SELECT i, {bucket} AS b, COUNT(*) AS c
+  FROM ka CROSS JOIN (SELECT UNNEST([{rows}]) AS i) GROUP BY 1, 2
+),
+sb AS (
+  SELECT i, {bucket} AS b, COUNT(*) AS c
+  FROM kb CROSS JOIN (SELECT UNNEST([{rows}]) AS i) GROUP BY 1, 2
+),
+est AS (
+  SELECT MIN(dot) AS e FROM (
+    SELECT sa.i, SUM(sa.c * sb.c) AS dot
+    FROM sa JOIN sb ON sa.i = sb.i AND sa.b = sb.b
+    GROUP BY sa.i)
+),
+exact AS (
+  SELECT SUM(ca * cb) AS x FROM
+    (SELECT k, COUNT(*) AS ca FROM ka GROUP BY k) a
+    JOIN (SELECT k, COUNT(*) AS cb FROM kb GROUP BY k) b USING (k)
+)
+SELECT CAST(x AS BIGINT) AS exact_join_size, CAST(e AS BIGINT) AS est_join_size,
+  e >= x AS never_under, e * 100 <= 130 * x AS within_30pct
+FROM est CROSS JOIN exact
+"""
+
+
+register("diag_join_size_estimate", diag_join_size_estimate, _join_size_oracle)
