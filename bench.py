@@ -213,6 +213,8 @@ HEADLINE = [
     "text_retrieve_rerank",
     "nested_invoice_stats",
     "diag_join_size_estimate",
+    "text_hashing_features",
+    "agg_kmv_overlap",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -258,6 +258,9 @@ CHECKS = {
     "events_trailing_7d_distinct_approx": [
         ("sketches fan out via explode, unioned per window - no range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    "text_hashing_features": [
+        ("hashing trick is vocabulary-free: no join anywhere", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
     "diag_join_size_estimate": [
         ("estimate touches only 2dw counters, never a data-row join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],

@@ -827,3 +827,96 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
 )
+
+
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: audience-overlap estimation from KMV sketches — the
+    set-INTERSECTION algebra that makes bottom-k sketches more than
+    counters: merge two audiences' sketches (k smallest of the union
+    — exactly how KMV composes), count how many of those k live in
+    BOTH audiences, and scale: |A∩B| ≈ (matches/k) · |A∪B|_est. All
+    integer arithmetic ((matches · union_est) div k), so the oracle
+    replays the whole estimator — engine-internal HLL intersection
+    (inclusion-exclusion over three sketches) can only ever be
+    tolerance-checked. Exact intersection + honesty boolean ride
+    along (±50%: intersection estimates carry the union's relative
+    error scaled by the inverse overlap fraction)."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+
+    ev_ = load_table(spark, sf_dir, "events")
+    k = 32
+    a = ev_.filter(F.col("event_type") == "purchase")
+    b = ev_.filter(F.col("event_type") == "signup")
+    ha = a.select(h32(F.col("user_id")).alias("h")).distinct()
+    hb = b.select(h32(F.col("user_id")).alias("h")).distinct()
+    merged = (
+        ha.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(hb.select("h", F.lit(0), F.lit(1)))
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    stats = merged.agg(
+        F.max("h").alias("kth"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("matches"),
+        F.count(F.lit(1)).alias("kk"),
+    )
+    exact = (
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    r = stats.collect()[0]
+    x = exact.collect()[0]["exact_overlap"]
+    union_est = (int(r["kk"]) - 1) * (2**32) // int(r["kth"])
+    est = int(r["matches"]) * union_est // int(r["kk"])
+    ok = abs(est - int(x)) * 100 <= 50 * int(x)
+    return spark.createDataFrame(
+        [(int(x), int(r["matches"]), union_est, est, bool(ok))],
+        "exact_overlap bigint, k_matches bigint, union_est bigint,"
+        " est_overlap bigint, within_50pct boolean",
+    )
+
+
+def _kmv_overlap_oracle() -> str:
+    from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+
+    h = h32_sql("user_id")
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT CAST({h} AS BIGINT) AS h FROM events
+  WHERE event_type = 'purchase'
+),
+hb AS (
+  SELECT DISTINCT CAST({h} AS BIGINT) AS h FROM events
+  WHERE event_type = 'signup'
+),
+merged AS (
+  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+    UNION ALL SELECT h, 0, 1 FROM hb) u
+  GROUP BY h ORDER BY h LIMIT 32
+),
+stats AS (
+  SELECT MAX(h) AS kth, SUM(in_a * in_b) AS matches, COUNT(*) AS kk
+  FROM merged
+),
+exact AS (
+  SELECT COUNT(*) AS x FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') i
+)
+SELECT CAST(x AS BIGINT) AS exact_overlap,
+  CAST(matches AS BIGINT) AS k_matches,
+  CAST((kk - 1) * 4294967296 // kth AS BIGINT) AS union_est,
+  CAST(matches * ((kk - 1) * 4294967296 // kth) // kk AS BIGINT)
+    AS est_overlap,
+  abs(matches * ((kk - 1) * 4294967296 // kth) // kk - x) * 100 <= 50 * x
+    AS within_50pct
+FROM stats CROSS JOIN exact
+"""
+
+
+register("agg_kmv_overlap", agg_kmv_overlap, _kmv_overlap_oracle)

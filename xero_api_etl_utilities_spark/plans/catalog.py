@@ -29,6 +29,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "text_hashing_features",
+    "agg_kmv_overlap",
     "diag_join_size_estimate",
     "nested_invoice_stats",
     "text_retrieve_rerank",

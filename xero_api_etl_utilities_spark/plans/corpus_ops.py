@@ -545,3 +545,80 @@ ORDER BY df DESC, term ASC
 LIMIT 20
 """,
 )
+
+
+_FH_DIM = 256
+
+
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60: the hashing-trick vectorizer (Weinberger et al.) — each
+    document's sparse bag-of-words feature vector over a FIXED
+    2^8-dim space: index = H32('f:'||token) mod D, sign =
+    parity of H32('s:'||token) (signed hashing cancels collision
+    bias in expectation). Output is the sparse form — sorted
+    (index, weight) structs — exactly what a downstream trainer
+    ingests; no vocabulary pass, no vocab broadcast, unbounded
+    vocabulary handled in ONE zero-join scan. Every weight is an
+    integer; the oracle replays index, sign and weight digit-exactly.
+    First 10 docs keep the result frame readable; the projection is
+    corpus-wide identical per row."""
+    from xero_api_etl_utilities_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+
+    idx = (h32(F.concat(F.lit("f:"), F.col("t"))) % _FH_DIM).cast("int")
+    sign = F.when(h32(F.concat(F.lit("s:"), F.col("t"))) % 2 == 0, 1).otherwise(-1)
+    return (
+        tok.select("doc_id", idx.alias("fidx"), sign.alias("sgn"))
+        .groupBy("doc_id", "fidx")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("fidx"), F.col("weight")))
+            ).alias("_f")
+        )
+        # parallel arrays (indices, weights): the canonical sparse-vector
+        # exchange format, and canonicalizes identically in both engines
+        # (struct canon forms differ between Spark rows and DuckDB
+        # struct_pack)
+        .select(
+            "doc_id",
+            F.transform("_f", lambda x: x["fidx"]).alias("indices"),
+            F.transform("_f", lambda x: x["weight"]).alias("weights"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _hashing_features_oracle() -> str:
+    from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+
+    hf = h32_sql("'f:' || t")
+    hs = h32_sql("'s:' || t")
+    fi = f"CAST({hf} AS BIGINT) % {_FH_DIM}"
+    sg = f"CASE WHEN CAST({hs} AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents WHERE doc_id < 10
+),
+weights AS (
+  SELECT doc_id, CAST({fi} AS INT) AS fidx,
+    CAST(SUM({sg}) AS BIGINT) AS weight
+  FROM tok GROUP BY doc_id, {fi}
+  HAVING SUM({sg}) <> 0
+)
+SELECT doc_id,
+  list_transform(list_sort(list(struct_pack(fidx := fidx, weight := weight))),
+                 x -> x.fidx) AS indices,
+  list_transform(list_sort(list(struct_pack(fidx := fidx, weight := weight))),
+                 x -> x.weight) AS weights
+FROM weights GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+register("text_hashing_features", text_hashing_features, _hashing_features_oracle)
