@@ -215,6 +215,10 @@ HEADLINE = [
     "diag_join_size_estimate",
     "text_hashing_features",
     "agg_kmv_overlap",
+    # capstone composite: rides the memoized cluster substrate (built
+    # under dedup_substrate_build / pipeline_corpus_clean above), so
+    # this line is marginal cost like its X1 siblings
+    "pipeline_training_corpus",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -258,6 +258,10 @@ CHECKS = {
     "events_trailing_7d_distinct_approx": [
         ("sketches fan out via explode, unioned per window - no range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    "pipeline_training_corpus": [
+        ("rides the checkpointed cluster substrate", lambda p: "Scan ExistingRDD" in p),
+        ("census join + 3-row agg, no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "text_hashing_features": [
         ("hashing trick is vocabulary-free: no join anywhere", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],

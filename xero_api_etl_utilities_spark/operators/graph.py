@@ -123,7 +123,15 @@ def triangles(
     build, closing-edge probe); no cartesian, no nested loop. The
     oracle runs the UNORIENTED a<b<c form, so a driver row proves the
     orientation rewrite misses / duplicates nothing.
+
+    ``edges`` is consumed by FOUR subtrees (degrees, orientation,
+    wedge legs, closing probe) — per the aggregate-diamond policy
+    (PLANS.md: Spark never plans ReusedExchange for these), it is
+    materialized once here so an expensive upstream builder (a
+    co-occurrence self-join, an LSH candidate frame) runs once, not
+    four times.
     """
+    edges = materialize(edges)
     a, b = F.col(a_col), F.col(b_col)
     # degree per vertex (each edge touches two vertices)
     verts = edges.select(a.alias("v")).unionAll(edges.select(b.alias("v")))
@@ -200,6 +208,9 @@ def pagerank_int(
     every vertex has degree >= 1 — no dangling-mass term needed.
     """
     a, b = F.col(a_col), F.col(b_col)
+    # edges feeds both union branches: materialize so the upstream
+    # builder runs once (aggregate-diamond policy, PLANS.md)
+    edges = materialize(edges, checkpoint_dir)
     directed = edges.select(a.alias("src"), b.alias("dst")).unionAll(
         edges.select(b.alias("src"), a.alias("dst"))
     )

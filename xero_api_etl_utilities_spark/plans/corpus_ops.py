@@ -622,3 +622,62 @@ FROM weights GROUP BY doc_id ORDER BY doc_id
 
 
 register("text_hashing_features", text_hashing_features, _hashing_features_oracle)
+
+
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 — the training-data pipeline END TO END as one verified
+    DAG: near-dup clustering (the shared doc_clusters substrate:
+    MinHash-LSH candidates → exact-Jaccard verify → connected
+    components) → leakage-safe split hashed on the CLUSTER id →
+    BPE-ish token census → per-split corpus card: documents,
+    duplicate components, tokens, and 2048-token training chunks
+    (per-doc ceil — the packer's budget arithmetic). This is the
+    composition a user ships: every stage is an already-oracled
+    operator AND the composition itself hash-checks end-to-end —
+    integration errors between verified stages are exactly what
+    stage-level oracles cannot see. Marginal cost is one broadcast
+    join + a 3-row aggregate on top of the memoized substrate."""
+    from xero_api_etl_utilities_spark.operators import textstats as tx2
+
+    split = split_leakage_safe(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx2.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        split.join(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("(n_tokens + 2047) div 2048"))
+            .cast("bigint")
+            .alias("n_chunks"),
+        )
+        .orderBy("split")
+    )
+
+
+def _training_corpus_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    split_sql = sk.split_leakage_safe_oracle()
+    return f"""
+WITH split AS ({split_sql}),
+tok AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM((n_tokens + 2047) // 2048) AS BIGINT) AS n_chunks
+FROM split JOIN tok USING (doc_id)
+GROUP BY split
+ORDER BY split
+"""
+
+
+register("pipeline_training_corpus", pipeline_training_corpus, _training_corpus_oracle)
