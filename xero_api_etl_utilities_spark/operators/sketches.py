@@ -38,11 +38,13 @@ def _bucket(key_col, i: int, w: int):
     )
 
 
-def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 64) -> DataFrame:
-    """The d×w sketch as rows ``(cms_row, cms_bucket, cms_count)``.
-
-    One scan of ``df``; at most ``d·w`` output rows (absent cells are
-    simply missing — treat as count 0 when reading).
+def cms_pairs(df: DataFrame, key: str, d: int = 4, w: int = 64) -> DataFrame:
+    """The stateless projection under the sketch: each row exploded to
+    its ``d`` ``(cms_row, cms_bucket)`` cells. Split out from
+    :func:`cms_build` because it composes with STREAMS too: counters
+    are additive, so `cms_pairs(stream) → apply_rollup_stream(count)`
+    maintains a live sketch snapshot through the existing IVM sink —
+    no new stateful operator needed (pinned in test_graph_sketch.py).
     """
     pairs = F.array(
         *[
@@ -50,13 +52,19 @@ def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 64) -> DataFrame:
             for i in range(d)
         ]
     )
-    return (
-        df.select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.r").alias("cms_row"),
-            F.col("p.b").alias("cms_bucket"),
-        )
-        .agg(F.count(F.lit(1)).alias("cms_count"))
+    return df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.r").alias("cms_row"), F.col("p.b").alias("cms_bucket")
+    )
+
+
+def cms_build(df: DataFrame, key: str, d: int = 4, w: int = 64) -> DataFrame:
+    """The d×w sketch as rows ``(cms_row, cms_bucket, cms_count)``.
+
+    One scan of ``df``; at most ``d·w`` output rows (absent cells are
+    simply missing — treat as count 0 when reading).
+    """
+    return cms_pairs(df, key, d, w).groupBy("cms_row", "cms_bucket").agg(
+        F.count(F.lit(1)).alias("cms_count")
     )
 
 
