@@ -88,20 +88,41 @@ def bloom_might_contain(
     return cond
 
 
+def auto_bits(n_keys: int, k: int = K_HASHES_DEFAULT) -> int:
+    """Filter size for ~0.2% FP at ``k`` hashes: m = 16·n rounded up
+    to a power of two (word-aligned shifts), floored at the 8192-bit
+    default and capped at 2^17 — 2048 literal longs, well under the
+    literal-tree cliff PLANS.md measured (~100k constants). Sizing
+    matters: the fixed default measured 36% FP once the build side
+    grew to 3k keys at sf0.1 (PLANS.md round-4 findings)."""
+    m = M_BITS_DEFAULT
+    while m < 16 * n_keys and m < (1 << 17):
+        m <<= 1
+    return m
+
+
 def bloom_pruned_semi_join(
     probe: DataFrame,
     build: DataFrame,
     probe_key: str,
     build_key: str,
-    m: int = M_BITS_DEFAULT,
+    m: int | None = None,
     k: int = K_HASHES_DEFAULT,
 ) -> DataFrame:
     """``probe LEFT SEMI JOIN build`` with the bloom prefilter pushed
-    into the probe scan. Row-identical to the plain semi join."""
-    words = bloom_build(build.select(build_key).distinct(), build_key, m, k)
+    into the probe scan. Row-identical to the plain semi join.
+
+    ``m=None`` sizes the filter from the build-side key count (one
+    extra 1-row aggregate on the SMALL side — the documented
+    driver-scalar pattern): a fixed m silently degrades to
+    near-pass-through as the build side grows."""
+    keys = build.select(build_key).distinct()
+    if m is None:
+        m = auto_bits(keys.count(), k)
+    words = bloom_build(keys, build_key, m, k)
     pruned = probe.filter(bloom_might_contain(F.col(probe_key), words, m, k))
     return pruned.join(
-        build.select(F.col(build_key)).distinct(),
+        keys,
         pruned[probe_key] == F.col(build_key),
         "left_semi",
     )
