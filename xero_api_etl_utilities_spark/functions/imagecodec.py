@@ -59,8 +59,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + body + CRC (CRC unchecked)
         if ctype == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR chunk")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
@@ -75,7 +77,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG: missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt/truncated DEFLATE stream
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
@@ -129,6 +134,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a 24-bit uncompressed BITMAPINFOHEADER BMP."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP: bad magic")
+    if len(data) < 34:
+        raise ValueError("truncated BMP header")
     (pix_off,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
     if hdr_size < 40:
@@ -138,9 +145,13 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     (compression,) = struct.unpack("<I", data[30:34])
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
     bottom_up = height > 0
     height = abs(height)
     row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    if pix_off + row_bytes * height > len(data) or pix_off < 0:
+        raise ValueError("truncated BMP pixel data")
     rgb = bytearray(width * height * 3)
     for y in range(height):
         src_y = (height - 1 - y) if bottom_up else y
