@@ -91,3 +91,29 @@ class TestFuzzTruncations:
         w, h, ch, px = decode_png(self._valid_png())
         assert (w, h, ch) == (2, 2, 3)
         assert px == bytes(range(1, 13))
+
+
+class TestFuzzXlsx:
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(min_size=0, max_size=2048))
+    def test_random_bytes_fail_cleanly(self, data):
+        from xero_api_etl_utilities_spark.sources.excel_grid import (
+            decode_xlsx_grid,
+        )
+
+        try:
+            decode_xlsx_grid(data, "Sheet1")
+        except ValueError:
+            pass
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=256))
+    def test_zip_prefixed_garbage_fails_cleanly(self, tail):
+        from xero_api_etl_utilities_spark.sources.excel_grid import (
+            decode_xlsx_grid,
+        )
+
+        try:
+            decode_xlsx_grid(b"PK\x03\x04" + tail, "Sheet1")
+        except ValueError:
+            pass

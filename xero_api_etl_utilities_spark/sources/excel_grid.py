@@ -104,8 +104,15 @@ def decode_xlsx_grid(
     import xml.etree.ElementTree as ET
     import zipfile
 
-    zf = zipfile.ZipFile(io.BytesIO(content))
-    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    # normalize the container errors to the repo-wide byte-decoder
+    # contract (ValueError only — see tests/test_codec_fuzz.py): a
+    # malformed blob in a binaryFile column must fail loudly per-row,
+    # not surface zipfile/ET internals from inside an Arrow batch
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    except (zipfile.BadZipFile, KeyError, ET.ParseError) as e:
+        raise ValueError(f"not a readable xlsx: {e}") from e
     rel_id_attr = (
         "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
     )
