@@ -22,10 +22,13 @@ THRESHOLD = 1.5
 
 
 def main() -> int:
-    new_path = sys.argv[1]
-    repo = sys.argv[2] if len(sys.argv) > 2 else os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
+    repo_default = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    new_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(repo_default, "BENCH_DETAIL.json")
     )
+    repo = sys.argv[2] if len(sys.argv) > 2 else repo_default
     with open(new_path) as f:
         new = json.load(f)
 
