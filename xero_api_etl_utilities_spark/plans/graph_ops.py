@@ -18,12 +18,20 @@ from xero_api_etl_utilities_spark.plans.catalog import register
 from xero_api_etl_utilities_spark.sources.parquet import load_table
 
 
-def _co_edges(spark: SparkSession, sf_dir: str, min_shared: int = 3) -> DataFrame:
+def _co_edges(
+    spark: SparkSession, sf_dir: str, min_shared: int = 3, max_cell: int = 1000
+) -> DataFrame:
     """Co-occurrence edges: user pairs sharing >= ``min_shared``
     distinct (day, event_type, hour) activity cells. The self-join is
     keyed on the CELL, so it is quadratic only within one cell's user
-    list (bounded — same argument as basket_part_pairs), linear in
-    cells globally."""
+    list, linear in cells globally — and ``max_cell`` makes that bound
+    a GUARANTEE, not an observation: cells with more users are dropped
+    before the join (the LSH stop-bucket pattern — a viral cell shared
+    by millions contributes co-presence evidence about nothing and
+    would alone go quadratic at 100 TB). This corpus' largest cell is
+    ~10 users, so the guard is semantics-free here and the SQL oracle
+    need not model it; at a scale where cells trip it, mirror the
+    HAVING filter into the oracle."""
     ev = load_table(spark, sf_dir, "events")
     uc = ev.select(
         "user_id",
@@ -31,6 +39,13 @@ def _co_edges(spark: SparkSession, sf_dir: str, min_shared: int = 3) -> DataFram
         F.col("event_type").alias("t"),
         F.hour("ts").alias("h"),
     ).distinct()
+    small_cells = (
+        uc.groupBy("d", "t", "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_cell)
+        .select("d", "t", "h")
+    )
+    uc = uc.join(small_cells, ["d", "t", "h"], "left_semi")
     a = uc.select(
         F.col("user_id").alias("u1"), "d", "t", "h"
     )
