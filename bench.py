@@ -213,6 +213,7 @@ HEADLINE = [
     "text_retrieve_rerank",
     "nested_invoice_stats",
     "diag_join_size_estimate",
+    "graph_kcore",
     "text_hashing_features",
     "agg_kmv_overlap",
     # capstone composite: rides the memoized cluster substrate (built

@@ -200,3 +200,26 @@ class TestStreamingCms:
             ).collect()
         }
         assert live == want
+
+
+class TestKCore:
+    def test_clique_survives_chain_peels(self, spark):
+        from xero_api_etl_utilities_spark.operators.graph import kcore
+
+        # K5 clique (every vertex degree 4) + a pendant chain off it:
+        # the 3-core is exactly the clique; the chain peels away in
+        # cascading rounds (the iterative part that a single filter
+        # pass would get wrong)
+        k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        chain = [(5, 10), (10, 11), (11, 12)]
+        edges = spark.createDataFrame(k5 + chain, "u1 long, u2 long")
+        got = {r["v"]: r["core_degree"] for r in kcore(edges, k=3).collect()}
+        assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+    def test_empty_core(self, spark):
+        from xero_api_etl_utilities_spark.operators.graph import kcore
+
+        tree = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 4), (2, 5)], "u1 long, u2 long"
+        )
+        assert kcore(tree, k=2).count() == 0  # trees have no 2-core

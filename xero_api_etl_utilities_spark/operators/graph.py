@@ -239,3 +239,55 @@ def pagerank_int(
             checkpoint_dir,
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "u1",
+    b_col: str = "u2",
+    max_iters: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every vertex keeps
+    degree >= k — the standard dense-community / spam-ring extractor.
+    Iterative peeling: drop sub-k vertices, re-derive degrees, repeat
+    to fixpoint; each round is one groupBy-count plus two semi-joins
+    (both endpoints must survive), lineage truncated per round like
+    the other iterative operators. Converges in peel-depth rounds
+    (4 on the co-occurrence fixture); ``max_iters`` bounds the
+    pathological chain. Returns ``(v, core_degree)`` for the
+    surviving vertices. Deterministic: peeling is order-independent
+    (the fixpoint is unique), so a fixed-unroll SQL oracle matches
+    whenever its round count >= the true peel depth (asserted by the
+    convergence loop here)."""
+    a, b = F.col(a_col), F.col(b_col)
+    cur = materialize(
+        edges.select(a.alias("x"), b.alias("y")), checkpoint_dir
+    )
+    n_prev = -1
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("x").alias("v"))
+            .unionAll(cur.select(F.col("y").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = materialize(
+            deg.filter(F.col("deg") >= k).select("v"), checkpoint_dir
+        )
+        n = keep.count()
+        if n == n_prev:
+            return deg.filter(F.col("deg") >= k).select(
+                "v", F.col("deg").alias("core_degree")
+            )
+        n_prev = n
+        cur = materialize(
+            cur.join(keep, cur.x == keep.v, "left_semi").join(
+                keep, cur.y == keep.v, "left_semi"
+            ),
+            checkpoint_dir,
+        )
+    raise RuntimeError(
+        f"kcore did not converge in {max_iters} rounds — raise max_iters"
+    )

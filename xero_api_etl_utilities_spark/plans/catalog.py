@@ -29,6 +29,7 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    "graph_kcore",
     "pipeline_training_corpus",
     "text_hashing_features",
     "agg_kmv_overlap",

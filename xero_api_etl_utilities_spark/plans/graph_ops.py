@@ -413,3 +413,70 @@ FROM est CROSS JOIN exact
 
 
 register("diag_join_size_estimate", diag_join_size_estimate, _join_size_oracle)
+
+
+_KCORE_K = 10
+_KCORE_ROUNDS = 12  # oracle unroll depth; true peel depth is 4 here
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: the 10-core of the co-occurrence graph — each surviving
+    user with their in-core degree. The Spark side peels to the
+    FIXPOINT (operators/graph.py:kcore, convergence-checked); the
+    oracle unrolls 12 peel rounds, which equals the fixpoint whenever
+    true peel depth <= 12 (measured 4 on this corpus) — same
+    fixed-unroll equivalence argument as graph_pagerank."""
+    from xero_api_etl_utilities_spark.operators.graph import kcore
+
+    core = kcore(_co_edges(spark, sf_dir), k=_KCORE_K)
+    return core.select(F.col("v").alias("user_id"), "core_degree").orderBy(
+        F.desc("core_degree"), F.asc("user_id")
+    )
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: each round references its
+        # predecessor three times, and DuckDB's default CTE inlining
+        # would expand the 12-round chain 3^12-fold (measured as a
+        # too-many-open-files error from re-scanning the parquet).
+        rounds.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, COUNT(*) AS deg FROM (
+      SELECT x AS v FROM {prev} UNION ALL SELECT y FROM {prev}) u
+    GROUP BY v) d
+  WHERE deg >= {_KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT x, y FROM {prev}
+  WHERE x IN (SELECT v FROM k{i}) AND y IN (SELECT v FROM k{i})
+)"""
+        )
+        prev = f"e{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH uc AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) dd, event_type t, hour(ts) h
+  FROM events
+),
+e0 AS MATERIALIZED (
+  SELECT a.user_id x, b.user_id y
+  FROM uc a JOIN uc b
+    ON a.dd = b.dd AND a.t = b.t AND a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+{rounds_sql}
+SELECT v AS user_id, CAST(deg AS BIGINT) AS core_degree FROM (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT x AS v FROM {prev} UNION ALL SELECT y FROM {prev}) u
+  GROUP BY v) d
+WHERE deg >= {_KCORE_K}
+ORDER BY core_degree DESC, v ASC
+"""
+
+
+register("graph_kcore", graph_kcore, _kcore_oracle)
