@@ -249,3 +249,71 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
         FUNNEL_SCHEMA,
     ).write.mode("append").parquet(drop)
     assert run() == {(1, 2), (3, 6), (1, 7)}
+
+
+def test_native_session_window_stream(spark, tmp_path):
+    """The NATIVE F.session_window aggregate in streaming mode — the
+    built-in complement to the custom applyInPandasWithState
+    sessionizer above: watermarked, merges windows across micro-batch
+    boundaries, finalizes once the watermark passes. Two availableNow
+    drains through one checkpoint; the session split across the
+    batches must come out MERGED, proving the session-window state
+    survived the restart."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    drop, ckpt, out = (
+        str(tmp_path / "nsw_drop"),
+        str(tmp_path / "nsw_ckpt"),
+        str(tmp_path / "nsw_out"),
+    )
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def run():
+        stream = stream_drop_dir(spark, drop, EVENT_SCHEMA)
+        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+        # TYPE on NTZ); the session-tz pin in conftest keeps the cast
+        # deterministic
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n_events",
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def ev(i, minutes, user=1):
+        return (i, t0 + dt.timedelta(minutes=minutes), user)
+
+    # batch 1: two events 10:00, 10:10 (open session)
+    spark.createDataFrame([ev(1, 0), ev(2, 10)], EVENT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(drop)
+    run()
+    # batch 2: 10:25 extends the SAME session (gap 15m < 30m), then a
+    # watermark-advancing event hours later closes it
+    spark.createDataFrame(
+        [ev(3, 25), ev(4, 300)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(drop)
+    run()
+    rows = [
+        (r["user_id"], (r["e"] - r["s"]).total_seconds(), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    # the merged session: batch-1's two events + batch-2's 10:25 event
+    # in ONE 55-minute window (last event + 30m gap) — only possible
+    # if the open session-window state crossed the checkpoint restart
+    assert (1, 55 * 60.0, 3) in rows
