@@ -29,6 +29,11 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
+    # r4-END STATE: the first 50 of queries() are EXACTLY the 50
+    # catalog queries with no driver CORRECTNESS row across r1-r3 —
+    # the window is packed with zero wasted slots. r5 discipline:
+    # rotate r5-new + any r5-modified queries to the top; everything
+    # below has a green driver row from some round.
     "graph_kcore",
     "pipeline_training_corpus",
     "text_hashing_features",
