@@ -220,6 +220,10 @@ HEADLINE = [
     # under dedup_substrate_build / pipeline_corpus_clean above), so
     # this line is marginal cost like its X1 siblings
     "pipeline_training_corpus",
+    # r5 seeds (registered below the packed r4 correctness window;
+    # locally oracle-verified, rotate into the driver window next round)
+    "merge_scd2_history",
+    "events_weekday_seasonality",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

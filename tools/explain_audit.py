@@ -292,6 +292,9 @@ CHECKS = {
     "events_session_window": [
         ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    "merge_scd2_history": [
+        ("history intervals from one key window, no join", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
     "graph_kcore": [
         ("peeling rounds read the per-round checkpoint", lambda p: "Scan ExistingRDD" in p),
         ("peel is count + semi joins, no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),

@@ -920,3 +920,40 @@ FROM stats CROSS JOIN exact
 
 
 register("agg_kmv_overlap", agg_kmv_overlap, _kmv_overlap_oracle)
+
+
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 (r5 seed): day-of-week seasonal index in exact basis
+    points — the de-seasonalization factor a forecasting pipeline
+    derives before trend-fitting: index_bp = weekday_events · 7 ·
+    10000 div total (10000 bp = an average weekday). One groupBy;
+    cross-multiplied integers only."""
+    ev_ = load_table(spark, sf_dir, "events")
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    per_dow = materialize(
+        ev_.groupBy(F.dayofweek("ts").alias("dow")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    total = per_dow.agg(F.sum("n")).collect()[0][0]
+    return per_dow.select(
+        "dow",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr(f"n * 7 * 10000 div {total}").cast("bigint").alias("index_bp"),
+    ).orderBy("dow")
+
+
+register(
+    "events_weekday_seasonality",
+    events_weekday_seasonality,
+    """
+WITH per AS (
+  SELECT dayofweek(ts) + 1 AS dow, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT dow, CAST(n AS BIGINT) AS n_events,
+  CAST(n * 7 * 10000 // (SELECT SUM(n) FROM per) AS BIGINT) AS index_bp
+FROM per
+ORDER BY dow
+""",
+)

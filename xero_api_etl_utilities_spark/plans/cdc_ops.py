@@ -239,3 +239,64 @@ ORDER BY a.bucket
 
 
 register("replica_bucket_diff", replica_bucket_diff, _replica_diff_oracle)
+
+
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 (r5 seed): slowly-changing-dimension TYPE 2 — instead of
+    collapsing the change stream to latest-wins (merge_cdc_snapshot),
+    KEEP history as validity intervals: each key's versions ordered by
+    change time, valid_from = its timestamp, valid_to = the NEXT
+    version's timestamp (lead; NULL = current), is_current flag. The
+    change stream is simulated exactly as in merge_cdc_snapshot
+    (priority re-writes as v2 on every 7th order); one window per key
+    — a single hash partitioning, no join at all. The classic
+    warehouse dimension-history build."""
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.lit(1).alias("version"),
+    )
+    updates = (
+        od.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("0-REPRIORITIZED").alias("prio"),
+            F.lit(2).alias("version"),
+        )
+    )
+    changes = base.unionByName(updates)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderkey").orderBy("version")
+    return (
+        changes.select(
+            "o_orderkey",
+            "prio",
+            F.col("version").alias("valid_from_v"),
+            (F.lead("version").over(w) - 1).alias("valid_to_v"),
+            F.lead("version").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("o_orderkey", "valid_from_v")
+    )
+
+
+register(
+    "merge_scd2_history",
+    merge_scd2_history,
+    """
+WITH changes AS (
+  SELECT o_orderkey, o_orderpriority AS prio, 1 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, '0-REPRIORITIZED', 2 FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, prio,
+  version AS valid_from_v,
+  LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) - 1
+    AS valid_to_v,
+  LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL
+    AS is_current
+FROM changes
+ORDER BY o_orderkey, valid_from_v
+""",
+)
