@@ -178,3 +178,22 @@ class TestZOrderProperties:
             assert same_quadrant == (z1 >> 16 == z2 >> 16)
 
         check()
+
+
+class TestBloomSizing:
+    def test_auto_bits_tracks_build_cardinality(self):
+        from xero_api_etl_utilities_spark.operators.bloom import (
+            M_BITS_DEFAULT,
+            auto_bits,
+        )
+
+        assert auto_bits(10) == M_BITS_DEFAULT      # floor: tiny builds
+        assert auto_bits(512) == 8192               # 16*512 = floor exactly
+        assert auto_bits(3006) == 65536             # the measured sf0.1 case
+        assert auto_bits(10**9) == 1 << 17          # capped literal size
+        # power-of-two and monotone
+        prev = 0
+        for n in (1, 100, 1000, 5000, 20000, 10**6):
+            m = auto_bits(n)
+            assert m & (m - 1) == 0 and m >= prev
+            prev = m
