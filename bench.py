@@ -224,6 +224,11 @@ HEADLINE = [
     # locally oracle-verified, rotate into the driver window next round)
     "merge_scd2_history",
     "events_weekday_seasonality",
+    "events_time_to_convert",
+    "events_position_attribution",
+    "events_burstiness",
+    "diag_referential_integrity",
+    "text_top_terms_per_doc",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -292,6 +292,15 @@ CHECKS = {
     "events_session_window": [
         ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    "diag_referential_integrity": [
+        ("single tall union, one aggregate, no driver collects", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "Union" in p),
+    ],
+    "events_position_attribution": [
+        ("one user window + channel rollup, buyers broadcast", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ],
+    "text_top_terms_per_doc": [
+        ("df broadcast to the tf side, one per-doc window", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ],
     "merge_scd2_history": [
         ("history intervals from one key window, no join", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],

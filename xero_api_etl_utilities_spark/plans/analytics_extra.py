@@ -957,3 +957,210 @@ FROM per
 ORDER BY dow
 """,
 )
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 (r5 seed): signup→purchase conversion lag — for each user's
+    FIRST signup, the delay to their first subsequent purchase,
+    summarized per signup week: conversions, min/max lag and the
+    lower-median (type-1, index (n-1)//2 — the same exact integer
+    order statistic as events_interarrival, immune to float
+    interpolation). One user-keyed aggregate derives both firsts in a
+    single pass; lags are integer minutes."""
+    ev_ = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev_.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "first_signup"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "first_purchase"
+            ),
+        )
+        .filter(
+            F.col("first_signup").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup"))
+        )
+        .select(
+            F.date_trunc("week", F.col("first_signup")).cast("date").alias("cohort_week"),
+            F.expr("timestampdiff(MINUTE, first_signup, first_purchase)")
+            .cast("bigint")
+            .alias("lag_min"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cohort_week").orderBy("lag_min")
+    ranked = firsts.withColumn("rn", F.row_number().over(w))
+    counts = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("lag_min").alias("min_lag_min"),
+        F.max("lag_min").alias("max_lag_min"),
+    )
+    med = ranked.join(
+        counts.select("cohort_week", "n_converted"), "cohort_week"
+    ).filter(F.col("rn") == (F.col("n_converted") - 1) / 2 + 1).select(
+        "cohort_week", F.col("lag_min").alias("median_lag_min")
+    )
+    return (
+        counts.join(med, "cohort_week")
+        .select(
+            "cohort_week", "n_converted", "min_lag_min", "median_lag_min", "max_lag_min"
+        )
+        .orderBy("cohort_week")
+    )
+
+
+register(
+    "events_time_to_convert",
+    events_time_to_convert,
+    """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY user_id
+),
+lags AS (
+  SELECT CAST(date_trunc('week', fs) AS DATE) AS cohort_week,
+    CAST(epoch(fp) - epoch(fs) AS BIGINT) // 60 AS lag_min
+  FROM firsts WHERE fs IS NOT NULL AND fp > fs
+),
+ranked AS (
+  SELECT cohort_week, lag_min,
+    ROW_NUMBER() OVER (PARTITION BY cohort_week ORDER BY lag_min) AS rn,
+    COUNT(*) OVER (PARTITION BY cohort_week) AS n
+  FROM lags
+)
+SELECT cohort_week, CAST(MAX(n) AS BIGINT) AS n_converted,
+  CAST(MIN(lag_min) AS BIGINT) AS min_lag_min,
+  CAST(MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN lag_min END) AS BIGINT)
+    AS median_lag_min,
+  CAST(MAX(lag_min) AS BIGINT) AS max_lag_min
+FROM ranked
+GROUP BY cohort_week
+ORDER BY cohort_week
+""",
+)
+
+
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 (r5 seed): positional (U-shaped 40/20/40) multi-touch
+    attribution in exact basis points — first and last touch of each
+    converting user's path get 4000 bp each, middles split the
+    remaining 2000 bp by integer division with the REMAINDER assigned
+    to the first middle touch (credit sums to exactly 10000 per user
+    by construction — the property float attribution never has).
+    Credit then rolls up per channel (event_type)."""
+    ev_ = load_table(spark, sf_dir, "events")
+    buyers = (
+        ev_.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    touches = ev_.join(F.broadcast(buyers), "user_id").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sized = touches.withColumn("pos", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("user_id"))
+    )
+    mid_each = F.expr("2000 div (n - 2)")
+    mid_rem = F.expr("2000 % (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when((F.col("n") == 2) & (F.col("pos") == 1), F.lit(5000))
+        .when((F.col("n") == 2) & (F.col("pos") == 2), F.lit(5000))
+        .when(F.col("pos") == 1, F.lit(4000))
+        .when(F.col("pos") == F.col("n"), F.lit(4000))
+        .when(F.col("pos") == 2, mid_each + mid_rem)
+        .otherwise(mid_each)
+    )
+    return (
+        sized.select("event_type", credit.cast("bigint").alias("credit_bp"))
+        .groupBy("event_type")
+        .agg(F.sum("credit_bp").cast("bigint").alias("credit_bp"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_position_attribution",
+    events_position_attribution,
+    """
+WITH buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+sized AS (
+  SELECT e.event_type,
+    ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY ts, event_id) AS pos,
+    COUNT(*) OVER (PARTITION BY e.user_id) AS n
+  FROM events e JOIN buyers USING (user_id)
+)
+SELECT event_type, CAST(SUM(
+  CASE WHEN n = 1 THEN 10000
+       WHEN n = 2 THEN 5000
+       WHEN pos = 1 THEN 4000
+       WHEN pos = n THEN 4000
+       WHEN pos = 2 THEN 2000 // (n - 2) + 2000 % (n - 2)
+       ELSE 2000 // (n - 2) END) AS BIGINT) AS credit_bp
+FROM sized
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 (r5 seed): traffic burstiness per event type — the Fano
+    factor (variance of hourly counts / mean hourly count) published
+    as the cross-multiplied integer pair, same discipline as
+    agg_value_variance_exact: fano_num = h·Σc² − (Σc)², fano_den =
+    h·Σc over the per-(type,hour) count series. Fano ≈ 1 = Poisson
+    arrivals; >> 1 = bursty. Two cheap aggregates (hour grain then
+    type grain), nothing float."""
+    ev_ = load_table(spark, sf_dir, "events")
+    hourly = ev_.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("h"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .select(
+            "event_type",
+            F.col("h").cast("bigint").alias("n_hours"),
+            F.col("s").cast("bigint").alias("n_events"),
+            (F.col("h") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("bigint")
+            .alias("fano_num"),
+            (F.col("h") * F.col("s")).cast("bigint").alias("fano_den"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_burstiness",
+    events_burstiness,
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_hours,
+  CAST(SUM(c) AS BIGINT) AS n_events,
+  CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT) AS fano_num,
+  CAST(COUNT(*) * SUM(c) AS BIGINT) AS fano_den
+FROM hourly
+GROUP BY event_type
+ORDER BY event_type
+""",
+)

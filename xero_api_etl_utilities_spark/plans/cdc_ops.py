@@ -300,3 +300,102 @@ FROM changes
 ORDER BY o_orderkey, valid_from_v
 """,
 )
+
+
+def diag_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 (r5 seed): the FK audit a warehouse runs after every load —
+    one row per relationship with child row/key counts and ORPHANED
+    child keys. Fully distributed and SINGLE-JOB: every (child key,
+    relationship) pair left-joins its parent's distinct key set tagged
+    with a presence marker, the six relationships union into one tall
+    frame, and one groupBy derives rows / distinct keys / distinct
+    orphan keys per relationship — no driver collects, no per-check
+    jobs. A healthy star schema audits to zero orphans, so the driver
+    row doubles as a testdata invariant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    pa = load_table(spark, sf_dir, "part")
+    na = load_table(spark, sf_dir, "nation")
+
+    def tagged(name, child, ckey, parent, pkey):
+        pk = (
+            parent.select(F.col(pkey).cast("long").alias("k"))
+            .distinct()
+            .withColumn("_present", F.lit(1))
+        )
+        return child.select(
+            F.lit(name).alias("relationship"), F.col(ckey).cast("long").alias("k")
+        ).join(pk, "k", "left")
+
+    tall = (
+        tagged("lineitem.l_orderkey->orders", li, "l_orderkey", od, "o_orderkey")
+        .unionByName(tagged("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey"))
+        .unionByName(
+            tagged("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey")
+        )
+        .unionByName(tagged("orders.o_custkey->customer", od, "o_custkey", cu, "c_custkey"))
+        .unionByName(
+            tagged("customer.c_nationkey->nation", cu, "c_nationkey", na, "n_nationkey")
+        )
+        .unionByName(
+            tagged("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey")
+        )
+    )
+    return (
+        tall.groupBy("relationship")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.countDistinct("k").cast("bigint").alias("n_child_keys"),
+            F.countDistinct(F.when(F.col("_present").isNull(), F.col("k")))
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+        )
+        .orderBy("relationship")
+    )
+
+
+register(
+    "diag_referential_integrity",
+    diag_referential_integrity,
+    """
+WITH checks AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+    (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_child_keys,
+    (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))) AS n_orphan_keys
+  UNION ALL SELECT 'lineitem.l_partkey->part',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem
+      WHERE l_partkey NOT IN (SELECT p_partkey FROM part)))
+  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+    (SELECT COUNT(*) FROM lineitem),
+    (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)))
+  UNION ALL SELECT 'orders.o_custkey->customer',
+    (SELECT COUNT(*) FROM orders),
+    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+  UNION ALL SELECT 'customer.c_nationkey->nation',
+    (SELECT COUNT(*) FROM customer),
+    (SELECT COUNT(DISTINCT c_nationkey) FROM customer),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer
+      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+  UNION ALL SELECT 'supplier.s_nationkey->nation',
+    (SELECT COUNT(*) FROM supplier),
+    (SELECT COUNT(DISTINCT s_nationkey) FROM supplier),
+    (SELECT COUNT(*) FROM (SELECT DISTINCT s_nationkey FROM supplier
+      WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+)
+SELECT relationship, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+  CAST(n_child_keys AS BIGINT) AS n_child_keys,
+  CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+FROM checks
+ORDER BY relationship
+""",
+)

@@ -681,3 +681,76 @@ ORDER BY split
 
 
 register("pipeline_training_corpus", pipeline_training_corpus, _training_corpus_oracle)
+
+
+def text_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 (r5 seed): characteristic terms per document — tf-idf's
+    rank-only skeleton: per doc, the 3 terms with highest term
+    frequency, ties broken toward RARER terms (lower document
+    frequency) then lexically. Rank-based instead of score-based, so
+    every column is an exact integer/string and the oracle hashes —
+    the float tf·idf product would rank identically wherever the
+    (tf, df) orders agree, and where they disagree the rank form is
+    the documented tiebreak. First 20 docs keep the frame small; the
+    plan (tf explode-agg + broadcast df + one per-doc window) is
+    corpus-shape identical at any slice."""
+    from xero_api_etl_utilities_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        terms.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(df), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+register(
+    "text_top_terms_per_doc",
+    text_top_terms_per_doc,
+    """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN df USING (term)
+  WHERE tf.doc_id < 20
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
