@@ -229,6 +229,8 @@ HEADLINE = [
     "events_burstiness",
     "diag_referential_integrity",
     "text_top_terms_per_doc",
+    "agg_revenue_concentration",
+    "events_stickiness",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

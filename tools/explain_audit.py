@@ -292,6 +292,12 @@ CHECKS = {
     "events_session_window": [
         ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    "agg_revenue_concentration": [
+        ("rank window over the post-aggregate frame, materialized diamond", lambda p: "Scan ExistingRDD" in p),
+    ],
+    "events_stickiness": [
+        ("WAU fan-out via explode + semi join, not a range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "diag_referential_integrity": [
         ("single tall union, one aggregate, no driver collects", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "Union" in p),
     ],

@@ -1164,3 +1164,115 @@ GROUP BY event_type
 ORDER BY event_type
 """,
 )
+
+
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 (r5 seed): the 80/20 audit — what share of total revenue
+    the top decile of customers carries, in exact basis points.
+    Per-customer revenue (one fact aggregate), rank by (revenue desc,
+    custkey), top ceil(n/10) share cross-multiplied on integer cents.
+    The decile boundary is a row-count rank, not a float quantile, so
+    the oracle hashes. The rank window is customer-cardinality (post-
+    aggregate), never the fact."""
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("rnk", F.row_number().over(w))
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    ranked = materialize(ranked)
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    ).collect()[0]
+    n, total = int(tot["n"]), int(tot["total"])
+    top_k = (n + 9) // 10
+    return ranked.filter(F.col("rnk") <= top_k).agg(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.lit(top_k).cast("bigint").alias("top_decile_n"),
+        F.sum("cents").cast("bigint").alias("top_decile_cents"),
+        F.lit(total).cast("bigint").alias("total_cents"),
+        F.expr(f"sum(cents) * 10000 div {total}").cast("bigint").alias("share_bp"),
+    )
+
+
+register(
+    "agg_revenue_concentration",
+    agg_revenue_concentration,
+    """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+  FROM per
+),
+tot AS (SELECT COUNT(*) AS n, SUM(cents) AS total FROM per)
+SELECT CAST(n AS BIGINT) AS n_customers,
+  CAST((n + 9) // 10 AS BIGINT) AS top_decile_n,
+  CAST(SUM(cents) AS BIGINT) AS top_decile_cents,
+  CAST(total AS BIGINT) AS total_cents,
+  CAST(SUM(cents) * 10000 // total AS BIGINT) AS share_bp
+FROM ranked CROSS JOIN tot
+WHERE rnk <= (n + 9) // 10
+GROUP BY n, total
+""",
+)
+
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 (r5 seed): DAU/WAU stickiness per day in exact basis points
+    — composes the X47 lowering twice: DAU from the deduped
+    (day,user) frame directly, WAU via the same explode-not-range-join
+    trailing-7 fan-out, then stickiness_bp = dau·10000 div wau. The
+    product-metric everyone tracks, with a hash-exact oracle."""
+    ev_ = load_table(spark, sf_dir, "events")
+    du = ev_.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    days = du.select(F.col("day").alias("d")).distinct()
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+                "d"
+            ),
+            "user_id",
+        )
+        .join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("d", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.expr("dau * 10000 div wau").cast("bigint").alias("stickiness_bp"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "events_stickiness",
+    events_stickiness,
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day AS d FROM du),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+wau AS (
+  SELECT d AS day, COUNT(DISTINCT user_id) AS wau
+  FROM du JOIN days ON datediff('day', du.day, d) BETWEEN 0 AND 6
+  GROUP BY d
+)
+SELECT dau.day AS day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
+FROM dau JOIN wau ON dau.day = wau.day
+ORDER BY dau.day
+""",
+)
