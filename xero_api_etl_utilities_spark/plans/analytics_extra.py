@@ -998,9 +998,12 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lag_min").alias("min_lag_min"),
         F.max("lag_min").alias("max_lag_min"),
     )
+    # integer div, not /: float (n-1)/2+1 is fractional for even n and
+    # the equality silently drops those cohorts (caught by the sf0.001
+    # sweep — sf0.01 happened to produce only odd cohorts)
     med = ranked.join(
         counts.select("cohort_week", "n_converted"), "cohort_week"
-    ).filter(F.col("rn") == (F.col("n_converted") - 1) / 2 + 1).select(
+    ).filter(F.col("rn") == F.expr("(n_converted - 1) div 2 + 1")).select(
         "cohort_week", F.col("lag_min").alias("median_lag_min")
     )
     return (
