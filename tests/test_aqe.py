@@ -69,3 +69,32 @@ def test_small_shuffle_partitions_coalesce(aqe_tuned):
     plan = _final_plan(df)
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning on the date-partitioned fact layout
+    (sources/writer.py's design): a selective dim predicate must
+    surface as a dynamicpruning# filter on the fact's PARTITION
+    column — at 100 TB this is the difference between scanning the
+    partitions a dim filter selects and scanning the table. Shape
+    note (cost the prototype paid): pre-projecting the fact to the
+    partition column alone defeats the benefit heuristic; the
+    canonical fact-join-dim-with-attribute-filter form triggers it."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    ev.select("day").distinct().withColumn("dow", F.dayofweek("day")).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    spark.read.parquet(fact_path).createOrReplaceTempView("dpp_fact")
+    spark.read.parquet(dim_path).createOrReplaceTempView("dpp_dim")
+    j = spark.sql(
+        "SELECT count(*) FROM dpp_fact JOIN dpp_dim"
+        " ON dpp_fact.day = dpp_dim.day WHERE dpp_dim.dow = 2"
+    )
+    opt = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in opt.lower(), "DPP filter missing on the fact scan"
