@@ -231,6 +231,7 @@ HEADLINE = [
     "text_top_terms_per_doc",
     "agg_revenue_concentration",
     "events_stickiness",
+    "join_point_in_time",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

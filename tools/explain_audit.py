@@ -292,6 +292,9 @@ CHECKS = {
     "events_session_window": [
         ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    "join_point_in_time": [
+        ("PIT via union-sort-window asof, no range join", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
+    ],
     "agg_revenue_concentration": [
         ("rank window over the post-aggregate frame, materialized diamond", lambda p: "Scan ExistingRDD" in p),
     ],

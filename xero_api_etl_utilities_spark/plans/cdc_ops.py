@@ -399,3 +399,73 @@ FROM checks
 ORDER BY relationship
 """,
 )
+
+
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 (r5 seed): the feature-store POINT-IN-TIME join — fetch,
+    for each (entity, as-of version) probe, the attribute version that
+    was valid THEN: the op that keeps training data leakage-free
+    (training rows must see features as they were, never later
+    rewrites). History is the X64 SCD2 frame (v1 rows everywhere, v2
+    re-writes on every 7th order); probes ask half the orders at
+    as-of=1 and half at as-of=2. Lowering: the asof operator's
+    union-sort-window on (key, version) — proving it generalizes
+    beyond timestamps to any ordered version axis — one shuffle, no
+    range join. Oracle: the correlated max-version subquery."""
+    od = load_table(spark, sf_dir, "orders")
+    history = (
+        od.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("prio"),
+            F.lit(1).alias("version"),
+        )
+        .unionByName(
+            od.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                F.lit("0-REPRIORITIZED").alias("prio"),
+                F.lit(2).alias("version"),
+            )
+        )
+    )
+    probes = od.select(
+        "o_orderkey",
+        (F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(2)).alias("as_of_v"),
+    )
+    from xero_api_etl_utilities_spark.operators.asof import asof_join_backward
+
+    joined = asof_join_backward(
+        probes,
+        history,
+        on="o_orderkey",
+        left_ts="as_of_v",
+        right_ts="version",
+        right_cols=["prio"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "as_of_v",
+        F.col("prio").alias("prio_at_time"),
+    ).orderBy("o_orderkey", "as_of_v")
+
+
+register(
+    "join_point_in_time",
+    join_point_in_time,
+    """
+WITH history AS (
+  SELECT o_orderkey, o_orderpriority AS prio, 1 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, '0-REPRIORITIZED', 2 FROM orders WHERE o_orderkey % 7 = 0
+),
+probes AS (
+  SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS as_of_v
+  FROM orders
+)
+SELECT p.o_orderkey, p.as_of_v,
+  (SELECT h.prio FROM history h
+   WHERE h.o_orderkey = p.o_orderkey AND h.version <= p.as_of_v
+   ORDER BY h.version DESC LIMIT 1) AS prio_at_time
+FROM probes p
+ORDER BY p.o_orderkey, p.as_of_v
+""",
+)
