@@ -232,6 +232,7 @@ HEADLINE = [
     "agg_revenue_concentration",
     "events_stickiness",
     "join_point_in_time",
+    "diag_data_contract",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -292,6 +292,9 @@ CHECKS = {
     "events_session_window": [
         ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    "diag_data_contract": [
+        ("all rules from ONE conditional-sum scan", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
     "join_point_in_time": [
         ("PIT via union-sort-window asof, no range join", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],

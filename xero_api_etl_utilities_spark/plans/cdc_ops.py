@@ -469,3 +469,66 @@ FROM probes p
 ORDER BY p.o_orderkey, p.as_of_v
 """,
 )
+
+
+def diag_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 (r5 seed): value-level data-contract validation — the
+    companion to the FK audit: each rule (enum domain, positivity,
+    date range, null-ness) counted over ONE fact scan as conditional
+    sums, published as (rule, n_checked, n_violations). Adding a rule
+    is adding a column expression — no extra pass ever. A violation
+    row here is the thing observed_gate would abort on in the
+    pipeline; the catalog form makes the census itself verifiable."""
+    od = load_table(spark, sf_dir, "orders")
+    rules = {
+        "o_orderstatus in (F,O,P)": ~F.col("o_orderstatus").isin("F", "O", "P"),
+        "o_totalprice > 0": ~(F.col("o_totalprice") > 0),
+        "o_orderdate in 1995..2003": ~F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1995-01-01"), F.lit("2003-12-31")),
+        "o_custkey not null": F.col("o_custkey").isNull(),
+        "o_orderpriority not null": F.col("o_orderpriority").isNull(),
+    }
+    wide = od.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_v{i}")
+            for i, cond in enumerate(rules.values())
+        ],
+    )
+    # unpivot the 1-row wide result driver-side (bounded; same pattern
+    # as profile_orders)
+    row = wide.collect()[0]
+    out = [
+        (name, int(row["_n"]), int(row[f"_v{i}"]))
+        for i, name in enumerate(rules.keys())
+    ]
+    return spark.createDataFrame(
+        out, "rule string, n_checked bigint, n_violations bigint"
+    ).orderBy("rule")
+
+
+register(
+    "diag_data_contract",
+    diag_data_contract,
+    """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v0,
+    SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v1,
+    SUM(CASE WHEN CAST(o_orderdate AS DATE) NOT BETWEEN DATE '1995-01-01'
+             AND DATE '2003-12-31' THEN 1 ELSE 0 END) AS v2,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v3,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v4
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderstatus in (F,O,P)' AS rule, n AS n_checked, v0 AS n_violations FROM agg
+  UNION ALL SELECT 'o_totalprice > 0', n, v1 FROM agg
+  UNION ALL SELECT 'o_orderdate in 1995..2003', n, v2 FROM agg
+  UNION ALL SELECT 'o_custkey not null', n, v3 FROM agg
+  UNION ALL SELECT 'o_orderpriority not null', n, v4 FROM agg
+)
+ORDER BY rule
+""",
+)
