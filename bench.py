@@ -233,6 +233,8 @@ HEADLINE = [
     "events_stickiness",
     "join_point_in_time",
     "diag_data_contract",
+    "part_pareto_frontier",
+    "events_changepoint",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

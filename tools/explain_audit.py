@@ -292,6 +292,12 @@ CHECKS = {
     "events_session_window": [
         ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    "part_pareto_frontier": [
+        ("skyline via one dim-sized ordered window, no self-join", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
+    "events_changepoint": [
+        ("argmax via max_by aggregate, type-partitioned prefix window", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "diag_data_contract": [
         ("all rules from ONE conditional-sum scan", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],

@@ -1279,3 +1279,141 @@ FROM dau JOIN wau ON dau.day = wau.day
 ORDER BY dau.day
 """,
 )
+
+
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 (r5 seed): the 2-D SKYLINE operator (Borzsony/Kossmann's
+    classic, absent from every SQL dialect): parts no other part
+    dominates — cheaper AND bigger. Lowering: sort by (price asc,
+    size desc), a point is on the frontier iff its size strictly
+    exceeds every EARLIER point's size = running max over the ordered
+    window (ties on price resolved toward the larger size; equal
+    (price,size) duplicates keep the lowest partkey via the
+    three-key total order). One window over the part DIMENSION
+    (dim-cardinality, never a fact) — at larger dimensions the
+    standard trick is a coarse pre-filter on a grid then this exact
+    pass on survivors. Integer cents/sizes only."""
+    pa = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w = (
+        Window.orderBy(
+            F.asc("price_cents"), F.desc("size"), F.asc("p_partkey")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pa.withColumn("_prev_max", F.max("size").over(w))
+        .filter(F.col("_prev_max").isNull() | (F.col("size") > F.col("_prev_max")))
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+register(
+    "part_pareto_frontier",
+    part_pareto_frontier,
+    """
+WITH pa AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+    CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+flagged AS (
+  SELECT p_partkey, price_cents, size,
+    MAX(size) OVER (ORDER BY price_cents ASC, size DESC, p_partkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max
+  FROM pa
+)
+SELECT p_partkey, price_cents, size
+FROM flagged
+WHERE prev_max IS NULL OR size > prev_max
+ORDER BY price_cents, p_partkey
+""",
+)
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 (r5 seed): batch changepoint detection — the offline twin
+    of the streaming CUSUM (streaming/drift.py): per event type, the
+    day where the cumulative deviation from the overall mean peaks,
+    i.e. argmax_t |n·S_t − t·S_n| over the daily-total series (the
+    CUSUM statistic cross-multiplied so the mean never becomes a
+    float: S_t = prefix sum of daily cents, n = #days, S_n = total).
+    Ties break to the earliest day. One day-grain aggregate, one
+    type-partitioned window, one argmax via max_by struct — every
+    hashed value an integer."""
+    ev_ = load_table(spark, sf_dir, "events")
+    daily = ev_.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = daily.withColumn("t", F.count(F.lit(1)).over(w)).withColumn(
+        "prefix", F.sum("cents").over(w)
+    )
+    tot = stats.groupBy("event_type").agg(
+        F.max("t").alias("n"), F.sum("cents").alias("total")
+    )
+    scored = stats.join(tot, "event_type").withColumn(
+        "dev", F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("total"))
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.expr(
+                "max_by(struct(day, dev), struct(dev, to_unix_timestamp(day) * -1))"
+            ).alias("_w")
+        )
+        .select(
+            "event_type",
+            F.col("_w.day").alias("changepoint_day"),
+            F.col("_w.dev").cast("bigint").alias("peak_deviation"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "events_changepoint",
+    events_changepoint,
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+    SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM daily
+),
+tot AS (
+  SELECT event_type, MAX(t) AS n,
+    (SELECT SUM(cents) FROM daily d WHERE d.event_type = stats.event_type)
+      AS total
+  FROM stats GROUP BY event_type
+),
+scored AS (
+  SELECT s.event_type, s.day,
+    abs(tot.n * s.prefix - s.t * tot.total) AS dev
+  FROM stats s JOIN tot ON s.event_type = tot.event_type
+),
+ranked AS (
+  SELECT event_type, day, dev,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev DESC, day ASC)
+      AS r
+  FROM scored
+)
+SELECT event_type, day AS changepoint_day, CAST(dev AS BIGINT) AS peak_deviation
+FROM ranked WHERE r = 1
+ORDER BY event_type
+""",
+)
