@@ -235,6 +235,9 @@ HEADLINE = [
     "diag_data_contract",
     "part_pareto_frontier",
     "events_changepoint",
+    "events_daily_trend",
+    "basket_brand_triples",
+    "layout_shard_moves",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

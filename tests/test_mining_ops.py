@@ -1,0 +1,116 @@
+"""Unit pins for the mining/layout wave (X77–X79): OLS slope edge
+cases, Apriori candidate-prune soundness, consistent-hash ring
+invariants."""
+
+from __future__ import annotations
+
+from xero_api_etl_utilities_spark.functions.crosshash import py_h32
+from xero_api_etl_utilities_spark.plans.mining_ops import (
+    _N_NEW,
+    _N_OLD,
+    _VNODES,
+    _ring,
+    basket_brand_triples,
+    events_daily_trend,
+    layout_shard_moves,
+)
+
+
+def test_trend_sign_matches_handfit_series(spark, sf_dir):
+    # exact rational slope: den > 0 always (x values distinct days),
+    # and num/den must equal the numpy-fit slope to float precision.
+    rows = events_daily_trend(spark, sf_dir).collect()
+    assert rows, "trend must produce one row per event type"
+    for r in rows:
+        assert r["slope_den"] > 0
+        assert r["trend_sign"] == (
+            0 if r["slope_num"] == 0 else (1 if r["slope_num"] > 0 else -1)
+        )
+
+
+def test_trend_shift_invariance_property():
+    # the published rational is invariant under shifting x — the reason
+    # raw epoch-days need no min-day normalization pass.
+    xs = [19700, 19701, 19703, 19707]
+    ys = [5, 9, 4, 11]
+
+    def nd(xs):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        return n * sxy - sx * sy, n * sxx - sx * sx
+
+    assert nd(xs) == nd([x - 19700 for x in xs])
+
+
+def test_apriori_prune_is_lossless(spark, sf_dir):
+    # every triple the pruned plan reports must satisfy minsup, and
+    # the UNPRUNED count (direct 3-way join) must agree exactly —
+    # Apriori's downward-closure guarantee, checked on real data.
+    got = {
+        (r["b1"], r["b2"], r["b3"]): r["support"]
+        for r in basket_brand_triples(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    minsup = max(5, n_orders // 200)
+    basket = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from itertools import combinations
+
+    per_order = defaultdict(set)
+    for r in basket:
+        per_order[r["l_orderkey"]].add(r["p_brand"])
+    naive = defaultdict(int)
+    for brands in per_order.values():
+        for tri in combinations(sorted(brands), 3):
+            naive[tri] += 1
+    expected = {t: s for t, s in naive.items() if s >= minsup}
+    assert got == expected
+
+
+def test_ring_is_sorted_unique_and_decodable():
+    ring = _ring(_N_NEW)
+    assert len(ring) == _N_NEW * _VNODES
+    assert ring == sorted(ring) and len(set(ring)) == len(ring)
+    shards = {e % 64 for e in ring}
+    assert shards == set(range(_N_NEW))
+    # encoded position survives the decode round-trip
+    for s in range(_N_NEW):
+        for rep in range(_VNODES):
+            e = py_h32(f"vn:{s}:{rep}") * 64 + s
+            assert e // 64 == py_h32(f"vn:{s}:{rep}")
+
+
+def test_ring_growth_only_moves_keys_to_the_new_shard(spark, sf_dir):
+    # consistent-hashing invariant: a key that moves when the ring
+    # grows 32→33 can only move TO shard 32; and far fewer keys move
+    # on the ring than under mod-N.
+    old_ring, new_ring = _ring(_N_OLD), _ring(_N_NEW)
+
+    def assign(ring, kp):
+        cands = [e for e in ring if e >= kp * 64]
+        return (min(cands) if cands else min(ring)) % 64
+
+    custkeys = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    ]
+    moved = 0
+    for k in custkeys:
+        kp = py_h32(f"key:{k}")
+        a_old, a_new = assign(old_ring, kp), assign(new_ring, kp)
+        if a_old != a_new:
+            moved += 1
+            assert a_new == _N_OLD, "ring move must target the added shard"
+    row = layout_shard_moves(spark, sf_dir).collect()[0]
+    assert row["ring_moves"] == moved
+    assert row["n_keys"] == len(custkeys)
+    assert row["ring_moves"] < row["mod_moves"]

@@ -298,6 +298,15 @@ CHECKS = {
     "events_changepoint": [
         ("argmax via max_by aggregate, type-partitioned prefix window", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "events_daily_trend": [
+        ("exact OLS from two hash aggregates, no window/join/collect", lambda p: "Join" not in p and "Window" not in p and "CartesianProduct" not in p),
+    ],
+    "basket_brand_triples": [
+        ("Apriori: order-keyed equi-joins only, candidate set broadcast", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "layout_shard_moves": [
+        ("ring lookup is in-row array algebra: one scan, no join", lambda p: "Join" not in p and "Exchange" in p and "CartesianProduct" not in p),
+    ],
     "diag_data_contract": [
         ("all rules from ONE conditional-sum scan", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],

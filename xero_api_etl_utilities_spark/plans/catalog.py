@@ -27,6 +27,10 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
+    # --- round-4 continuation wave (newest first) ---
+    "events_daily_trend",
+    "basket_brand_triples",
+    "layout_shard_moves",
     # --- round-4 additions (newest first; names may be listed before
     # their modules land — unregistered names are ignored) ---
     # r4-END STATE: the first 50 of queries() are EXACTLY the 50
@@ -179,6 +183,7 @@ def _load_extra_modules() -> None:
         cdc_ops,
         retrieval_quality,
         graph_ops,
+        mining_ops,
     )
 
 
