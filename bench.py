@@ -238,10 +238,15 @@ HEADLINE = [
     "events_daily_trend",
     "basket_brand_triples",
     "layout_shard_moves",
+    "fuzzy_sorted_neighborhood",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as
-# oracle generators (see VERDICT r1 items 2-3).
+# oracle generators (see VERDICT r1 items 2-3) — and
+# dedup_prefix_filter_pairs, whose prefix+length filters are
+# sub-quadratic on Zipfian corpora but measured near-dense on this
+# synthetic small-vocabulary one (see its docstring); the benched
+# scale path for set similarity stays dedup_minhash_lsh.
 
 
 def main() -> None:

@@ -8,10 +8,14 @@ from xero_api_etl_utilities_spark.functions.crosshash import py_h32
 from xero_api_etl_utilities_spark.plans.mining_ops import (
     _N_NEW,
     _N_OLD,
+    _SNM_MAXDIST,
+    _SNM_WINDOW,
     _VNODES,
     _ring,
     basket_brand_triples,
+    dedup_prefix_filter_pairs,
     events_daily_trend,
+    fuzzy_sorted_neighborhood,
     layout_shard_moves,
 )
 
@@ -114,3 +118,109 @@ def test_ring_growth_only_moves_keys_to_the_new_shard(spark, sf_dir):
     assert row["ring_moves"] == moved
     assert row["n_keys"] == len(custkeys)
     assert row["ring_moves"] < row["mod_moves"]
+
+
+def _bigram_sets(texts):
+    import re
+
+    out = {}
+    for i, t in texts:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        out[i] = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+    return out
+
+
+def test_prefix_filter_equals_quadratic_truth(spark, sf_dir):
+    # the whole point of prefix filtering: EXACT result, not approx.
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"])
+        for r in dedup_prefix_filter_pairs(spark, sf_dir).collect()
+    }
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    sets = _bigram_sets(docs)
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 5 >= union * 2:
+                expected[(a, b)] = (inter, union)
+    assert got == expected
+
+
+def test_prefix_theorem_property():
+    # pigeonhole: J >= t pairs always share a prefix token under ANY
+    # global order; exercised over crafted near-miss set pairs.
+    t_num, t_den = 2, 5
+    import itertools
+
+    universe = [f"w{i}" for i in range(12)]
+    order = {w: i for i, w in enumerate(universe)}  # arbitrary total order
+    for k in range(4, 9):
+        x = set(universe[:k])
+        for drop in range(0, k):
+            y = set(universe[drop : drop + k])
+            inter, union = len(x & y), len(x | y)
+            if inter * t_den >= union * t_num:
+                import math
+
+                def prefix(s):
+                    sz = len(s)
+                    plen = sz - math.ceil(t_num * sz / t_den) + 1
+                    return set(sorted(s, key=order.get)[:plen])
+
+                assert prefix(x) & prefix(y), (x, y)
+
+
+def test_snm_recall_grows_with_window(spark, sf_dir):
+    # SNM output must be a SUBSET of quadratic truth, and the default
+    # window must catch a nonzero share of it (the measured 36%).
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_sorted_neighborhood(spark, sf_dir).collect()
+    }
+    names = sorted(
+        r["p_name"]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_name")
+        .distinct()
+        .collect()
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if 1 <= lev(a, b) <= _SNM_MAXDIST
+    }
+    windowed = {
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, min(i + 1 + _SNM_WINDOW, len(names)))
+        if 1 <= lev(names[i], names[j]) <= _SNM_MAXDIST
+    }
+    assert got == windowed  # algorithmic agreement with the Spark plan
+    assert got <= truth and got  # sound and non-empty
+    # widening the window can only add pairs (monotone recall)
+    wider = {
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, min(i + 2 + _SNM_WINDOW, len(names)))
+        if 1 <= lev(names[i], names[j]) <= _SNM_MAXDIST
+    }
+    assert windowed <= wider

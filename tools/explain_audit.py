@@ -307,6 +307,12 @@ CHECKS = {
     "layout_shard_moves": [
         ("ring lookup is in-row array algebra: one scan, no join", lambda p: "Join" not in p and "Exchange" in p and "CartesianProduct" not in p),
     ],
+    "dedup_prefix_filter_pairs": [
+        ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "fuzzy_sorted_neighborhood": [
+        ("rank window over distinct dim names; probe join is equi on rank", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "diag_data_contract": [
         ("all rules from ONE conditional-sum scan", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],

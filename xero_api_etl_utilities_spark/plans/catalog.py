@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "dedup_prefix_filter_pairs",
+    "fuzzy_sorted_neighborhood",
     "events_daily_trend",
     "basket_brand_triples",
     "layout_shard_moves",
