@@ -239,6 +239,8 @@ HEADLINE = [
     "basket_brand_triples",
     "layout_shard_moves",
     "fuzzy_sorted_neighborhood",
+    "graph_label_propagation",
+    "events_user_diversity",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

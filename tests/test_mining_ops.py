@@ -120,6 +120,52 @@ def test_ring_growth_only_moves_keys_to_the_new_shard(spark, sf_dir):
     assert row["ring_moves"] < row["mod_moves"]
 
 
+def test_lpa_separates_bridged_cliques(spark):
+    # two 4-cliques joined by one bridge edge: connected components
+    # would merge them; LPA must keep two communities (density-aware).
+    from xero_api_etl_utilities_spark.operators.graph import label_propagation
+    from itertools import combinations
+
+    edges = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+    edges += [(a, b) for a, b in combinations([11, 12, 13, 14], 2)]
+    edges += [(4, 11)]  # bridge
+    df = spark.createDataFrame(edges, "u1 bigint, u2 bigint")
+    labels = {r["v"]: r["label"] for r in label_propagation(df, iters=4).collect()}
+    left = {labels[v] for v in (1, 2, 3)}
+    right = {labels[v] for v in (12, 13, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_min_tie_break_is_deterministic(spark):
+    # a 2-path 1-2-3: vertex 2 sees labels {1,3} equally often and
+    # must adopt the SMALLER one every round on every run.
+    from xero_api_etl_utilities_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u1 bigint, u2 bigint")
+    for _ in range(2):
+        labels = {
+            r["v"]: r["label"] for r in label_propagation(df, iters=1).collect()
+        }
+        assert labels[2] == 1  # min of {1, 3}
+        assert labels[1] == 2 and labels[3] == 2  # sole neighbor's label
+
+
+def test_simpson_index_bounds(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import events_user_diversity
+
+    rows = events_user_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Simpson concentration lives in [1/k, 1]; bp floors at
+        # 10000/n_types (even spread) and caps at 10000.
+        assert r["simpson_num"] * r["n_types"] >= r["simpson_den"]
+        assert 10000 // r["n_types"] <= r["concentration_bp"] <= 10000
+        # single-type users must hit exactly 10000
+        if r["n_types"] == 1:
+            assert r["concentration_bp"] == 10000
+
+
 def _bigram_sets(texts):
     import re
 

@@ -310,6 +310,12 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "graph_label_propagation": [
+        ("per-round equi-join + count + max_by, lineage truncated", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "Scan ExistingRDD" in p),
+    ],
+    "events_user_diversity": [
+        ("two user-keyed hash aggregates, no window/join", lambda p: "Join" not in p and "Window" not in p and "CartesianProduct" not in p),
+    ],
     "fuzzy_sorted_neighborhood": [
         ("rank window over distinct dim names; probe join is equi on rank", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],

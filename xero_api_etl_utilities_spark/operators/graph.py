@@ -241,6 +241,57 @@ def pagerank_int(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "u1",
+    b_col: str = "u2",
+    iters: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan's
+    LPA) over an UNDIRECTED graph, made fully deterministic: every
+    vertex starts labeled with its own id, and each round adopts the
+    most frequent label among its NEIGHBORS, ties broken to the
+    smallest label.  Classic LPA breaks ties randomly and updates
+    asynchronously in shuffled vertex order — both banned here
+    (engine/partitioning/rerun-stable results are a catalog
+    invariant), so this is the synchronous min-tie variant: identical
+    rounds in any engine, which is what lets the DuckDB oracle replay
+    it move for move.  Fixed ``iters`` rounds (synchronous LPA can
+    2-cycle on bipartite structure, so a fixpoint test would not
+    terminate; a small fixed round count is the standard remedy and
+    keeps the oracle finitely unrollable).
+
+    Per round: ONE equi-join (edges × labels on src) + ONE
+    (dst, label) count aggregate + ONE per-dst argmax via ``max_by``
+    — the same bounded shuffle pattern as :func:`pagerank_int`, with
+    map-side partial aggregation absorbing hub skew and lineage
+    truncated per round via :func:`materialize`.  Returns
+    ``(v, label)``."""
+    a, b = F.col(a_col), F.col(b_col)
+    edges = materialize(edges, checkpoint_dir)
+    directed = edges.select(a.alias("src"), b.alias("dst")).unionAll(
+        edges.select(b.alias("src"), a.alias("dst"))
+    )
+    directed = materialize(directed, checkpoint_dir)
+    labels = directed.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(iters):
+        msgs = directed.join(labels, directed.src == labels.v).select(
+            F.col("dst"), F.col("label")
+        )
+        labels = materialize(
+            msgs.groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("dst")
+            .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
+            .select(F.col("dst").alias("v"), "label"),
+            checkpoint_dir,
+        )
+    return labels
+
+
 def kcore(
     edges: DataFrame,
     k: int,

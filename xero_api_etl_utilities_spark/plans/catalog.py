@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "graph_label_propagation",
+    "events_user_diversity",
     "dedup_prefix_filter_pairs",
     "fuzzy_sorted_neighborhood",
     "events_daily_trend",

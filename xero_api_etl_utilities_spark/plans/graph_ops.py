@@ -480,3 +480,78 @@ ORDER BY core_degree DESC, v ASC
 
 
 register("graph_kcore", graph_kcore, _kcore_oracle)
+
+
+# --------------------------------------------------------------------------
+# X82: label-propagation communities
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: top-20 communities (by size, ties to smallest label) from
+    deterministic synchronous label propagation over the same
+    co-occurrence graph as the triangle/pagerank/k-core family — the
+    fourth iterative graph operator, and unlike connected components
+    it is DENSITY-sensitive: a bridge edge joins two components but
+    not two communities.  Four synchronous rounds of
+    neighbor-majority labels with min-label tie-breaks
+    (operators/graph.py:label_propagation); the oracle replays all
+    four rounds in DuckDB, so every (community, size) digit is
+    hash-verified, not just "looks clustered"."""
+    from xero_api_etl_utilities_spark.operators.graph import label_propagation
+
+    labels = label_propagation(_co_edges(spark, sf_dir), iters=_LPA_ITERS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(20)
+    )
+
+
+def _lpa_oracle() -> str:
+    prev = "l0"
+    rounds = []
+    for i in range(1, _LPA_ITERS + 1):
+        rounds.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT v, label FROM (
+    SELECT d.d AS v, l.label,
+      ROW_NUMBER() OVER (PARTITION BY d.d
+                         ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM directed d JOIN {prev} l ON l.v = d.s
+    GROUP BY d.d, l.label
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH uc AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) dd, event_type t, hour(ts) h
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT a.user_id u1, b.user_id u2
+  FROM uc a JOIN uc b
+    ON a.dd = b.dd AND a.t = b.t AND a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+directed AS (
+  SELECT u1 AS s, u2 AS d FROM edges
+  UNION ALL SELECT u2, u1 FROM edges
+),
+l0 AS (SELECT DISTINCT s AS v, s AS label FROM directed),
+{rounds_sql}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+FROM {prev}
+GROUP BY label
+ORDER BY size DESC, community ASC
+LIMIT 20
+"""
+
+
+register("graph_label_propagation", graph_label_propagation, _lpa_oracle)
