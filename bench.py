@@ -241,6 +241,7 @@ HEADLINE = [
     "fuzzy_sorted_neighborhood",
     "graph_label_propagation",
     "events_user_diversity",
+    "text_bpe_merges",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -166,6 +166,74 @@ def test_simpson_index_bounds(spark, sf_dir):
             assert r["concentration_bp"] == 10000
 
 
+def _py_bpe(word_counts, rounds):
+    # straight-line reference implementation (list-walk greedy)
+    from collections import Counter
+
+    seqs = {w: list(w) for w in word_counts}
+    out = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (l, rr), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, l, rr, cnt))
+        for w, s in seqs.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == rr:
+                    ns.append(l + rr)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = ns
+    return out
+
+
+def test_bpe_greedy_overlap_and_remerge(spark):
+    # 'aaaa'×10 forces the overlap rule (non-overlapping greedy: two
+    # (a,a) merges per word, then (aa,aa) next round); 'banana' pins
+    # interior merges; the corpus is crafted so round 2's winner is a
+    # SYMBOL FROM ROUND 1 (re-merge of 'aa').
+    from xero_api_etl_utilities_spark.operators.bpe import bpe_merges
+
+    texts = ["aaaa " * 10 + "banana banana bansana"]
+    docs = spark.createDataFrame([(1, texts[0])], "doc_id bigint, text string")
+    wc = {"aaaa": 10, "banana": 2, "bansana": 1}
+    expected = _py_bpe(wc, 3)
+    got = bpe_merges(docs, rounds=3)
+    assert got == expected
+    # round 1: (a,a) — the COUNT is positional (3 per 'aaaa'), while
+    # the MERGE is non-overlapping (each 'aaaa' becomes [aa, aa])
+    assert got[0] == (1, "a", "a", 30)
+
+
+def test_bpe_tie_breaks_lexicographic(spark):
+    from xero_api_etl_utilities_spark.operators.bpe import bpe_merges
+
+    # 'zy' and 'ab' both appear exactly 3 times: (a,b) must win
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab zy zy zy")], "doc_id bigint, text string"
+    )
+    got = bpe_merges(docs, rounds=1)
+    assert got == [(1, "a", "b", 3)]
+
+
+def test_bpe_rejects_non_alnum_symbols(spark):
+    from xero_api_etl_utilities_spark.operators.bpe import _apply_merge, word_symbol_frame
+    import pytest as _pt
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id bigint, text string")
+    frame = word_symbol_frame(docs)
+    with _pt.raises(ValueError):
+        _apply_merge(frame, "a'; drop", "b")
+
+
 def _bigram_sets(texts):
     import re
 

@@ -310,6 +310,12 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "text_bpe_merges": [
+        # the returned frame is the collected merge table (driver
+        # rules are plan parameters, the IVF-centroid pattern); the
+        # distributed work is audited via its operator tests
+        ("merge table is a local result, no residual join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "graph_label_propagation": [
         ("per-round equi-join + count + max_by, lineage truncated", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "Scan ExistingRDD" in p),
     ],
