@@ -242,6 +242,8 @@ HEADLINE = [
     "graph_label_propagation",
     "events_user_diversity",
     "text_bpe_merges",
+    "basket_brand_rules",
+    "layout_zonemap_prune",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -166,6 +166,35 @@ def test_simpson_index_bounds(spark, sf_dir):
             assert r["concentration_bp"] == 10000
 
 
+def test_rules_metrics_satisfy_identities(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import basket_brand_rules
+
+    rows = basket_brand_rules(spark, sf_dir).collect()
+    assert rows
+    by_pair = {(r["antecedent"], r["consequent"]): r for r in rows}
+    for (a, b), r in by_pair.items():
+        # confidence >= support (sup_a <= N); symmetric pair exists
+        # with identical sup_ab and lift (lift is symmetric)
+        assert r["confidence_bp"] >= r["support_bp"]
+        mirror = by_pair.get((b, a))
+        if mirror is not None:
+            assert mirror["sup_ab"] == r["sup_ab"]
+            assert mirror["lift_bp"] == r["lift_bp"]
+
+
+def test_zonemap_prune_story(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import layout_zonemap_prune
+
+    rows = {r["layout"]: r for r in layout_zonemap_prune(spark, sf_dir).collect()}
+    arr, dat = rows["arrival_order"], rows["date_clustered"]
+    # same fact rows under both chunkings
+    assert arr["rows_total"] == dat["rows_total"]
+    # arrival-order files span years -> zone maps prune (almost)
+    # nothing; date-clustered files prune to ~the predicate weeks
+    assert arr["scan_bp"] > dat["scan_bp"]
+    assert dat["chunks_scanned"] <= 14  # 13 predicate weeks (+1 edge)
+
+
 def _py_bpe(word_counts, rounds):
     # straight-line reference implementation (list-walk greedy)
     from collections import Counter

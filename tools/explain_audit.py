@@ -310,6 +310,12 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "basket_brand_rules": [
+        ("basket self-join order-keyed; support dims broadcast", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "BroadcastHashJoin" in p),
+    ],
+    "layout_zonemap_prune": [
+        ("analytic chunking: groupBy only, no window, no global sort", lambda p: "Window" not in p and "Join" not in p and "CartesianProduct" not in p),
+    ],
     "text_bpe_merges": [
         # the returned frame is the collected merge table (driver
         # rules are plan parameters, the IVF-centroid pattern); the

@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "basket_brand_rules",
+    "layout_zonemap_prune",
     "text_bpe_merges",
     "graph_label_propagation",
     "events_user_diversity",
