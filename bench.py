@@ -244,6 +244,8 @@ HEADLINE = [
     "text_bpe_merges",
     "basket_brand_rules",
     "layout_zonemap_prune",
+    "agg_mad_outliers",
+    "events_decayed_type_scores",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -166,6 +166,35 @@ def test_simpson_index_bounds(spark, sf_dir):
             assert r["concentration_bp"] == 10000
 
 
+def test_mad_outliers_are_robust_minority(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import agg_mad_outliers
+
+    rows = agg_mad_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # MAD has 50% breakdown: by construction at most half the
+        # population can sit beyond 3*1.4826*MAD of the median
+        # (strictly fewer whenever MAD > 0)
+        assert 0 <= r["n_outliers"] <= r["n"] // 2
+        assert r["mad_cents"] >= 0
+        assert r["outlier_bp"] == 10000 * r["n_outliers"] // r["n"]
+
+
+def test_decayed_scores_are_shift_exact(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import (
+        events_decayed_type_scores,
+    )
+
+    rows = events_decayed_type_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every weight is a power of two <= 2^20, so the total is
+        # bounded by n * 2^20 and positive for any type with recent
+        # activity
+        assert 0 <= r["decayed_score"] <= r["n_events"] * (1 << 20)
+    assert any(r["decayed_score"] > 0 for r in rows)
+
+
 def test_rules_metrics_satisfy_identities(spark, sf_dir):
     from xero_api_etl_utilities_spark.plans.mining_ops import basket_brand_rules
 

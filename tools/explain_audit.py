@@ -310,6 +310,12 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "agg_mad_outliers": [
+        ("median frames broadcast back; no cartesian/NLJ", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "BroadcastHashJoin" in p),
+    ],
+    "events_decayed_type_scores": [
+        ("decay is a scan projection + one aggregate, no join/window", lambda p: "Join" not in p and "Window" not in p and "CartesianProduct" not in p),
+    ],
     "basket_brand_rules": [
         ("basket self-join order-keyed; support dims broadcast", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "BroadcastHashJoin" in p),
     ],

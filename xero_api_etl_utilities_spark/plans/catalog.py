@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "agg_mad_outliers",
+    "events_decayed_type_scores",
     "basket_brand_rules",
     "layout_zonemap_prune",
     "text_bpe_merges",
