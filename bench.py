@@ -246,6 +246,8 @@ HEADLINE = [
     "layout_zonemap_prune",
     "agg_mad_outliers",
     "events_decayed_type_scores",
+    "events_clamped_balance",
+    "events_bounce_rate",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -166,6 +166,61 @@ def test_simpson_index_bounds(spark, sf_dir):
             assert r["concentration_bp"] == 10000
 
 
+def test_clamped_balance_pins_handfit_ledger(spark):
+    # flows +5, -9, +3, -1 (cents 500/-900/300/-100): balances
+    # 500 -> 0 (clamp) -> 300 -> 200; one clamp hit. Window running
+    # sums CANNOT produce this (they'd give -100 at the end).
+    from xero_api_etl_utilities_spark.plans.mining_ops import _CLAMP_ENC
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), i, t, v)
+        for i, (t, v) in enumerate(
+            [("purchase", 5.0), ("view", 9.0), ("signup", 3.0), ("click", 1.0)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string, value double"
+    )
+    df.createOrReplaceTempView("_ledger_fixture")
+    from pyspark.sql import functions as F
+    from xero_api_etl_utilities_spark.plans import mining_ops as mo
+
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(-F.round(F.col("value") * 100).cast("long"))
+    enc = _CLAMP_ENC
+    fold = F.expr(
+        f"""aggregate(
+  transform(sort_array(collect_list(struct(ts, event_id, c))), s -> s.c),
+  cast(0 as bigint),
+  (a, x) -> greatest(a % {enc} + x, cast(0 as bigint))
+            + (a div {enc}
+               + (case when a % {enc} + x < 0 then 1 else 0 end)) * {enc})"""
+    )
+    got = (
+        df.select("user_id", "ts", "event_id", signed.alias("c"))
+        .groupBy("user_id")
+        .agg(fold.alias("acc"))
+        .collect()[0]["acc"]
+    )
+    assert got % enc == 200
+    assert got // enc == 1
+
+
+def test_bounce_rate_bounds(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import events_bounce_rate
+
+    rows = events_bounce_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+        assert r["bounce_bp"] == 10000 * r["n_bounces"] // r["n_sessions"]
+
+
 def test_mad_outliers_are_robust_minority(spark, sf_dir):
     from xero_api_etl_utilities_spark.plans.mining_ops import agg_mad_outliers
 

@@ -310,6 +310,12 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "events_clamped_balance": [
+        ("one user-keyed aggregate; fold is in-row, no window/join", lambda p: "Join" not in p and "Window" not in p and "CartesianProduct" not in p),
+    ],
+    "events_bounce_rate": [
+        ("user-partitioned session window + day aggregate, no join", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
     "agg_mad_outliers": [
         ("median frames broadcast back; no cartesian/NLJ", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "BroadcastHashJoin" in p),
     ],

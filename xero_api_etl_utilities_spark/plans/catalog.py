@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "events_clamped_balance",
+    "events_bounce_rate",
     "agg_mad_outliers",
     "events_decayed_type_scores",
     "basket_brand_rules",
