@@ -248,6 +248,7 @@ HEADLINE = [
     "events_decayed_type_scores",
     "events_clamped_balance",
     "events_bounce_rate",
+    "window_interval_coalesce",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

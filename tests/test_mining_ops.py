@@ -166,6 +166,54 @@ def test_simpson_index_bounds(spark, sf_dir):
             assert r["concentration_bp"] == 10000
 
 
+def test_interval_coalesce_identities(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import (
+        window_interval_coalesce,
+    )
+
+    rows = window_interval_coalesce(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_spans"] <= r["n_intervals"]
+        assert r["longest_span_days"] <= r["covered_days"]
+        # coverage can never exceed the sum of raw lengths, and a span
+        # is at least as long as one interval (qty >= 1 day)
+        assert r["covered_days"] >= r["longest_span_days"] >= 1
+
+
+def test_interval_coalesce_handfit(spark):
+    # [1,4) [2,6) [6,8)  [20,25)  ->  spans [1,8) and [20,25):
+    # touching at 6 merges (half-open), the gap to 20 does not.
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    iv = spark.createDataFrame(
+        [(1, 1, 4), (1, 2, 6), (1, 6, 8), (1, 20, 25)], "supp int, s long, e long"
+    )
+    w_prev = (
+        Window.partitionBy("supp").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("supp").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        iv.withColumn(
+            "boundary",
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(1 << 40))), 1
+            ).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("boundary").over(w_run))
+        .groupBy("supp", "span_id")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("se"))
+        .orderBy("ss")
+        .collect()
+    )
+    assert [(r["ss"], r["se"]) for r in spans] == [(1, 8), (20, 25)]
+
+
 def test_clamped_balance_pins_handfit_ledger(spark):
     # flows +5, -9, +3, -1 (cents 500/-900/300/-100): balances
     # 500 -> 0 (clamp) -> 300 -> 200; one clamp hit. Window running

@@ -310,6 +310,9 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "window_interval_coalesce": [
+        ("one supplier-keyed exchange; sweep windows partitioned, no join", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
     "events_clamped_balance": [
         ("one user-keyed aggregate; fold is in-row, no window/join", lambda p: "Join" not in p and "Window" not in p and "CartesianProduct" not in p),
     ],

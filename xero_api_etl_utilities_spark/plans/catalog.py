@@ -28,6 +28,7 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "window_interval_coalesce",
     "events_clamped_balance",
     "events_bounce_rate",
     "agg_mad_outliers",
