@@ -249,6 +249,8 @@ HEADLINE = [
     "events_clamped_balance",
     "events_bounce_rate",
     "window_interval_coalesce",
+    "graph_bfs_depth",
+    "orders_rfm_segments",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -166,6 +166,37 @@ def test_simpson_index_bounds(spark, sf_dir):
             assert r["concentration_bp"] == 10000
 
 
+def test_bfs_depths_on_path_graph(spark):
+    # path 1-2-3-4-5 seeded at 1: depths are exactly the hop counts,
+    # and max_depth truncates (5 unreached at depth cap 3)
+    from xero_api_etl_utilities_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u1 bigint, u2 bigint"
+    )
+    got = {r["v"]: r["depth"] for r in bfs_depths(edges, 1, max_depth=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    full = {r["v"]: r["depth"] for r in bfs_depths(edges, 3, max_depth=3).collect()}
+    assert full == {3: 0, 2: 1, 4: 1, 1: 2, 5: 2}
+
+
+def test_rfm_segments_census_sums_to_customers(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import orders_rfm_segments
+
+    rows = orders_rfm_segments(spark, sf_dir).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        s = r["segment"]
+        assert 111 <= s <= 444
+        assert all(1 <= int(d) <= 4 for d in str(s))
+
+
 def test_interval_coalesce_identities(spark, sf_dir):
     from xero_api_etl_utilities_spark.plans.mining_ops import (
         window_interval_coalesce,

@@ -310,6 +310,12 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "graph_bfs_depth": [
+        ("frontier semi/anti joins, lineage truncated per round", lambda p: "CartesianProduct" not in p and "Scan ExistingRDD" in p),
+    ],
+    "orders_rfm_segments": [
+        ("NTILE windows over the customer-sized aggregate, no join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     "window_interval_coalesce": [
         ("one supplier-keyed exchange; sweep windows partitioned, no join", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],

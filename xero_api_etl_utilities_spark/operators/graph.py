@@ -292,6 +292,46 @@ def label_propagation(
     return labels
 
 
+def bfs_depths(
+    edges: DataFrame,
+    seed: int,
+    a_col: str = "u1",
+    b_col: str = "u2",
+    max_depth: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Breadth-first hop distance from ``seed`` over an UNDIRECTED
+    graph — the reachability/diameter probe beside the other iterative
+    operators (CC, PageRank, LPA, k-core).  Per round: ONE semi-join
+    (neighbors of the current frontier) and ONE anti-join (drop
+    already-visited vertices) — both broadcast-sized once frontiers
+    stabilize, lineage truncated per round.  Returns ``(v, depth)``
+    for vertices within ``max_depth`` hops; unreached vertices are
+    absent (callers count them against the vertex set).  Purely
+    set-algebraic — no tie-breaks, so any engine replays it exactly."""
+    a, b = F.col(a_col), F.col(b_col)
+    edges = materialize(edges, checkpoint_dir)
+    directed = edges.select(a.alias("src"), b.alias("dst")).unionAll(
+        edges.select(b.alias("src"), a.alias("dst"))
+    )
+    directed = materialize(directed, checkpoint_dir)
+    visited = directed.sparkSession.createDataFrame(
+        [(seed, 0)], "v bigint, depth int"
+    )
+    frontier = visited.select("v")
+    for k in range(1, max_depth + 1):
+        nxt = (
+            directed.join(frontier, directed.src == frontier.v, "left_semi")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+        )
+        nxt = materialize(nxt.select("v", F.lit(k).alias("depth")), checkpoint_dir)
+        visited = materialize(visited.unionAll(nxt), checkpoint_dir)
+        frontier = nxt.select("v")
+    return visited
+
+
 def kcore(
     edges: DataFrame,
     k: int,

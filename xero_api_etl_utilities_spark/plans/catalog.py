@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "graph_bfs_depth",
+    "orders_rfm_segments",
     "window_interval_coalesce",
     "events_clamped_balance",
     "events_bounce_rate",

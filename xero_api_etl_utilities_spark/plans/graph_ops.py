@@ -555,3 +555,91 @@ LIMIT 20
 
 
 register("graph_label_propagation", graph_label_propagation, _lpa_oracle)
+
+
+# --------------------------------------------------------------------------
+# X92: BFS hop-depth census
+# --------------------------------------------------------------------------
+
+_BFS_DEPTH = 4
+
+
+def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: how much of the co-occurrence graph is within k hops of
+    its best-connected user — the reachability probe (small-world
+    check, blast-radius estimate) beside the other iterative graph
+    operators.  Seed = the max-degree vertex, smallest id on ties (a
+    1-row driver scalar, the pagerank vertex-count pattern); four BFS
+    rounds of semi-join frontier expansion + anti-join visited
+    filtering (operators/graph.py:bfs_depths); output is the
+    per-depth vertex census plus one 'unreached' row (depth -1), so
+    the rows sum to the vertex count.  The oracle replays seed
+    selection and all four rounds in SQL."""
+    from xero_api_etl_utilities_spark.operators.graph import bfs_depths
+
+    edges = _co_edges(spark, sf_dir)
+    directed = edges.select(F.col("u1").alias("s")).unionAll(
+        edges.select(F.col("u2").alias("s"))
+    )
+    deg = directed.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    seed_row = (
+        deg.orderBy(F.desc("deg"), F.asc("s")).limit(1).collect()[0]
+    )
+    depths = bfs_depths(edges, int(seed_row["s"]), max_depth=_BFS_DEPTH)
+    census = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("n_vertices"))
+    unreached = (
+        deg.select(F.col("s").alias("v"))
+        .join(depths.select("v"), "v", "left_anti")
+        .agg(F.lit(-1).alias("depth"), F.count(F.lit(1)).alias("n_vertices"))
+    )
+    return census.unionAll(unreached).orderBy("depth")
+
+
+def _bfs_oracle() -> str:
+    prev_visited = "v0"
+    rounds = []
+    for k in range(1, _BFS_DEPTH + 1):
+        rounds.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT DISTINCT d.d AS v FROM directed d
+  WHERE d.s IN (SELECT v FROM {prev_visited} WHERE depth = {k - 1})
+    AND d.d NOT IN (SELECT v FROM {prev_visited})
+),
+v{k} AS MATERIALIZED (
+  SELECT v, depth FROM {prev_visited}
+  UNION ALL SELECT v, {k} AS depth FROM f{k}
+)"""
+        )
+        prev_visited = f"v{k}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH uc AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) dd, event_type t, hour(ts) h
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT a.user_id u1, b.user_id u2
+  FROM uc a JOIN uc b
+    ON a.dd = b.dd AND a.t = b.t AND a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+directed AS (
+  SELECT u1 AS s, u2 AS d FROM edges
+  UNION ALL SELECT u2, u1 FROM edges
+),
+deg AS (SELECT s, COUNT(*) AS deg FROM directed GROUP BY s),
+seed AS (SELECT s FROM deg ORDER BY deg DESC, s ASC LIMIT 1),
+v0 AS (SELECT s AS v, 0 AS depth FROM seed),
+{rounds_sql}
+SELECT CAST(depth AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM {prev_visited} GROUP BY depth
+UNION ALL
+SELECT -1, CAST(COUNT(*) AS BIGINT)
+FROM deg WHERE s NOT IN (SELECT v FROM {prev_visited})
+ORDER BY depth
+"""
+
+
+register("graph_bfs_depth", graph_bfs_depth, _bfs_oracle)
