@@ -251,6 +251,8 @@ HEADLINE = [
     "window_interval_coalesce",
     "graph_bfs_depth",
     "orders_rfm_segments",
+    "dedup_lsh_quality",
+    "part_abc_classification",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

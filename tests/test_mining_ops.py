@@ -166,6 +166,39 @@ def test_simpson_index_bounds(spark, sf_dir):
             assert r["concentration_bp"] == 10000
 
 
+def test_lsh_quality_recall_floor(spark, sf_dir):
+    # the production (16,4) banding claims ~0.998 recall at J>=0.7;
+    # pin a 0.98 floor and the basic identities.
+    from xero_api_etl_utilities_spark.plans.mining_ops import dedup_lsh_quality
+
+    r = dedup_lsh_quality(spark, sf_dir).collect()[0]
+    assert r["true_positives"] <= min(r["n_truth"], r["n_cand"])
+    assert r["recall_bp"] >= 9800
+    assert 0 < r["precision_bp"] <= 10000
+
+
+def test_abc_classes_partition_the_parts(spark, sf_dir):
+    from xero_api_etl_utilities_spark.plans.mining_ops import (
+        part_abc_classification,
+    )
+
+    rows = {r["abc_class"]: r for r in part_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    # shares honor the 80/95 cut structure: A <= 8000+one part's worth,
+    # and bp shares sum to 10000 within integer-division slack
+    total_bp = sum(r["share_bp"] for r in rows.values())
+    assert 9997 <= total_bp <= 10000
+    assert rows["A"]["share_bp"] <= 8000
+    assert rows["A"]["share_bp"] + rows["B"]["share_bp"] <= 9500
+
+
 def test_bfs_depths_on_path_graph(spark):
     # path 1-2-3-4-5 seeded at 1: depths are exactly the hop counts,
     # and max_depth truncates (5 unreached at depth cap 3)

@@ -310,6 +310,12 @@ CHECKS = {
     "dedup_prefix_filter_pairs": [
         ("prefix postings join is an equi-join, never cartesian", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    "dedup_lsh_quality": [
+        ("verdict via tagged union + conditional sums, no 1-row cross join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "part_abc_classification": [
+        ("running share over the part-grain aggregate, no self-join", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
     "graph_bfs_depth": [
         ("frontier semi/anti joins, lineage truncated per round", lambda p: "CartesianProduct" not in p and "Scan ExistingRDD" in p),
     ],

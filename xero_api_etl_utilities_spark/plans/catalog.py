@@ -28,6 +28,8 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
     # --- round-4 continuation wave (newest first) ---
+    "dedup_lsh_quality",
+    "part_abc_classification",
     "graph_bfs_depth",
     "orders_rfm_segments",
     "window_interval_coalesce",
