@@ -1,0 +1,523 @@
+"""Training-pipeline mining wave (SURVEY §2.12 X96–X100).
+
+No reference counterpart (``src/queries.ts`` is a bookkeeping ETL);
+these are the corpus-curation / sequence-mining / drift diagnostics a
+large-scale training-data pipeline runs beside the dedup family:
+
+* X96 ``events_seq_pairs`` — sequential-pattern support (PrefixSpan
+  depth 2): which ordered event-type pairs (a happens, b happens
+  LATER — not necessarily adjacently) recur across user-day
+  sequences, with relative minimum support in basis points.
+* X97 ``diag_distribution_drift`` — total-variation distance between
+  the weekday and weekend event-type mixes, exact in basis points
+  (the ln-free stand-in for PSI/KL drift monitors).
+* X98 ``text_tf_cosine_pairs`` — sparse term-frequency cosine
+  similarity join via an inverted index (posting-list self-join), the
+  vocabulary-space twin of ``dedup_embedding_cosine``; the cosine
+  threshold is applied as a cross-multiplied integer predicate so no
+  float division or sqrt ever happens.
+* X99 ``text_boilerplate_shingles`` — CCNet-style boilerplate
+  detection: word 3-gram shingles recurring in >= K distinct docs are
+  "boilerplate"; per-source share of boilerplate shingle mass in bp.
+* X100 ``sample_epoch_shuffle`` — deterministic training-order epoch
+  shuffle with DISTRIBUTED stable numbering: global position under
+  the (hash, doc_id) total order computed as range-bucket offsets +
+  within-bucket rank, never a single-partition global window.
+
+Every hashed output value is an integer; every oracle replays the
+same algorithm in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.crosshash import h32, h32_sql
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+# ---------------------------------------------------------------------------
+# X96: sequential-pattern support (PrefixSpan depth 2)
+# ---------------------------------------------------------------------------
+
+
+def events_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: support of ordered event-type pairs across user-day
+    sequences.  A sequence (one user's one day, ordered by (ts,
+    event_id)) supports a -> b iff SOME a-event precedes SOME b-event
+    — the PrefixSpan subsequence semantics, not adjacency (adjacency
+    is ``events_transition_matrix``; full contiguous paths are
+    ``events_top_paths``).
+
+    Lowering: exists i<j with type_i=a, type_j=b  <=>  the FIRST a
+    precedes the LAST b.  So one row_number window per user-day, a
+    (user, day, type)-grain min/max aggregate (5 types -> <= 5 rows
+    per sequence), and a self-join keyed on the sequence id that is
+    quadratic only in the per-sequence type count (<= 25 pairs).  The
+    expensive fact-sized steps are one user-keyed exchange and one
+    map-side-combinable aggregate; support counting shuffles pair
+    names only.  At 100 TB this is exactly the sessionize shape plus a
+    bounded per-entity join — no pattern-growth recursion needed at
+    depth 2.
+
+    Support is published both as a user-day count and in bp relative
+    to the total sequence count, with a ``frequent`` verdict at a
+    relative minsup of 850 bp — relative, so the verdict is scale-free
+    (the r3 lesson from ``basket_brand_triples``)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("s"),
+    )
+    mm = seq.groupBy("user_id", "d", "event_type").agg(
+        F.min("s").alias("mn"), F.max("s").alias("mx")
+    )
+    total = mm.select("user_id", "d").distinct().count()
+    a = mm.select("user_id", "d", F.col("event_type").alias("ante"), "mn")
+    b = mm.select(
+        F.col("user_id").alias("u2"),
+        F.col("d").alias("d2"),
+        F.col("event_type").alias("cons"),
+        "mx",
+    )
+    sup = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("d") == F.col("d2"))
+            & (F.col("ante") != F.col("cons"))
+            & (F.col("mn") < F.col("mx")),
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("support_seqs"))
+    )
+    return sup.select(
+        "ante",
+        "cons",
+        "support_seqs",
+        (F.col("support_seqs") * 10000 / F.lit(total))
+        .cast("long")
+        .alias("support_bp"),
+        (F.col("support_seqs") * 10000 >= F.lit(850) * F.lit(total)).alias(
+            "frequent"
+        ),
+    ).orderBy("ante", "cons")
+
+
+_SEQ_PAIRS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts::DATE AS d, event_type,
+         row_number() OVER (PARTITION BY user_id, ts::DATE
+                            ORDER BY ts, event_id) AS s
+  FROM events
+), mm AS (
+  SELECT user_id, d, event_type, min(s) AS mn, max(s) AS mx
+  FROM seq GROUP BY 1, 2, 3
+), tot AS (
+  SELECT count(*)::BIGINT AS n
+  FROM (SELECT DISTINCT user_id, d FROM mm)
+)
+SELECT a.event_type AS ante, b.event_type AS cons,
+       count(*)::BIGINT AS support_seqs,
+       (count(*)::BIGINT * 10000) // (SELECT n FROM tot) AS support_bp,
+       count(*)::BIGINT * 10000 >= 850 * (SELECT n FROM tot) AS frequent
+FROM mm a
+JOIN mm b ON a.user_id = b.user_id AND a.d = b.d
+         AND a.event_type <> b.event_type AND a.mn < b.mx
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+register("events_seq_pairs", events_seq_pairs, _SEQ_PAIRS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X97: distribution drift as exact total-variation distance
+# ---------------------------------------------------------------------------
+
+
+def diag_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: drift between the weekday and weekend event-type mixes as
+    TOTAL-VARIATION distance, exact in basis points.
+
+    PSI and KL need ln(); TVD = max_A |P(A) - Q(A)| = (1/2) sum_t
+    |p_t - q_t| is the ln-free drift metric, and with p_t = c_t/n,
+    q_t = d_t/m it cross-multiplies:  tvd_bp = floor(5000 *
+    sum|c_t*m - d_t*n| / (n*m)).  Products are carried as
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) so the algebra survives
+    100-TB counts (c*m ~ 1e26 overflows bigint; it does NOT overflow
+    38 digits until ~1e19-row snapshots).
+
+    Weekday-ness comes from epoch-day arithmetic, NOT the engine's
+    dayofweek() (Spark counts Sunday=1, DuckDB Sunday=0 — a silent
+    oracle trap): 1970-01-01 was a Thursday, so epoch_day % 7 is 2 on
+    Saturday and 3 on Sunday in BOTH engines.
+
+    Shape: one map-side-combinable type x is_weekend aggregate (10
+    cells), then 5-row algebra.  Output: one row per type with the
+    exact drift numerator, plus a '__total__' row carrying tvd_bp."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    cells = ev.groupBy(
+        "event_type", (epoch_day % 7).isin(2, 3).alias("weekend")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wide = cells.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("weekend"), F.col("c")).otherwise(0)).alias("wd"),
+        F.sum(F.when(F.col("weekend"), F.col("c")).otherwise(0)).alias("we"),
+    )
+    tot = wide.agg(
+        F.sum("wd").cast("decimal(38,0)").alias("n"),
+        F.sum("we").cast("decimal(38,0)").alias("m"),
+    )
+    j = wide.crossJoin(F.broadcast(tot))
+    num = F.abs(
+        F.col("wd").cast("decimal(38,0)") * F.col("m")
+        - F.col("we").cast("decimal(38,0)") * F.col("n")
+    )
+    per_type = j.select(
+        "event_type",
+        "wd",
+        "we",
+        num.cast("decimal(38,0)").alias("drift_num"),
+    )
+    total_row = (
+        per_type.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first(F.lit("__total__")).alias("event_type"),
+            F.sum("wd").alias("wd"),
+            F.sum("we").alias("we"),
+            F.floor(
+                F.sum("drift_num")
+                * F.lit(5000)
+                / (F.first("n") * F.first("m"))
+            )
+            .cast("decimal(38,0)")
+            .alias("drift_num"),
+        )
+    )
+    return per_type.unionByName(total_row).orderBy("event_type")
+
+
+_DRIFT_ORACLE = """
+WITH wide AS (
+  SELECT event_type,
+         count(*) FILTER (
+           (datediff('day', DATE '1970-01-01', ts::DATE) % 7) NOT IN (2, 3)
+         )::HUGEINT AS wd,
+         count(*) FILTER (
+           (datediff('day', DATE '1970-01-01', ts::DATE) % 7) IN (2, 3)
+         )::HUGEINT AS we
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(wd)::HUGEINT AS n, sum(we)::HUGEINT AS m FROM wide
+), per_type AS (
+  SELECT event_type, wd, we,
+         abs(wd * (SELECT m FROM tot) - we * (SELECT n FROM tot)) AS drift_num
+  FROM wide
+)
+SELECT event_type, wd::BIGINT AS wd, we::BIGINT AS we, drift_num
+FROM per_type
+UNION ALL
+SELECT '__total__', sum(wd)::BIGINT, sum(we)::BIGINT,
+       (sum(drift_num) * 5000) // ((SELECT n FROM tot) * (SELECT m FROM tot))
+FROM per_type
+ORDER BY 1
+"""
+
+register("diag_distribution_drift", diag_distribution_drift, _DRIFT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X98: sparse TF-cosine similarity join via inverted index
+# ---------------------------------------------------------------------------
+
+
+def text_tf_cosine_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int = 100_000
+) -> DataFrame:
+    """X98: document pairs whose term-frequency vectors have cosine
+    >= 0.95, computed over the SPARSE vocabulary representation — the
+    inverted-index twin of ``dedup_embedding_cosine`` (dense floats)
+    and ``dedup_ngram_jaccard`` (sets).
+
+    cos(a,b) = dot/(|a||b|) >= t  <=>  10000*dot^2 >= (10000*t^2) *
+    n2a * n2b when dot >= 0 (term frequencies are non-negative, so it
+    always is) — all integers, no sqrt, no float division, hence a
+    digit-exact oracle.  t = 0.95 -> 10000*dot^2 >= 9025*n2a*n2b.
+
+    Shape: tf build is one (doc, token) aggregate; the dot product is
+    a posting-list self-join keyed on the TOKEN, quadratic only within
+    one token's posting list.  ``max_df`` makes that bound a guarantee
+    (the LSH stop-bucket pattern): tokens hotter than max_df docs are
+    dropped before the join — at 100 TB a stopword's posting list
+    alone would go quadratic, and a token present in >100k docs
+    carries ~no cosine signal per pair.  This corpus' ~30-word
+    vocabulary keeps every df < 501, so the guard is semantics-free
+    here and the oracle need not model it (the ``_co_edges`` /
+    X80-prefix-filter precedent); at a scale where it trips, mirror
+    the HAVING into the oracle.  Overflow: tf <= doc length, dot <=
+    n2 <= sum(tf^2) — bigint-safe until ~3e9-token documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    live = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("tok")
+    )
+    tf = tf.join(F.broadcast(live), "tok", "left_semi")
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tf.select(F.col("doc_id").alias("d1"), "tok", F.col("tf").alias("tf1"))
+    b = tf.select(F.col("doc_id").alias("d2"), F.col("tok").alias("tok2"), F.col("tf").alias("tf2"))
+    dots = (
+        a.join(
+            b, (F.col("tok") == F.col("tok2")) & (F.col("d1") < F.col("d2"))
+        )
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("d1"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("d2"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .filter(
+            F.lit(10000) * F.col("dot") * F.col("dot")
+            >= F.lit(9025) * F.col("n2a") * F.col("n2b")
+        )
+        .select("d1", "d2", "dot", "n2a", "n2b")
+        .orderBy("d1", "d2")
+    )
+
+
+_TF_COSINE_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.tf * b.tf)::BIGINT AS dot
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, dot, na.n2 AS n2a, nb.n2 AS n2b
+FROM dots
+JOIN norms na ON d1 = na.doc_id
+JOIN norms nb ON d2 = nb.doc_id
+WHERE 10000 * dot * dot >= 9025 * na.n2 * nb.n2
+ORDER BY d1, d2
+"""
+
+register("text_tf_cosine_pairs", text_tf_cosine_pairs, _TF_COSINE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X99: boilerplate shingle share (within-corpus repeated n-grams)
+# ---------------------------------------------------------------------------
+
+
+def text_boilerplate_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3, min_df: int = 5
+) -> DataFrame:
+    """X99: per-source share of "boilerplate" shingle mass, in bp.
+
+    CCNet removes lines repeated across documents; this corpus has no
+    line structure (single-line word streams), so the unit is the word
+    3-gram shingle: a shingle OCCURRING in >= ``min_df`` DISTINCT
+    documents is boilerplate (headers, footers, nav chrome at web
+    scale).  Per source we publish total shingle occurrences, how many
+    of them are boilerplate, and the share in bp — the "how much of
+    this source is template chrome" curation signal, complementing
+    ``decontaminate_ngrams`` (cross-corpus) and ``text_repetition``
+    (within-doc).
+
+    Shape: shingles are a zero-shuffle scan projection (transform over
+    the split array — in-row, no explode-then-window); df is one
+    shingle-keyed aggregate over the DISTINCT (doc, shingle) frame;
+    the boilerplate set (151 shingles at sf0.01; bounded by corpus
+    repetitiveness, not corpus size, since df >= 5 of ~uniform text is
+    rare) broadcasts back onto the occurrence frame as a semi-join-
+    shaped flag.  Two shuffles total, both on shingle strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + k) for k in range(n)]
+    )
+    occ = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(0))),
+                    lambda i: F.element_at(words, i.cast("int"))
+                    + F.lit(" ")
+                    + F.element_at(words, (i + 1).cast("int"))
+                    + F.lit(" ")
+                    + F.element_at(words, (i + 2).cast("int")),
+                )
+            ).alias("s"),
+        )
+    )
+    boiler = (
+        occ.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("s")
+    )
+    flagged = occ.join(
+        F.broadcast(boiler.withColumn("_b", F.lit(1))), "s", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_boiler",
+            (F.col("n_boiler") * 10000 / F.col("n_shingles"))
+            .cast("long")
+            .alias("boiler_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _boiler_oracle(n: int = 3, min_df: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), occ AS (
+  SELECT doc_id, source,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+  FROM toks, unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i)
+), boiler AS (
+  SELECT s FROM (SELECT DISTINCT doc_id, s FROM occ)
+  GROUP BY s HAVING count(*) >= {min_df}
+)
+SELECT source, count(*)::BIGINT AS n_shingles,
+       count(*) FILTER (s IN (SELECT s FROM boiler))::BIGINT AS n_boiler,
+       (count(*) FILTER (s IN (SELECT s FROM boiler)) * 10000)
+         // count(*) AS boiler_bp
+FROM occ GROUP BY source ORDER BY source
+"""
+
+
+register(
+    "text_boilerplate_shingles", text_boilerplate_shingles, _boiler_oracle
+)
+
+
+# ---------------------------------------------------------------------------
+# X100: deterministic epoch shuffle with distributed stable numbering
+# ---------------------------------------------------------------------------
+
+
+def sample_epoch_shuffle(
+    spark: SparkSession, sf_dir: str, epochs: int = 2, shards: int = 8
+) -> DataFrame:
+    """X100: reproducible training-order shuffle.  Each epoch permutes
+    the corpus by the salted content hash h = H32(epoch || ':' ||
+    doc_id); position is the rank of (h, doc_id) and shard is
+    position mod ``shards`` — the same document lands at the same
+    step of the same shard on any engine, any partitioning, any rerun
+    (the ``operators/sampling.py`` determinism contract, extended
+    from membership to ORDER).
+
+    The scale trap is the rank: ``row_number() OVER (ORDER BY h)`` is
+    a single-partition window.  Instead the total order is decomposed
+    the way a range-partitioned sort is: bucket = h >> 24 (the top 8
+    hash bits — so bucket boundaries are RANGES of the sort key),
+    rank within (epoch, bucket) by (h, doc_id), plus the number of
+    rows in all lower buckets of the epoch.  The within-bucket window
+    spreads across 256 partitions per epoch; the offset table is one
+    512-row aggregate + prefix window, broadcast back.  The oracle is
+    the single ``row_number() OVER (ORDER BY h, doc_id)`` — equality
+    with it PROVES the decomposition reconstructs the global order.
+    At 100 TB widen the bucket shift; nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = spark.range(epochs).select(F.col("id").cast("int").alias("epoch"))
+    base = docs.crossJoin(F.broadcast(ep)).select(
+        "epoch",
+        "doc_id",
+        h32(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    base = base.withColumn("bucket", F.shiftright(F.col("h"), 24))
+    local = base.withColumn(
+        "local_pos",
+        F.row_number().over(
+            Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+        ),
+    )
+    offsets = (
+        base.groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.partitionBy("epoch")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("epoch", "bucket", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("offset") + F.col("local_pos")).alias("pos"),
+            ((F.col("offset") + F.col("local_pos")) % shards).alias("shard"),
+        )
+        .orderBy("epoch", "pos")
+    )
+
+
+def _epoch_shuffle_oracle(epochs: int = 2, shards: int = 8) -> str:
+    h = h32_sql("e.epoch || ':' || d.doc_id")
+    return f"""
+WITH hashed AS (
+  SELECT e.epoch, d.doc_id, {h} AS h
+  FROM documents d, (SELECT unnest(range({epochs}))::INT AS epoch) e
+), ranked AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+  FROM hashed
+)
+SELECT epoch, doc_id, pos::BIGINT AS pos, (pos % {shards})::BIGINT AS shard
+FROM ranked ORDER BY epoch, pos
+"""
+
+
+register("sample_epoch_shuffle", sample_epoch_shuffle, _epoch_shuffle_oracle)
