@@ -253,14 +253,22 @@ HEADLINE = [
     "orders_rfm_segments",
     "dedup_lsh_quality",
     "part_abc_classification",
+    # round-6 wave: X96-X100 (plans/corpus_extra.py), wired this round
+    "events_seq_pairs",
+    "diag_distribution_drift",
+    "text_boilerplate_shingles",
+    "sample_epoch_shuffle",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as
 # oracle generators (see VERDICT r1 items 2-3) — and
-# dedup_prefix_filter_pairs, whose prefix+length filters are
-# sub-quadratic on Zipfian corpora but measured near-dense on this
-# synthetic small-vocabulary one (see its docstring); the benched
-# scale path for set similarity stays dedup_minhash_lsh.
+# dedup_prefix_filter_pairs + text_tf_cosine_pairs, whose
+# prefix/max_df filters are sub-quadratic on Zipfian corpora but
+# measured near-dense on this synthetic 31-word-vocabulary one
+# (every token's df ~ 0.78·n_docs, so the posting self-join is
+# Σdf² ≈ 4.5e8 pairs at sf0.1 — 128.7 s measured; see the
+# text_tf_cosine_pairs docstring); the benched scale path for text
+# similarity stays dedup_minhash_lsh.
 
 
 def main() -> None:

@@ -1,0 +1,164 @@
+"""Pins for the X96–X100 wave (plans/corpus_extra.py): subsequence
+support semantics, exact TVD algebra, cosine-threshold soundness, the
+short-document shingle clamp, and the distributed epoch-shuffle
+permutation contract — each checked against an independent pure-Python
+recompute at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+
+from xero_api_etl_utilities_spark.functions.crosshash import py_h32
+from xero_api_etl_utilities_spark.plans.corpus_extra import (
+    diag_distribution_drift,
+    events_seq_pairs,
+    sample_epoch_shuffle,
+    text_boilerplate_shingles,
+    text_tf_cosine_pairs,
+)
+
+
+def _rows(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_seq_pairs_match_bruteforce_subsequence(spark, sf_dir):
+    # a sequence supports a->b iff SOME a precedes SOME b — recompute
+    # the support of every ordered pair by scanning each user-day
+    # sequence directly, no min/max trick.
+    raw = _rows(
+        sf_dir,
+        "SELECT user_id, ts::DATE, event_type FROM events"
+        " ORDER BY user_id, ts::DATE, ts, event_id",
+    )
+    seqs: dict[tuple, list[str]] = {}
+    for u, d, t in raw:
+        seqs.setdefault((u, d), []).append(t)
+    support: dict[tuple[str, str], int] = {}
+    for types in seqs.values():
+        seen_pairs = set()
+        seen_before: set[str] = set()
+        for t in types:
+            for a in seen_before:
+                if a != t:
+                    seen_pairs.add((a, t))
+            seen_before.add(t)
+        for p in seen_pairs:
+            support[p] = support.get(p, 0) + 1
+    total = len(seqs)
+
+    got = {
+        (r["ante"], r["cons"]): (r["support_seqs"], r["support_bp"], r["frequent"])
+        for r in events_seq_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == set(support)
+    for pair, (s, bp, freq) in got.items():
+        assert s == support[pair]
+        assert bp == s * 10000 // total
+        assert freq == (s * 10000 >= 850 * total)
+
+
+def test_drift_total_row_is_exact_tvd(spark, sf_dir):
+    # TVD in bp = floor(5000 * sum|c*m - d*n| / (n*m)), weekend from
+    # epoch-day % 7 in {2, 3} (1970-01-01 was a Thursday).
+    raw = _rows(
+        sf_dir,
+        "SELECT event_type,"
+        " (datediff('day', DATE '1970-01-01', ts::DATE) % 7) IN (2,3)"
+        " FROM events",
+    )
+    wd: dict[str, int] = {}
+    we: dict[str, int] = {}
+    for t, weekend in raw:
+        (we if weekend else wd)[t] = (we if weekend else wd).get(t, 0) + 1
+    n, m = sum(wd.values()), sum(we.values())
+    drift = {
+        t: abs(wd.get(t, 0) * m - we.get(t, 0) * n)
+        for t in set(wd) | set(we)
+    }
+    tvd_bp = sum(drift.values()) * 5000 // (n * m)
+
+    rows = {r["event_type"]: r for r in diag_distribution_drift(spark, sf_dir).collect()}
+    assert rows["__total__"]["drift_num"] == str(tvd_bp)
+    assert rows["__total__"]["wd"] == n and rows["__total__"]["we"] == m
+    for t, num in drift.items():
+        assert rows[t]["drift_num"] == str(num)
+        assert rows[t]["wd"] == wd.get(t, 0)
+
+
+def test_tf_cosine_pairs_match_bruteforce(spark, sf_dir):
+    # recompute every pair's integer predicate from raw counters; the
+    # plan's inverted-index join must report exactly the passing set.
+    from collections import Counter
+
+    raw = _rows(sf_dir, "SELECT doc_id, text FROM documents")
+    tfs = {
+        d: Counter(tok for tok in text.split(" ") if tok) for d, text in raw
+    }
+    norms = {d: sum(v * v for v in c.values()) for d, c in tfs.items()}
+    expected = {}
+    ids = sorted(tfs)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            common = tfs[d1].keys() & tfs[d2].keys()
+            dot = sum(tfs[d1][t] * tfs[d2][t] for t in common)
+            if dot and 10000 * dot * dot >= 9025 * norms[d1] * norms[d2]:
+                expected[(d1, d2)] = (dot, norms[d1], norms[d2])
+
+    got = {
+        (r["d1"], r["d2"]): (r["dot"], r["n2a"], r["n2b"])
+        for r in text_tf_cosine_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_tf_cosine_max_df_guard_drops_hot_tokens(spark, sf_dir):
+    # with max_df=1 every shared token is dropped, so NO pair can form —
+    # the guard is live on the Spark side (its oracle mirrors it).
+    assert text_tf_cosine_pairs(spark, sf_dir, max_df=1).count() == 0
+
+
+def test_boilerplate_shingle_counts_and_short_doc_clamp(spark, sf_dir):
+    # per-source occurrence mass is sum(max(0, len(words) - 2)); a doc
+    # shorter than n words contributes zero shingles rather than the
+    # descending-sequence element_at(words, 0) error.
+    raw = _rows(sf_dir, "SELECT source, text FROM documents")
+    exp_mass: dict[str, int] = {}
+    for src, text in raw:
+        L = len([w for w in text.split(" ")])
+        exp_mass[src] = exp_mass.get(src, 0) + max(0, L - 2)
+    rows = text_boilerplate_shingles(spark, sf_dir).collect()
+    got_mass = {r["source"]: r["n_shingles"] for r in rows}
+    assert got_mass == {s: c for s, c in exp_mass.items() if c > 0}
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert r["boiler_bp"] == r["n_boiler"] * 10000 // r["n_shingles"]
+
+
+def test_epoch_shuffle_is_total_order_per_epoch(spark, sf_dir):
+    # the bucket-decomposed rank must reconstruct the single global
+    # row_number over (h, doc_id): positions are a 1..N permutation per
+    # epoch and agree with the directly sorted hash order.
+    rows = sample_epoch_shuffle(spark, sf_dir, epochs=2, shards=8).collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for epoch, rs in by_epoch.items():
+        n = len(rs)
+        assert sorted(r["pos"] for r in rs) == list(range(1, n + 1))
+        expected_order = sorted(
+            (py_h32(f"{epoch}:{r['doc_id']}"), r["doc_id"]) for r in rs
+        )
+        got_order = [
+            (py_h32(f"{epoch}:{r['doc_id']}"), r["doc_id"])
+            for r in sorted(rs, key=lambda r: r["pos"])
+        ]
+        assert got_order == expected_order
+        assert all(r["shard"] == r["pos"] % 8 for r in rs)

@@ -2,10 +2,22 @@
 
 Runs every ``queries()`` entry from ``__spark_entry__`` on Spark and the
 matching ``oracle_sql()`` on DuckDB over the same parquet tables, then
-compares row count, sorted column names, and an order-insensitive
-canonical value hash. Stricter than the driver is likely to be (exact
-string canonicalization, no float tolerance) so green here should mean
-green there.
+compares row count, sorted column names, and a value hash computed the
+way the DRIVER computes it (verified against CORRECTNESS_r05.json):
+
+* both frames go through pandas (``DataFrame.toPandas()`` on the Spark
+  side, ``duckdb .df()`` on the oracle side) — so dtype drift such as
+  DuckDB HUGEINT/DECIMAL(38,0) -> float64 ("9989.0") vs Spark BIGINT ->
+  int64 ("9989") IS a failure here, exactly as it is there;
+* rows are sorted on the RAW pandas values first — array/list cells
+  raise ``TypeError: unhashable type`` in the sorter, reproducing the
+  driver's "err" rows for queries that emit raw ARRAY columns;
+* only then is each frame stringified (``astype(str)``) and hashed.
+
+The previous revision of this tool canonicalized raw ``fetchall``
+values, where ``Decimal('9989')`` and ``9989`` both print ``9989`` —
+weaker than the driver on types, which let 14 perma-red rows pass
+locally (VERDICT r5, "What's wrong" #1).
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -13,7 +25,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import hashlib
-import math
 import sys
 import time
 
@@ -27,29 +38,19 @@ TABLES = (
 )
 
 
-def canon(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
-    return str(v)
+def frame_digest(pdf) -> tuple[str, list[str]]:
+    """Driver-faithful digest of a pandas frame.
 
-
-def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(canon(row[i]) for i in order) for row in rows
-    )
+    Column order: sorted by name. Row order: ``sort_values`` over the
+    raw values (raises TypeError on unhashable cells — list/ndarray —
+    just like the driver's sorter). Values: ``astype(str)`` per column,
+    which is where int64 '9989' and float64 '9989.0' diverge.
+    """
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    pdf = pdf.astype(str)
+    lines = ["\x1f".join(row) for row in pdf.itertuples(index=False)]
     h = hashlib.sha256("\x1e".join(lines).encode()).hexdigest()[:16]
     return h, lines
 
@@ -70,9 +71,7 @@ def main() -> int:
     # driver runs queries() with its own default session (no pinned
     # timezone, default shuffle partitions), so the gate must pass
     # under those conditions. Set ORACLE_TUNED=1 to use get_spark().
-    import os as _os
-
-    if _os.environ.get("ORACLE_TUNED"):
+    if os.environ.get("ORACLE_TUNED"):
         from xero_api_etl_utilities_spark.session import get_spark
 
         spark = get_spark(app_name="oracle-check")
@@ -101,43 +100,48 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
             rows_only += 1
-            print(f"rows-only  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"rows-only  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(dpdf)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}"
+            )
         if not problems:
-            sh, slines = frame_digest(scols, srows)
-            dh, dlines = frame_digest(dcols, drows)
-            if sh != dh:
-                diff = [
-                    (a, b) for a, b in zip(slines, dlines) if a != b
-                ][:3]
-                problems.append(f"hash spark={sh} duckdb={dh}; first diffs: {diff}")
+            try:
+                sh, slines = frame_digest(spdf)
+                dh, dlines = frame_digest(dpdf)
+            except TypeError as e:
+                problems.append(f"DRIVER-ERR (unsortable cell): {e}")
+            else:
+                if sh != dh:
+                    diff = [
+                        (a, b) for a, b in zip(slines, dlines) if a != b
+                    ][:3]
+                    problems.append(
+                        f"hash spark={sh} duckdb={dh}; first diffs: {diff}"
+                    )
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             passed += 1
-            print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ok    {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
 
     print(
         f"\n{passed} passed, {rows_only} rows-only, {len(failures)} failed"

@@ -427,6 +427,23 @@ CHECKS = {
     "q20_excess_stock_suppliers": [
         ("one conditional agg + semi join, no correlated re-scan", lambda p: "LeftSemi" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # r6 wave: X96-X100 (plans/corpus_extra.py)
+    "events_seq_pairs": [
+        ("pair support via sequence-keyed equi-join, no cartesian", lambda p: "CartesianProduct" not in p),
+        ("total rides a 1-row broadcast, not a driver collect", lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+    ],
+    "text_tf_cosine_pairs": [
+        ("dot products via token equi-join, no all-pairs", lambda p: "CartesianProduct" not in p),
+        ("norms broadcast back onto the pair frame", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    ],
+    "text_boilerplate_shingles": [
+        ("boilerplate set broadcast; occurrences never re-shuffle on text", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("shingles in-row (transform), not explode-then-window", lambda p: "CartesianProduct" not in p),
+    ],
+    "sample_epoch_shuffle": [
+        ("rank decomposed: no single-partition window exchange", lambda p: "Exchange SinglePartition" not in p),
+        ("offset table broadcast, no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 

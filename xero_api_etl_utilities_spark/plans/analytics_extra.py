@@ -639,10 +639,16 @@ def agg_value_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("bigint").alias("n"),
             F.col("s").cast("bigint").alias("sum_cents"),
+            # published as VARCHAR on BOTH sides: DECIMAL(38,0) leaves
+            # DuckDB's .df() as float64 ("...196.0") while Spark's
+            # toPandas() keeps Decimal ("...196") — the driver hashes
+            # the pandas strings, so a decimal column can never match.
+            # String-typed rationals stay digit-exact at any sf.
             (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
             .cast(d38)
+            .cast("string")
             .alias("var_num"),
-            (F.col("n") * F.col("n")).cast(d38).alias("var_den"),
+            (F.col("n") * F.col("n")).cast(d38).cast("string").alias("var_den"),
         )
         .orderBy("event_type")
     )
@@ -661,8 +667,8 @@ WITH st AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents,
-  CAST(n * ss - s * s AS DECIMAL(38,0)) AS var_num,
-  CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS var_den
+  CAST(CAST(n * ss - s * s AS DECIMAL(38,0)) AS VARCHAR) AS var_num,
+  CAST(CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS VARCHAR) AS var_den
 FROM st
 ORDER BY event_type
 """,

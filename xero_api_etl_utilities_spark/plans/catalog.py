@@ -27,44 +27,88 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # --- round-4 continuation wave (newest first) ---
+    # r6 WINDOW (slots 1-50). Composition, per VERDICT r5 "Next round"
+    # item 4: the 14 rows red/err in r4+r5 (canonicalization fixed this
+    # round — the driver must see them flip green), then the 32 queries
+    # with no driver row in ANY round (incl. diag_data_contract, whose
+    # HUGEINT oracle was also retyped), then the 5 newly wired X96-X100.
+    # That is 51 names for 50 slots: agg_approx_distinct_ok (cheap,
+    # local-only-verified, stable since r1) waits below the fold for r7.
+    # --- 14 formerly perma-red rows, retyped oracles (BIGINT/VARCHAR/
+    # CSV-serialized arrays) ---
     "dedup_lsh_quality",
     "part_abc_classification",
-    "graph_bfs_depth",
     "orders_rfm_segments",
     "window_interval_coalesce",
-    "events_clamped_balance",
     "events_bounce_rate",
     "agg_mad_outliers",
     "events_decayed_type_scores",
-    "basket_brand_rules",
     "layout_zonemap_prune",
+    "events_user_diversity",
+    "events_daily_trend",
+    "agg_value_variance_exact",
+    "replica_bucket_diff",
+    "text_hashing_features",
+    "text_posting_lists",
+    # --- never driver-checked across r1-r5 (31 of 32; the 32nd is
+    # agg_approx_distinct_ok, deferred to r7) ---
+    "diag_data_contract",
+    "set_customer_segments",
+    "window_distribution_ranks",
+    "join_above_avg",
+    "q21_suppliers_kept_waiting",
+    "decontaminate_ngrams",
+    "doc_pack_chunks",
+    "sample_stratified",
+    "split_leakage_safe",
+    "text_top_terms_per_doc",
+    "text_rarity",
+    "events_json_props",
+    "events_weekday_seasonality",
+    "events_time_to_convert",
+    "events_position_attribution",
+    "events_burstiness",
+    "agg_revenue_concentration",
+    "events_stickiness",
+    "part_pareto_frontier",
+    "events_changepoint",
+    "similarity_topk_ivfpq_dist",
+    "similarity_topk_ivfpq_rerank",
+    "events_daily_anomalies",
+    "multimodal_video_meta",
+    "events_pivot_daily",
+    "events_user_accumulation",
+    "merge_scd2_history",
+    "diag_referential_integrity",
+    "join_point_in_time",
+    "text_gopher_rules",
+    "text_bm25_topk",
+    # --- X96-X100, wired into the catalog this round ---
+    "events_seq_pairs",
+    "diag_distribution_drift",
+    "text_tf_cosine_pairs",
+    "text_boilerplate_shingles",
+    "sample_epoch_shuffle",
+    # ------------------- below the driver's 50-row fold -------------------
+    "agg_approx_distinct_ok",
+    # --- r4/r5 window (all green r4 or r5; kept high for regression
+    # visibility) ---
+    "graph_bfs_depth",
+    "events_clamped_balance",
+    "basket_brand_rules",
     "text_bpe_merges",
     "graph_label_propagation",
-    "events_user_diversity",
     "dedup_prefix_filter_pairs",
     "fuzzy_sorted_neighborhood",
-    "events_daily_trend",
     "basket_brand_triples",
     "layout_shard_moves",
-    # --- round-4 additions (newest first; names may be listed before
-    # their modules land — unregistered names are ignored) ---
-    # r4-END STATE: the first 50 of queries() are EXACTLY the 50
-    # catalog queries with no driver CORRECTNESS row across r1-r3 —
-    # the window is packed with zero wasted slots. r5 discipline:
-    # rotate r5-new + any r5-modified queries to the top; everything
-    # below has a green driver row from some round.
     "graph_kcore",
     "pipeline_training_corpus",
-    "text_hashing_features",
     "agg_kmv_overlap",
     "diag_join_size_estimate",
     "nested_invoice_stats",
     "text_retrieve_rerank",
-    "agg_value_variance_exact",
     "agg_kmv_distinct",
-    "text_posting_lists",
-    "replica_bucket_diff",
     "join_asof_tolerance",
     "events_session_window",
     "graph_pagerank",
@@ -85,37 +129,14 @@ _WINDOW_PRIORITY: list[str] = [
     "multimodal_audio_features",
     "profile_orders_approx",
     "q12_shipmode_priority",
-    "q21_suppliers_kept_waiting",
-    "split_leakage_safe",
-    "similarity_topk_ivfpq_dist",
-    "similarity_topk_ivfpq_rerank",
-    "text_gopher_rules",
-    "text_bm25_topk",
-    "events_daily_anomalies",
-    "multimodal_video_meta",
-    "events_pivot_daily",
-    "events_user_accumulation",
-    "set_customer_segments",
-    # --- the 8 catalog queries that have NEVER had a driver
-    # CORRECTNESS row across r1–r3 (VERDICT r3 "What's missing" #1):
-    # close the gap so every query is driver-verified at least once ---
-    "agg_approx_distinct_ok",
-    "decontaminate_ngrams",
-    "doc_pack_chunks",
-    "events_json_props",
-    "join_above_avg",
-    "sample_stratified",
-    "text_rarity",
-    "window_distribution_ranks",
-    # --- changed in round 4 (must sit where the driver can see a
-    # regression): merge.py presence-marker rework; WindowExec fix ---
+    # --- changed in round 4 (merge.py presence-marker rework;
+    # WindowExec fix) ---
     "snapshot_diff_summary",
     "window_share_of_total",
     "merge_cdc_snapshot",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    # --- round-3 additions whose only driver row is r3: keep the
-    # freshest wave visible one more round ---
+    # --- round-3 additions ---
     "events_trailing_7d",
     "agg_winsorized_revenue",
     "dedup_cluster_sizes",
@@ -200,6 +221,7 @@ def _load_extra_modules() -> None:
         retrieval_quality,
         graph_ops,
         mining_ops,
+        corpus_extra,
     )
 
 

@@ -198,10 +198,20 @@ def replica_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderstatus"),
             )
         )
+        # checksum sums in DECIMAL(38,0) and publishes VARCHAR on BOTH
+        # sides: a bucket of n rows sums n · ~2^31 hashes, which outgrows
+        # a bigint near 4e9 rows/bucket — real at 100 TB — and DuckDB's
+        # HUGEINT sum reaches pandas as float64, which can never hash-match
+        # an integer column. String checksums are exact at any sf.
         return (
             df.select((F.col("o_orderkey") % 256).alias("bucket"), row_h.alias("h"))
             .groupBy("bucket")
-            .agg(F.sum("h").alias("checksum"))
+            .agg(
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("checksum")
+            )
         )
 
     a = checksums(od).withColumnRenamed("checksum", "checksum_primary")
@@ -223,7 +233,8 @@ def _replica_diff_oracle() -> str:
         )
         return f"""
 {name} AS (
-  SELECT o_orderkey % 256 AS bucket, SUM(CAST({h} AS BIGINT)) AS checksum
+  SELECT o_orderkey % 256 AS bucket,
+    CAST(CAST(SUM(CAST({h} AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
   FROM orders GROUP BY 1
 )"""
 
@@ -514,12 +525,14 @@ register(
     """
 WITH agg AS (
   SELECT COUNT(*) AS n,
-    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v0,
-    SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v1,
-    SUM(CASE WHEN CAST(o_orderdate AS DATE) NOT BETWEEN DATE '1995-01-01'
-             AND DATE '2003-12-31' THEN 1 ELSE 0 END) AS v2,
-    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v3,
-    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v4
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+         AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+         AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) NOT BETWEEN DATE '1995-01-01'
+             AND DATE '2003-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4
   FROM orders
 )
 SELECT * FROM (

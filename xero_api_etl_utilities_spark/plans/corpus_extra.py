@@ -82,7 +82,14 @@ def events_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = seq.groupBy("user_id", "d", "event_type").agg(
         F.min("s").alias("mn"), F.max("s").alias("mx")
     )
-    total = mm.select("user_id", "d").distinct().count()
+    # total sequence count rides along as a broadcast 1-row frame — an
+    # eager .count() here would run the row_number scan as a separate
+    # job at plan-BUILD time, before the consumer even executes
+    tot = (
+        mm.select("user_id", "d")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
     a = mm.select("user_id", "d", F.col("event_type").alias("ante"), "mn")
     b = mm.select(
         F.col("user_id").alias("u2"),
@@ -101,17 +108,21 @@ def events_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("support_seqs"))
     )
-    return sup.select(
-        "ante",
-        "cons",
-        "support_seqs",
-        (F.col("support_seqs") * 10000 / F.lit(total))
-        .cast("long")
-        .alias("support_bp"),
-        (F.col("support_seqs") * 10000 >= F.lit(850) * F.lit(total)).alias(
-            "frequent"
-        ),
-    ).orderBy("ante", "cons")
+    # integer `div`, not float `/`-then-cast: the float path diverges
+    # from the oracle's `//` once support·10⁴ passes 2⁵³
+    return (
+        sup.crossJoin(F.broadcast(tot))
+        .select(
+            "ante",
+            "cons",
+            "support_seqs",
+            F.expr("support_seqs * 10000 div total").alias("support_bp"),
+            (F.col("support_seqs") * 10000 >= F.lit(850) * F.col("total")).alias(
+                "frequent"
+            ),
+        )
+        .orderBy("ante", "cons")
+    )
 
 
 _SEQ_PAIRS_ORACLE = """
@@ -205,7 +216,20 @@ def diag_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drift_num"),
         )
     )
-    return per_type.unionByName(total_row).orderBy("event_type")
+    # drift_num carries >bigint products by design, so it is published
+    # as VARCHAR on BOTH sides: a decimal(38,0)/HUGEINT column reaches
+    # the driver's pandas hasher as Decimal vs float64 and can never
+    # match; the string form is digit-exact at any sf.
+    return (
+        per_type.unionByName(total_row)
+        .select(
+            "event_type",
+            F.col("wd").cast("bigint").alias("wd"),
+            F.col("we").cast("bigint").alias("we"),
+            F.col("drift_num").cast("string").alias("drift_num"),
+        )
+        .orderBy("event_type")
+    )
 
 
 _DRIFT_ORACLE = """
@@ -225,11 +249,13 @@ WITH wide AS (
          abs(wd * (SELECT m FROM tot) - we * (SELECT n FROM tot)) AS drift_num
   FROM wide
 )
-SELECT event_type, wd::BIGINT AS wd, we::BIGINT AS we, drift_num
+SELECT event_type, wd::BIGINT AS wd, we::BIGINT AS we,
+       CAST(drift_num AS VARCHAR) AS drift_num
 FROM per_type
 UNION ALL
 SELECT '__total__', sum(wd)::BIGINT, sum(we)::BIGINT,
-       (sum(drift_num) * 5000) // ((SELECT n FROM tot) * (SELECT m FROM tot))
+       CAST((sum(drift_num) * 5000)
+            // ((SELECT n FROM tot) * (SELECT m FROM tot)) AS VARCHAR)
 FROM per_type
 ORDER BY 1
 """
@@ -261,12 +287,22 @@ def text_tf_cosine_pairs(
     (the LSH stop-bucket pattern): tokens hotter than max_df docs are
     dropped before the join — at 100 TB a stopword's posting list
     alone would go quadratic, and a token present in >100k docs
-    carries ~no cosine signal per pair.  This corpus' ~30-word
-    vocabulary keeps every df < 501, so the guard is semantics-free
-    here and the oracle need not model it (the ``_co_edges`` /
-    X80-prefix-filter precedent); at a scale where it trips, mirror
-    the HAVING into the oracle.  Overflow: tf <= doc length, dot <=
-    n2 <= sum(tf^2) — bigint-safe until ~3e9-token documents."""
+    carries ~no cosine signal per pair.  The guard is MIRRORED into
+    the oracle (same HAVING) so the two sides stay equal at every sf,
+    including corpora with >max_df-hot tokens — an asymmetric guard
+    is a silent divergence waiting for scale.
+
+    Honest measurement: this synthetic corpus is the guard's worst
+    case — a 31-word vocabulary where EVERY token has df ~ 0.78·n_docs
+    (no Zipf tail to prune), so the posting join is near-dense
+    (Σdf² ≈ 4.5e8 pairs, 128.7 s at sf0.1) and the query is an
+    exactness baseline excluded from bench, the
+    ``dedup_prefix_filter_pairs`` precedent; the benched scale path
+    for text near-dup pairs stays MinHash-LSH.  Overflow: with
+    near-distinct words tf ~ 1, so dot <= n2 ~ L and the hashed
+    predicate 10^4·dot² stays under 2^63 until L ~ 3e7 tokens per
+    document; repetitive docs (tf ~ L) trip it around L ~ 5e3 —
+    at that point widen the predicate to decimal(38,0)."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(
@@ -307,12 +343,19 @@ def text_tf_cosine_pairs(
     )
 
 
-_TF_COSINE_ORACLE = """
-WITH tf AS (
+def _tf_cosine_oracle(max_df: int = 100_000) -> str:
+    # the max_df posting guard appears HERE too — both engines drop the
+    # same hot tokens before norms/dots, so they agree at any scale
+    return f"""
+WITH tf0 AS (
   SELECT doc_id, tok, count(*)::BIGINT AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   WHERE tok <> ''
   GROUP BY 1, 2
+), live AS (
+  SELECT tok FROM tf0 GROUP BY tok HAVING count(*) <= {max_df}
+), tf AS (
+  SELECT tf0.* FROM tf0 JOIN live USING (tok)
 ), norms AS (
   SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tf GROUP BY 1
 ), dots AS (
@@ -328,7 +371,8 @@ WHERE 10000 * dot * dot >= 9025 * na.n2 * nb.n2
 ORDER BY d1, d2
 """
 
-register("text_tf_cosine_pairs", text_tf_cosine_pairs, _TF_COSINE_ORACLE)
+
+register("text_tf_cosine_pairs", text_tf_cosine_pairs, _tf_cosine_oracle)
 
 
 # ---------------------------------------------------------------------------
@@ -360,24 +404,24 @@ def text_boilerplate_shingles(
     shaped flag.  Two shuffles total, both on shingle strings."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + k) for k in range(n)]
-    )
-    occ = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(0))),
-                    lambda i: F.element_at(words, i.cast("int"))
-                    + F.lit(" ")
-                    + F.element_at(words, (i + 1).cast("int"))
-                    + F.lit(" ")
-                    + F.element_at(words, (i + 2).cast("int")),
-                )
-            ).alias("s"),
-        )
+
+    def shingle(i):
+        # string concatenation must be concat_ws, not `+` (Spark lowers
+        # `+` to numeric Add -> DATATYPE_MISMATCH on strings)
+        return F.concat_ws(" ", *[F.element_at(words, i + k) for k in range(n)])
+
+    # docs shorter than n words contribute ZERO shingles: the guard must
+    # be on the sequence itself — sequence(1, 0) yields the DESCENDING
+    # [1, 0] (element_at(words, 0) then errors), so short docs take the
+    # empty-array branch and explode() drops them, matching the oracle's
+    # empty range(1, 1).
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.transform(idx, lambda i: shingle(i.cast("int")))).alias("s"),
     )
     boiler = (
         occ.select("doc_id", "s")
@@ -399,10 +443,8 @@ def text_boilerplate_shingles(
         .select(
             "source",
             "n_shingles",
-            "n_boiler",
-            (F.col("n_boiler") * 10000 / F.col("n_shingles"))
-            .cast("long")
-            .alias("boiler_bp"),
+            F.col("n_boiler").cast("bigint").alias("n_boiler"),
+            F.expr("n_boiler * 10000 div n_shingles").alias("boiler_bp"),
         )
         .orderBy("source")
     )

@@ -515,13 +515,20 @@ def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
     )
+    # posting_head is published as a comma-joined STRING, not a raw
+    # array: the driver's pandas row-sorter cannot hash list cells
+    # (TypeError: unhashable type — the r4/r5 "err" rows), and the
+    # CSV form is still the exact posting head, digit for digit.
     return (
         td.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
-                "posting_head"
-            ),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("posting_head"),
         )
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
@@ -538,7 +545,7 @@ WITH td AS (
   FROM documents
 )
 SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-  (list_sort(list(doc_id)))[1:10] AS posting_head
+  array_to_string((list_sort(list(doc_id)))[1:10], ',') AS posting_head
 FROM td
 GROUP BY term
 ORDER BY df DESC, term ASC
@@ -581,14 +588,18 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_list(F.struct(F.col("fidx"), F.col("weight")))
             ).alias("_f")
         )
-        # parallel arrays (indices, weights): the canonical sparse-vector
-        # exchange format, and canonicalizes identically in both engines
-        # (struct canon forms differ between Spark rows and DuckDB
-        # struct_pack)
+        # parallel arrays (indices, weights) — the canonical sparse-vector
+        # exchange format — published comma-joined as STRINGS: the
+        # driver's pandas sorter cannot hash raw list cells (the r4/r5
+        # "err" rows), and the CSV form is digit-exact either way.
         .select(
             "doc_id",
-            F.transform("_f", lambda x: x["fidx"]).alias("indices"),
-            F.transform("_f", lambda x: x["weight"]).alias("weights"),
+            F.array_join(
+                F.transform("_f", lambda x: x["fidx"]).cast("array<string>"), ","
+            ).alias("indices"),
+            F.array_join(
+                F.transform("_f", lambda x: x["weight"]).cast("array<string>"), ","
+            ).alias("weights"),
         )
         .orderBy("doc_id")
     )
@@ -613,10 +624,12 @@ weights AS (
   HAVING SUM({sg}) <> 0
 )
 SELECT doc_id,
-  list_transform(list_sort(list(struct_pack(fidx := fidx, weight := weight))),
-                 x -> x.fidx) AS indices,
-  list_transform(list_sort(list(struct_pack(fidx := fidx, weight := weight))),
-                 x -> x.weight) AS weights
+  array_to_string(
+    list_transform(list_sort(list(struct_pack(fidx := fidx, weight := weight))),
+                   x -> x.fidx), ',') AS indices,
+  array_to_string(
+    list_transform(list_sort(list(struct_pack(fidx := fidx, weight := weight))),
+                   x -> x.weight), ',') AS weights
 FROM weights GROUP BY doc_id ORDER BY doc_id
 """
 
