@@ -427,6 +427,17 @@ CHECKS = {
     "q20_excess_stock_suppliers": [
         ("one conditional agg + semi join, no correlated re-scan", lambda p: "LeftSemi" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # r6: the flagship ANN claims (VERDICT r5 stretch item 8) — the
+    # refine stage must touch ONLY the shortlist: candidates broadcast
+    # onto the float table, the corpus float column never shuffles
+    "similarity_topk_ivfpq_rerank": [
+        ("shortlist broadcasts onto the float table, no SMJ", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("no cartesian / nested-loop scoring", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    "similarity_topk_ivfpq_dist": [
+        ("query tables built executor-side via Arrow batch", lambda p: "MapInPandas" in p),
+        ("no cartesian / nested-loop scoring", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
     # r6 wave: X96-X100 (plans/corpus_extra.py)
     "events_seq_pairs": [
         ("pair support via sequence-keyed equi-join, no cartesian", lambda p: "CartesianProduct" not in p),
