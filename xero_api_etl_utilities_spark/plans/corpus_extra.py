@@ -403,7 +403,15 @@ def text_boilerplate_shingles(
     rare) broadcasts back onto the occurrence frame as a semi-join-
     shaped flag.  Two shuffles total, both on shingle strings."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # the words ARRAY must be materialized as a column BEFORE the
+    # transform: an inline split() referenced from the lambda is
+    # re-evaluated per element_at — 3 regex splits per shingle, the
+    # layout_shard_moves lambda-CSE trap again (measured 7.9 s -> 1.9 s
+    # warm at sf0.1 for this one projection)
+    wdocs = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
+    )
+    words = F.col("_w")
 
     def shingle(i):
         # string concatenation must be concat_ws, not `+` (Spark lowers
@@ -418,7 +426,7 @@ def text_boilerplate_shingles(
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
     ).otherwise(F.array().cast("array<int>"))
-    occ = docs.select(
+    occ = wdocs.select(
         "doc_id",
         "source",
         F.explode(F.transform(idx, lambda i: shingle(i.cast("int")))).alias("s"),
