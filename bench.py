@@ -253,11 +253,12 @@ HEADLINE = [
     "orders_rfm_segments",
     "dedup_lsh_quality",
     "part_abc_classification",
-    # round-6 wave: X96-X100 (plans/corpus_extra.py), wired this round
+    # round-6 wave: X96-X101 (plans/corpus_extra.py), wired this round
     "events_seq_pairs",
     "diag_distribution_drift",
     "text_boilerplate_shingles",
     "sample_epoch_shuffle",
+    "dedup_semantic_clusters",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

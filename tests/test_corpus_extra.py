@@ -20,7 +20,7 @@ from xero_api_etl_utilities_spark.plans.corpus_extra import (
 
 def _rows(sf_dir: str, sql: str):
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
@@ -162,3 +162,50 @@ def test_epoch_shuffle_is_total_order_per_epoch(spark, sf_dir):
         ]
         assert got_order == expected_order
         assert all(r["shard"] == r["pos"] % 8 for r in rs)
+
+
+def test_semdedup_census_matches_bruteforce(spark, sf_dir):
+    # recompute cells + within-cell drops directly in numpy from the
+    # same deterministic centroids; census must match exactly.
+    import numpy as np
+
+    from xero_api_etl_utilities_spark.operators.ivf import (
+        train_centroids_from_parquet,
+    )
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        _SEMDEDUP_TAU,
+        dedup_semantic_clusters,
+    )
+
+    rows = _rows(sf_dir, "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id")
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    C = np.array(
+        train_centroids_from_parquet(
+            f"{sf_dir}/embeddings.parquet", k=16, iters=4, sample=1000
+        )
+    )
+    cells = (V @ C.T).argmax(axis=1)
+    U = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    dropped: set[int] = set()
+    for cell in range(16):
+        idx = [i for i in range(len(ids)) if cells[i] == cell]
+        for ai in range(len(idx)):
+            for bi in range(ai + 1, len(idx)):
+                a, b = idx[ai], idx[bi]
+                if float(U[a] @ U[b]) >= _SEMDEDUP_TAU:
+                    dropped.add(ids[b])
+    exp = {}
+    for i, d in enumerate(ids):
+        c = int(cells[i])
+        n, k = exp.get(c, (0, 0))
+        exp[c] = (n + 1, k + (1 if d in dropped else 0))
+
+    got = {
+        r["cell"]: (r["n_vectors"], r["n_dropped"], r["n_kept"])
+        for r in dedup_semantic_clusters(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for c, (n, k) in exp.items():
+        assert got[c] == (n, k, n - k)
+    assert sum(k for _, k in exp.values()) > 0, "tau must actually drop something"

@@ -455,6 +455,11 @@ CHECKS = {
         ("rank decomposed: no single-partition window exchange", lambda p: "Exchange SinglePartition" not in p),
         ("offset table broadcast, no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    # r6: X101 SemDeDup — pairs must form only WITHIN a cluster (the
+    # cell equi-join), never corpus-wide
+    "dedup_semantic_clusters": [
+        ("pair join keyed on the cell, no all-pairs", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 
