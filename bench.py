@@ -259,6 +259,7 @@ HEADLINE = [
     "text_boilerplate_shingles",
     "sample_epoch_shuffle",
     "dedup_semantic_clusters",
+    "sample_token_budget_plan",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -209,3 +209,39 @@ def test_semdedup_census_matches_bruteforce(spark, sf_dir):
     for c, (n, k) in exp.items():
         assert got[c] == (n, k, n - k)
     assert sum(k for _, k in exp.values()) > 0, "tau must actually drop something"
+
+
+def test_token_budget_plan_matches_python_recompute(spark, sf_dir):
+    # replay the planner arithmetic in pure python ints; every column
+    # must agree, and the plan must conserve the budget: sum of
+    # targets <= budget with per-source shortfall < w_sum.
+    import re
+
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        _BUDGET_X,
+        sample_token_budget_plan,
+    )
+
+    raw = _rows(sf_dir, "SELECT source, text FROM documents")
+    inv: dict[str, list[int]] = {}
+    for src, text in raw:
+        toks = len(text.strip().split(" "))
+        n, t = inv.get(src, (0, 0))
+        inv[src] = (n + 1, t + toks)
+    w = {s: int(re.search(r"(\d+)", s).group(1)) % 4 + 1 for s in inv}
+    w_sum = sum(w.values())
+    budget = sum(t for _, t in inv.values()) * _BUDGET_X
+
+    rows = sample_token_budget_plan(spark, sf_dir).collect()
+    assert {r["source"] for r in rows} == set(inv)
+    for r in rows:
+        n, avail = inv[r["source"]]
+        target = budget * w[r["source"]] // w_sum
+        assert (r["n_docs"], r["avail_tokens"], r["weight"]) == (
+            n, avail, w[r["source"]],
+        )
+        assert r["target_tokens"] == target
+        assert r["full_epochs"] == target // avail
+        assert r["partial_ppm"] == (target % avail) * 1_000_000 // avail
+        assert 0 <= r["partial_ppm"] < 1_000_000
+    assert sum(r["target_tokens"] for r in rows) <= budget

@@ -460,6 +460,11 @@ CHECKS = {
     "dedup_semantic_clusters": [
         ("pair join keyed on the cell, no all-pairs", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # r6: X102 — one source aggregate, totals windowed on the
+    # dimension-sized result; the fact is scanned exactly once
+    "sample_token_budget_plan": [
+        ("single corpus scan, one aggregate exchange", lambda p: p.count("Location: InMemoryFileIndex") == 1 and p.count("hashpartitioning") == 1),
+    ],
 }
 
 

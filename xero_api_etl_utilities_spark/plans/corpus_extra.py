@@ -26,6 +26,9 @@ large-scale training-data pipeline runs beside the dedup family:
 * X101 ``dedup_semantic_clusters`` — SemDeDup: k-means-cluster the
   embedding corpus, drop within-cluster cosine near-dups; the
   embedding-space member of the dedup family (added later in r6).
+* X102 ``sample_token_budget_plan`` — the pretraining data-mixing
+  planner: per-source full-epoch counts + exact partial-pass sampling
+  rates (ppm) from token inventories, mixture weights, and a budget.
 
 Every hashed output value is an integer (or, for X97's >bigint
 rationals, a digit-exact string); every oracle replays the same
@@ -712,3 +715,110 @@ ORDER BY c.cell
 
 
 register("dedup_semantic_clusters", dedup_semantic_clusters, _semdedup_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X102: token-budget mixture planner
+# ---------------------------------------------------------------------------
+
+_BUDGET_X = 2  # training budget as a multiple of the corpus token count
+
+
+def sample_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102: the pretraining data-mixing planner — given per-source
+    token inventories, mixture weights, and a total token budget,
+    derive HOW MANY full epochs of each source to take and the exact
+    sampling rate for the final partial pass.  This is the arithmetic
+    behind every published data recipe (The Pile / LLaMA-style
+    "source X is upsampled 2.45 epochs" tables), done engine-exactly:
+
+        target_s   = budget * w_s div SUM(w)
+        epochs_s   = target_s div avail_s          (full passes)
+        partial_s  = (target_s mod avail_s) * 1e6 div avail_s   (ppm)
+
+    Weights are a deterministic function of the source name (1 + the
+    numeric suffix mod 4 — stands in for the human-chosen quality
+    weighting), and the budget is ``_BUDGET_X`` x the corpus inventory
+    so both regimes (upsampled epochs > 1, downsampled partial-only)
+    are exercised at every sf.  The partial-rate cross-multiply runs
+    in decimal(38,0): (target mod avail) * 10^6 outgrows a bigint once
+    a source holds ~9·10^12 tokens — real at 100 TB — and the final
+    ppm (<= 10^6) casts back down losslessly.
+
+    Shape: ONE map-side-combinable source aggregate (token counts via
+    whitespace split length — the ``text_token_counts`` ws
+    convention), a 1-row totals frame broadcast back, then pure
+    per-row algebra; nothing about the plan changes with corpus size.
+    Downstream, the partial pass IS ``operators/sampling.py``'s
+    hash-predicate sample at partial_ppm — this query plans, that
+    operator executes."""
+    from xero_api_etl_utilities_spark.operators.textstats import (
+        whitespace_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(whitespace_token_count(F.col("text"))).alias("avail_tokens"),
+    )
+    weight = (
+        F.regexp_extract(F.col("source"), "(\\d+)", 1).cast("bigint") % 4 + 1
+    ).alias("weight")
+    weighted = per_src.select("source", "n_docs", "avail_tokens", weight)
+    # totals via an unpartitioned window over the SOURCE-GRAIN frame
+    # (dimension-sized — the pareto/RFM precedent): a separate
+    # agg-then-crossJoin would recompute the fact aggregate in both
+    # branches, i.e. scan the corpus twice
+    w_all = Window.partitionBy()
+    totaled = weighted.withColumn(
+        "w_sum", F.sum("weight").over(w_all)
+    ).withColumn("budget", F.sum("avail_tokens").over(w_all) * _BUDGET_X)
+    d38 = "decimal(38,0)"
+    target = F.expr("budget * weight div w_sum")
+    return (
+        totaled
+        .withColumn("target_tokens", target)
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "weight",
+            "target_tokens",
+            F.expr("target_tokens div avail_tokens").alias("full_epochs"),
+            # integral `div` on decimal operands (returns BIGINT) — a
+            # true `/` would round HALF_UP at the result scale while
+            # DuckDB floors, an off-by-one on ties
+            F.expr(
+                f"cast(target_tokens % avail_tokens as {d38}) * 1000000"
+                f" div cast(avail_tokens as {d38})"
+            ).alias("partial_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS avail_tokens,
+    CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 + 1 AS BIGINT)
+      AS weight
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(weight) AS BIGINT) AS w_sum,
+    CAST(SUM(avail_tokens) * {_BUDGET_X} AS BIGINT) AS budget
+  FROM per_src
+)
+SELECT source, n_docs, avail_tokens, weight,
+  CAST(budget * weight // w_sum AS BIGINT) AS target_tokens,
+  CAST((budget * weight // w_sum) // avail_tokens AS BIGINT) AS full_epochs,
+  CAST(CAST((budget * weight // w_sum) % avail_tokens AS HUGEINT)
+       * 1000000 // CAST(avail_tokens AS HUGEINT) AS BIGINT)
+    AS partial_ppm
+FROM per_src, tot
+ORDER BY source
+"""
+
+register(
+    "sample_token_budget_plan", sample_token_budget_plan, _TOKEN_BUDGET_ORACLE
+)
