@@ -260,6 +260,7 @@ HEADLINE = [
     "sample_epoch_shuffle",
     "dedup_semantic_clusters",
     "sample_token_budget_plan",
+    "graph_cc_star",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

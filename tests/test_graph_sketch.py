@@ -223,3 +223,70 @@ class TestKCore:
             [(1, 2), (1, 3), (2, 4), (2, 5)], "u1 long, u2 long"
         )
         assert kcore(tree, k=2).count() == 0  # trees have no 2-core
+
+
+class TestCCStar:
+    """Large-Star/Small-Star CC (X103): row-identical to min-label
+    propagation, but in O(log n) rounds."""
+
+    def _both(self, spark, edges):
+        from xero_api_etl_utilities_spark.operators.graph import (
+            cc_large_star_small_star,
+            connected_components,
+        )
+
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        star = {
+            (r["doc"], r["cluster_id"])
+            for r in cc_large_star_small_star(df).collect()
+        }
+        lp = {
+            (r["doc"], r["cluster_id"])
+            for r in connected_components(df, max_iters=200).collect()
+        }
+        return star, lp
+
+    def test_matches_label_propagation_on_shapes(self, spark):
+        for edges in (
+            [(i, i + 1) for i in range(10)],                      # chain
+            [(0, i) for i in range(1, 8)],                        # star
+            [(a, b) for a in range(5) for b in range(a + 1, 5)]
+            + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+            + [(4, 10)],                                          # bridged cliques
+            [(100, 7), (3, 50), (50, 2)],                         # scattered
+        ):
+            star, lp = self._both(spark, edges)
+            assert star == lp
+
+    def test_logarithmic_rounds_on_long_chain(self, spark):
+        # a 100-edge chain has diameter 100: label propagation needs
+        # ~100 rounds, the star alternation must finish in <= 8 —
+        # the entire point of the algorithm.
+        from xero_api_etl_utilities_spark.operators.graph import (
+            cc_large_star_small_star,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(100)], ["doc_a", "doc_b"]
+        )
+        labels = cc_large_star_small_star(df, max_iters=8).collect()
+        assert {r["cluster_id"] for r in labels} == {0}
+        assert len(labels) == 101
+
+    def test_corpus_graph_matches(self, spark, sf_dir):
+        from xero_api_etl_utilities_spark.operators.graph import (
+            cc_large_star_small_star,
+            connected_components,
+        )
+        from xero_api_etl_utilities_spark.plans.graph_ops import _co_edges
+
+        e = _co_edges(spark, sf_dir)
+        star = {
+            (r["doc"], r["cluster_id"])
+            for r in cc_large_star_small_star(e, "u1", "u2").collect()
+        }
+        lp = {
+            (r["doc"], r["cluster_id"])
+            for r in connected_components(e, "u1", "u2", max_iters=200).collect()
+        }
+        assert star == lp

@@ -465,6 +465,11 @@ CHECKS = {
     "sample_token_budget_plan": [
         ("single corpus scan, one aggregate exchange", lambda p: p.count("Location: InMemoryFileIndex") == 1 and p.count("hashpartitioning") == 1),
     ],
+    # r6: X103 — star-alternation CC: the census reads the converged
+    # per-round checkpoint; every step was a groupBy-min + equi-join
+    "graph_cc_star": [
+        ("census reads the converged checkpoint, no cartesian", lambda p: "Scan ExistingRDD" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 

@@ -643,3 +643,70 @@ ORDER BY depth
 
 
 register("graph_bfs_depth", graph_bfs_depth, _bfs_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X103: connected components via Large-Star / Small-Star (r6)
+# ---------------------------------------------------------------------------
+
+
+def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: component census of the user co-occurrence graph,
+    computed by the Large-Star / Small-Star alternation
+    (operators/graph.py:cc_large_star_small_star — O(log n) rounds,
+    the web-scale CC algorithm) instead of diameter-bound label
+    propagation.  Output: (cluster_id = component-min user, size),
+    the post-clustering report shape.  The oracle computes the same
+    components by transitive-closure recursive CTE — a completely
+    different algorithm, so agreement pins the star alternation's
+    correctness, not its plan."""
+    from xero_api_etl_utilities_spark.operators.graph import (
+        cc_large_star_small_star,
+    )
+
+    labels = cc_large_star_small_star(
+        _co_edges(spark, sf_dir), a_col="u1", b_col="u2"
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("cluster_id").cast("bigint").alias("cluster_id"), "size")
+        .orderBy("cluster_id")
+    )
+
+
+_CC_STAR_ORACLE = """
+WITH RECURSIVE uc AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) dd, event_type t, hour(ts) h
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id u1, b.user_id u2
+  FROM uc a JOIN uc b
+    ON a.dd = b.dd AND a.t = b.t AND a.h = b.h AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+edges AS (
+  SELECT u1 AS src, u2 AS dst FROM pairs
+  UNION
+  SELECT u2, u1 FROM pairs
+),
+reach AS (
+  SELECT src AS doc, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS doc, r.lbl AS lbl
+  FROM reach r JOIN edges e ON e.src = r.doc
+  WHERE r.lbl < e.dst
+),
+labeled AS (
+  SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+  CAST(COUNT(*) AS BIGINT) AS size
+FROM labeled
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+register("graph_cc_star", graph_cc_star, _CC_STAR_ORACLE)
