@@ -261,6 +261,7 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "sample_token_budget_plan",
     "graph_cc_star",
+    "multimodal_ahash_pairs",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -156,3 +156,67 @@ def test_synth_media_roundtrips_through_any_supported_format(spark):
     assert [a[f] for f in a.asDict() if f != "media_id"] == [
         b[f] for f in b.asDict() if f != "media_id"
     ]
+
+
+def test_ahash64_matches_python_recompute(spark):
+    # the fingerprint must equal the closed-form recompute from the
+    # synth rule — pinning the full encode -> real-decode -> gray ->
+    # threshold path byte-exactly (X104).
+    from xero_api_etl_utilities_spark.operators.multimodal import (
+        ahash64,
+        synth_ppm_media,
+    )
+
+    ids = spark.createDataFrame([(d,) for d in range(40)], "doc_id bigint")
+    media = synth_ppm_media(ids, "doc_id", width=8, height=8)
+    got = {r["media_id"]: r["ahash"] for r in ahash64(media).collect()}
+
+    def expect(d: int) -> int:
+        gray = [
+            sum((d * 31 + 3 * p + c) % 256 for c in range(3)) // 3
+            for p in range(64)
+        ]
+        mean = sum(gray) // 64
+        fp = 0
+        for p, g in enumerate(gray):
+            if g > mean:
+                fp |= 1 << p
+        return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+    assert got == {d: expect(d) for d in range(40)}
+
+
+def test_ahash_identical_period_images_pair_at_hamming_zero(spark):
+    # (d*31) % 256 has period 256: docs 256 apart render identical
+    # images, so every (d, d+256) pair must appear at Hamming 0.
+    from xero_api_etl_utilities_spark.operators.dedup import simhash_near_dups
+    from xero_api_etl_utilities_spark.operators.multimodal import (
+        ahash64,
+        synth_ppm_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(d,) for d in list(range(5)) + list(range(256, 261))],
+        "doc_id bigint",
+    )
+    fps = ahash64(synth_ppm_media(ids, "doc_id", width=8, height=8))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            fps, max_hamming=3, doc_col="media_id", fp_col="ahash"
+        ).collect()
+    }
+    for d in range(5):
+        assert pairs.get((d, d + 256)) == 0
+
+
+def test_ahash_rejects_oversized_images(spark):
+    from xero_api_etl_utilities_spark.operators.multimodal import (
+        ahash64,
+        synth_ppm_media,
+    )
+
+    ids = spark.createDataFrame([(1,)], "doc_id bigint")
+    media = synth_ppm_media(ids, "doc_id", width=9, height=9)
+    with pytest.raises(Exception, match="64 pixels"):
+        ahash64(media).collect()

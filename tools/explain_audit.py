@@ -470,6 +470,11 @@ CHECKS = {
     "graph_cc_star": [
         ("census reads the converged checkpoint, no cartesian", lambda p: "Scan ExistingRDD" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # r6: X104 — image dedup over fingerprints: decode is Arrow-batched
+    # and pairs come from the banded groupBy, pixels never pair-join
+    "multimodal_ahash_pairs": [
+        ("Arrow decode, banded pairs, no all-pairs", lambda p: "MapInPandas" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 

@@ -473,3 +473,55 @@ def decode_video_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_meta, schema=VIDEO_META_SCHEMA)
+
+
+def ahash64(media: DataFrame) -> DataFrame:
+    """64-bit average-hash fingerprint per image, through the REAL
+    codec path (X104): decode the binary column (PNG/BMP/PPM sniffed
+    from magic bytes), per-pixel integer gray ((r+g+b) div 3), mean =
+    sum div n_pixels, bit p set iff gray_p > mean.  The perceptual-
+    hash baseline for IMAGE near-dup detection — the visual member of
+    the fingerprint family next to text SimHash, and it plugs into
+    the same 16-bit banding (``dedup.simhash_near_dups``) for pair
+    generation, so image dedup shuffles 8-byte fingerprints, never
+    pixels.
+
+    Images must have <= 64 pixels for the 64-bit form (the standard
+    aHash DOWNSAMPLES first — compose with ``decode_gray_blocks``'s
+    resize path for larger sources).  The fingerprint is emitted as a
+    SIGNED long (bit 63 wraps to the sign bit, the SimHash
+    convention), so banding's logical shifts work identically in both
+    engines.  Arrow-batched ``mapInPandas``; binary content never
+    shuffles."""
+    from xero_api_etl_utilities_spark.functions.imagecodec import decode_image
+
+    def _h(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for d, c in zip(pdf["media_id"], pdf["content"]):
+                w, h, _ch, px = decode_image(bytes(c))
+                npx = w * h
+                if npx > 64:
+                    raise ValueError(
+                        f"ahash64 needs <= 64 pixels, got {npx} — resize first"
+                    )
+                gray = [
+                    (px[3 * p] + px[3 * p + 1] + px[3 * p + 2]) // 3
+                    for p in range(npx)
+                ]
+                mean = sum(gray) // npx
+                fp = 0
+                for p, g in enumerate(gray):
+                    if g > mean:
+                        fp |= 1 << p
+                if fp >= 1 << 63:
+                    fp -= 1 << 64
+                ids.append(d)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": pd.array(fps, dtype="int64")}
+            )
+
+    return media.mapInPandas(_h, schema="media_id bigint, ahash bigint")

@@ -1389,3 +1389,78 @@ GROUP BY d
 ORDER BY d
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# X104: image average-hash near-dup pairs (r6)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104: IMAGE near-dup pairs — the multimodal member of the dedup
+    family: deterministic 8x8 P6 PPM bytes per doc_id (the same
+    synth-media stand-in as multimodal_decode_features, pixel byte i
+    of image d = (d*31 + i) % 256) pushed through the REAL stdlib
+    decoder to a 64-bit average-hash (operators/multimodal.ahash64),
+    then paired by the SAME 16-bit banding + exact-Hamming verify the
+    text SimHash path uses (dedup.simhash_near_dups) — image dedup as
+    fingerprint algebra, pixels never shuffle.
+
+    The generation rule makes ground truth analytic: (d*31) % 256 has
+    period 256 in d, so documents 256 apart render IDENTICAL images
+    (Hamming 0) — the oracle predicts every fingerprint in closed form
+    from the rule WITHOUT decoding, re-runs banding + bit_count in
+    SQL, and a wrong byte anywhere in the encode -> decode -> gray ->
+    threshold path hash-mismatches."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.synth_ppm_media(docs, "doc_id", width=8, height=8)
+    fps = mm.ahash64(media)
+    return (
+        dd.simhash_near_dups(
+            fps, max_hamming=3, doc_col="media_id", fp_col="ahash"
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_AH_GRAY = (
+    "((((doc_id*31 + 3*p) % 256) + ((doc_id*31 + 3*p + 1) % 256)"
+    " + ((doc_id*31 + 3*p + 2) % 256)) // 3)"
+)
+
+_AHASH_PAIRS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 64), p -> {_AH_GRAY})) // 64 AS mean_g
+  FROM documents
+), fps AS (
+  SELECT doc_id AS doc,
+    CAST(CASE WHEN ufp >= 9223372036854775808::HUGEINT
+              THEN ufp - 18446744073709551616::HUGEINT
+              ELSE ufp END AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id,
+      list_sum(list_transform(range(0, 64), p ->
+        CASE WHEN {_AH_GRAY} > mean_g THEN (1::HUGEINT << p)
+             ELSE 0::HUGEINT END))::HUGEINT AS ufp
+    FROM m
+  )
+), banded AS (
+  SELECT doc, fp, b.band AS band, (fp >> (16 * b.band)) & 65535 AS bv
+  FROM fps, (VALUES (0), (1), (2), (3)) b(band)
+  QUALIFY COUNT(*) OVER (PARTITION BY b.band, (fp >> (16 * b.band)) & 65535)
+    <= 2000
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc
+) WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+"""
+
+register("multimodal_ahash_pairs", multimodal_ahash_pairs, _AHASH_PAIRS_ORACLE)
