@@ -90,6 +90,13 @@ _WINDOW_PRIORITY: list[str] = [
     "text_boilerplate_shingles",
     "sample_epoch_shuffle",
     # ------------------- below the driver's 50-row fold -------------------
+    # r6-late additions (X101-X104) — locally gated + pytest-pinned +
+    # plan-audited this round; first in line for the r7 window along
+    # with agg_approx_distinct_ok
+    "dedup_semantic_clusters",
+    "sample_token_budget_plan",
+    "graph_cc_star",
+    "multimodal_ahash_pairs",
     "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---
