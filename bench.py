@@ -262,6 +262,9 @@ HEADLINE = [
     "sample_token_budget_plan",
     "graph_cc_star",
     "multimodal_ahash_pairs",
+    # rides the memoized substrate (built under dedup_substrate_build
+    # above), so this line is marginal cost like its siblings
+    "decontaminate_neardup",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

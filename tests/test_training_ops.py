@@ -220,3 +220,28 @@ def test_ahash_rejects_oversized_images(spark):
     media = synth_ppm_media(ids, "doc_id", width=9, height=9)
     with pytest.raises(Exception, match="64 pixels"):
         ahash64(media).collect()
+
+
+def test_neardup_decontam_orientation_and_threshold(spark, sf_dir):
+    # every flagged pair must be corpus-side first, benchmark-side
+    # second, meet the 0.7 verified-Jaccard threshold, and appear in
+    # the underlying verified-pairs frame.
+    from xero_api_etl_utilities_spark.plans.corpus_ops import (
+        _NDCONTAM_MOD,
+        _NDCONTAM_RESIDUE,
+        _verified_pairs,
+        decontaminate_neardup,
+    )
+
+    m, res = _NDCONTAM_MOD, _NDCONTAM_RESIDUE
+    rows = decontaminate_neardup(spark, sf_dir).collect()
+    assert rows, "the sf0.001 corpus has near-dup clusters crossing the slice"
+    base = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in _verified_pairs(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["corpus_id"] % m != res
+        assert r["bench_id"] % m == res
+        assert 10 * r["inter_size"] >= 7 * r["union_size"]
+        assert frozenset((r["corpus_id"], r["bench_id"])) in base

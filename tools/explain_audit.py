@@ -475,6 +475,11 @@ CHECKS = {
     "multimodal_ahash_pairs": [
         ("Arrow decode, banded pairs, no all-pairs", lambda p: "MapInPandas" in p and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # r6: X105 — near-dup decontamination rides the memoized verified-
+    # pairs checkpoint; marginal cost is a predicate + projection
+    "decontaminate_neardup": [
+        ("reads the verified-pairs checkpoint, no re-derivation", lambda p: "Scan ExistingRDD" in p and "CartesianProduct" not in p),
+    ],
 }
 
 

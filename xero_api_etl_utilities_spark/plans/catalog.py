@@ -97,6 +97,7 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_token_budget_plan",
     "graph_cc_star",
     "multimodal_ahash_pairs",
+    "decontaminate_neardup",
     "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---

@@ -767,3 +767,72 @@ FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# X105: near-dup benchmark decontamination (r6)
+# ---------------------------------------------------------------------------
+
+_NDCONTAM_MOD, _NDCONTAM_RESIDUE = 13, 7
+
+
+def decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: benchmark contamination at the NEAR-DUP level — the gap
+    ``decontaminate_ngrams`` leaves open: exact 8-gram overlap misses
+    paraphrased or lightly-edited benchmark leakage, which is exactly
+    what MinHash similarity catches (the published eval-contamination
+    analyses run both checks).  The "benchmark" is the deterministic
+    doc_id % 13 == 7 slice (a stand-in eval set, as elsewhere);
+    flagged output = every (corpus doc, benchmark doc) pair with
+    verified token-set Jaccard >= 0.7, oriented corpus-first.
+
+    Cost is MARGINAL: the pairs come from the memoized
+    candidates -> exact-verify substrate (the dedup_verified_pairs /
+    dedup_clusters build, timed once as dedup_substrate_build) — this
+    query adds one scan predicate and a projection over that frame.
+    The production flow then anti-joins the corpus against
+    corpus_id (drop or quarantine); at 100 TB the benchmark side is
+    millions of rows against the corpus' billions, and the LSH
+    banding already bounds the join to shared buckets."""
+    m, r = _NDCONTAM_MOD, _NDCONTAM_RESIDUE
+    v = _verified_pairs(spark, sf_dir)
+    a_is_bench = (F.col("doc_a") % m) == r
+    b_is_bench = (F.col("doc_b") % m) == r
+    return (
+        v.filter(a_is_bench != b_is_bench)
+        .select(
+            F.when(a_is_bench, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("corpus_id"),
+            F.when(a_is_bench, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("bench_id"),
+            "inter_size",
+            "union_size",
+        )
+        .orderBy("corpus_id", "bench_id")
+    )
+
+
+def _neardup_contam_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    m, r = _NDCONTAM_MOD, _NDCONTAM_RESIDUE
+    return (
+        "WITH "
+        + sk.minhash_cand_ctes(bands=16, rows_per_band=4, max_bucket=500)
+        + ",\n"
+        + sk.jaccard_verify_ctes()
+        + f"""
+SELECT
+  CASE WHEN doc_a % {m} = {r} THEN doc_b ELSE doc_a END AS corpus_id,
+  CASE WHEN doc_a % {m} = {r} THEN doc_a ELSE doc_b END AS bench_id,
+  inter_size, union_size
+FROM verified
+WHERE (doc_a % {m} = {r}) <> (doc_b % {m} = {r})
+ORDER BY corpus_id, bench_id
+"""
+    )
+
+
+register("decontaminate_neardup", decontaminate_neardup, _neardup_contam_oracle)
