@@ -65,6 +65,25 @@ def _co_edges(
     )
 
 
+# The co-occurrence edge list is the shared upstream of SIX graph
+# queries (triangles, pagerank, k-core, LPA, BFS census, star-CC) —
+# a fact-sized distinct + self-join that measured ~3 s warm at sf0.1
+# PER REBUILD. Memoize it once per (SparkContext, sf_dir) exactly like
+# the dedup candidates->verify substrate (corpus_ops._PAIRS_CACHE):
+# consumers pay marginal cost, and bench times the build as its own
+# `graph_edges_build` entry before the first consumer so the shared
+# cost can't hide inside whichever query runs first ("no silent
+# caps" — the r4 substrate-attribution precedent).
+_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGES_CACHE:
+        _EDGES_CACHE[key] = _co_edges(spark, sf_dir).localCheckpoint()
+    return _EDGES_CACHE[key]
+
+
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 users by triangle participation in the co-occurrence
     graph. The triangle engine uses degree-ordered orientation
@@ -72,7 +91,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sqrt(|E|)) per vertex regardless of hub skew); the oracle runs
     the NAIVE unoriented three-way join, so the driver row proves the
     orientation rewrite loses / duplicates nothing."""
-    tri = triangles(_co_edges(spark, sf_dir))
+    tri = triangles(co_edges(spark, sf_dir))
     member = tri.select(F.explode(F.array("t1", "t2", "t3")).alias("user_id"))
     return (
         member.groupBy("user_id")
@@ -277,7 +296,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xero_api_etl_utilities_spark.operators.graph import pagerank_int
 
     ranks = pagerank_int(
-        _co_edges(spark, sf_dir), iters=_PR_ITERS, scale=_PR_SCALE
+        co_edges(spark, sf_dir), iters=_PR_ITERS, scale=_PR_SCALE
     )
     return (
         ranks.select(F.col("v").alias("user_id"), "rank")
@@ -428,7 +447,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-unroll equivalence argument as graph_pagerank."""
     from xero_api_etl_utilities_spark.operators.graph import kcore
 
-    core = kcore(_co_edges(spark, sf_dir), k=_KCORE_K)
+    core = kcore(co_edges(spark, sf_dir), k=_KCORE_K)
     return core.select(F.col("v").alias("user_id"), "core_degree").orderBy(
         F.desc("core_degree"), F.asc("user_id")
     )
@@ -502,7 +521,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified, not just "looks clustered"."""
     from xero_api_etl_utilities_spark.operators.graph import label_propagation
 
-    labels = label_propagation(_co_edges(spark, sf_dir), iters=_LPA_ITERS)
+    labels = label_propagation(co_edges(spark, sf_dir), iters=_LPA_ITERS)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).alias("size"))
@@ -577,7 +596,7 @@ def graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection and all four rounds in SQL."""
     from xero_api_etl_utilities_spark.operators.graph import bfs_depths
 
-    edges = _co_edges(spark, sf_dir)
+    edges = co_edges(spark, sf_dir)
     directed = edges.select(F.col("u1").alias("s")).unionAll(
         edges.select(F.col("u2").alias("s"))
     )
@@ -665,7 +684,7 @@ def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     labels = cc_large_star_small_star(
-        _co_edges(spark, sf_dir), a_col="u1", b_col="u2"
+        co_edges(spark, sf_dir), a_col="u1", b_col="u2"
     )
     return (
         labels.groupBy("cluster_id")
