@@ -267,9 +267,10 @@ HEADLINE = [
     "sample_token_budget_plan",
     "graph_cc_star",
     "multimodal_ahash_pairs",
-    # rides the memoized substrate (built under dedup_substrate_build
-    # above), so this line is marginal cost like its siblings
+    # ride the memoized substrate (built under dedup_substrate_build
+    # above), so these lines are marginal cost like their siblings
     "decontaminate_neardup",
+    "dedup_cluster_representatives",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

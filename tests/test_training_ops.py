@@ -245,3 +245,36 @@ def test_neardup_decontam_orientation_and_threshold(spark, sf_dir):
         assert r["bench_id"] % m == res
         assert 10 * r["inter_size"] >= 7 * r["union_size"]
         assert frozenset((r["corpus_id"], r["bench_id"])) in base
+
+
+def test_cluster_representatives_keep_rule(spark, sf_dir):
+    # the kept doc must be the (max n_chars, min doc_id) member of its
+    # cluster, size must match the cluster census, and only clusters
+    # with >= 2 members may appear.
+    from xero_api_etl_utilities_spark.plans.corpus_ops import (
+        dedup_cluster_representatives,
+        doc_clusters,
+    )
+
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in doc_clusters(spark, sf_dir).collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+
+    rows = dedup_cluster_representatives(spark, sf_dir).collect()
+    assert rows, "sf0.001 has multi-member near-dup clusters"
+    seen = set()
+    for r in rows:
+        group = members[r["cluster_id"]]
+        assert len(group) >= 2 and r["size"] == len(group)
+        best = min(group, key=lambda d: (-chars[d], d))
+        assert r["kept_doc"] == best
+        assert r["kept_chars"] == chars[best]
+        assert r["n_dropped"] == len(group) - 1
+        seen.add(r["cluster_id"])
+    assert seen == {c for c, g in members.items() if len(g) >= 2}

@@ -480,6 +480,11 @@ CHECKS = {
     "decontaminate_neardup": [
         ("reads the verified-pairs checkpoint, no re-derivation", lambda p: "Scan ExistingRDD" in p and "CartesianProduct" not in p),
     ],
+    # r6: X106 — representative selection rides the clusters checkpoint;
+    # one cluster-keyed ranking window on top
+    "dedup_cluster_representatives": [
+        ("reads the clusters checkpoint, cluster-keyed window", lambda p: "Scan ExistingRDD" in p and "rangepartitioning" not in p.split("Sort")[0] and "CartesianProduct" not in p),
+    ],
 }
 
 

@@ -16,7 +16,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xero_api_etl_utilities_spark.operators import packing as pk
@@ -836,3 +836,94 @@ ORDER BY corpus_id, bench_id
 
 
 register("decontaminate_neardup", decontaminate_neardup, _neardup_contam_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X106: duplicate-cluster representative selection (r6)
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: the KEEP decision that finishes the dedup pipeline —
+    for every near-dup cluster with >= 2 members, the surviving
+    document under the standard curation rule "keep the longest,
+    break ties by lowest id" (length is the usual quality proxy when
+    near-dups differ by truncation/chrome; min-id alone throws away
+    the fullest copy).  Output: (cluster_id, size, kept_doc,
+    kept_chars, n_dropped) — the audit table a curation run publishes
+    next to the drop list.
+
+    Shape: rides the once-per-session doc_clusters substrate; on top
+    is ONE cluster-keyed ranking window over the (doc, cluster,
+    n_chars) projection — bounded per cluster, embarrassingly
+    parallel across clusters at any sf."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = doc_clusters(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("size", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("size") >= 2))
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("size").cast("bigint").alias("size"),
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").cast("bigint").alias("kept_chars"),
+            (F.col("size") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _cluster_reps_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH RECURSIVE "
+        + sk.minhash_cand_ctes(bands=16, rows_per_band=4, max_bucket=500)
+        + ",\n"
+        + sk.jaccard_verify_ctes()
+        + """,
+vedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS doc, r.lbl AS lbl
+  FROM reach r JOIN vedges e ON e.src = r.doc
+  WHERE r.lbl < e.dst
+),
+comp AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+labeled AS (
+  SELECT d.doc_id, c.cluster_id, d.n_chars
+  FROM documents d JOIN comp c ON c.doc = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS csize
+  FROM labeled
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+  CAST(csize AS BIGINT) AS size,
+  doc_id AS kept_doc,
+  CAST(n_chars AS BIGINT) AS kept_chars,
+  CAST(csize - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1 AND csize >= 2
+ORDER BY cluster_id
+"""
+    )
+
+
+register(
+    "dedup_cluster_representatives",
+    dedup_cluster_representatives,
+    _cluster_reps_oracle,
+)
