@@ -271,6 +271,7 @@ HEADLINE = [
     # above), so these lines are marginal cost like their siblings
     "decontaminate_neardup",
     "dedup_cluster_representatives",
+    "diag_ks_drift",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

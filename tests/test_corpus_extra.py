@@ -245,3 +245,36 @@ def test_token_budget_plan_matches_python_recompute(spark, sf_dir):
         assert r["partial_ppm"] == (target % avail) * 1_000_000 // avail
         assert 0 <= r["partial_ppm"] < 1_000_000
     assert sum(r["target_tokens"] for r in rows) <= budget
+
+
+def test_ks_drift_matches_python_recompute(spark, sf_dir):
+    # exact two-sample KS over n_chars: recompute every CDF gap in
+    # python ints; the published row must be the max-gap (ties ->
+    # smallest length) with digit-exact cross-multiplied values.
+    import re
+
+    from xero_api_etl_utilities_spark.plans.corpus_extra import diag_ks_drift
+
+    raw = _rows(sf_dir, "SELECT source, n_chars FROM documents")
+    a, b = {}, {}
+    for src, v in raw:
+        tgt = a if int(re.search(r"(\d+)", src).group(1)) < 10 else b
+        tgt[v] = tgt.get(v, 0) + 1
+    n1, n2 = sum(a.values()), sum(b.values())
+    cum1 = cum2 = 0
+    best = None  # (gap, v)
+    for v in sorted(set(a) | set(b)):
+        cum1 += a.get(v, 0)
+        cum2 += b.get(v, 0)
+        gap = abs(cum1 * n2 - cum2 * n1)
+        if best is None or gap > best[0]:
+            best = (gap, v)
+
+    r = diag_ks_drift(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["argmax_len"], row["n1"], row["n2"]) == (best[1], n1, n2)
+    assert row["ks_num"] == str(best[0])
+    assert row["ks_den"] == str(n1 * n2)
+    assert row["ks_bp"] == best[0] * 10000 // (n1 * n2)
+    assert 0 < row["ks_bp"] <= 10000

@@ -318,3 +318,46 @@ def test_fuzzy_pairs_property(spark, data):
         for r in fuzzy_pairs_distance1(df, "id", "name").collect()
     }
     assert got == expect
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_cc_star_equals_label_propagation_property(spark, data):
+    # Large-Star/Small-Star must agree with min-label propagation on
+    # arbitrary graphs. Six random graphs ride ONE pair of Spark runs
+    # by disjoint id offsets (components cannot span offsets), per the
+    # batching strategy note above.
+    from xero_api_etl_utilities_spark.operators.graph import (
+        cc_large_star_small_star,
+        connected_components,
+    )
+
+    graphs = data.draw(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=1,
+                max_size=40,
+            ),
+            min_size=6,
+            max_size=6,
+        )
+    )
+    edges = [
+        (1000 * (g + 1) + u, 1000 * (g + 1) + v)
+        for g, es in enumerate(graphs)
+        for u, v in es
+        if u != v  # self-loops excluded: edge lists here are strict pairs
+    ]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    star = {
+        (r["doc"], r["cluster_id"])
+        for r in cc_large_star_small_star(df, max_iters=20).collect()
+    }
+    lp = {
+        (r["doc"], r["cluster_id"])
+        for r in connected_components(df, max_iters=200).collect()
+    }
+    assert star == lp

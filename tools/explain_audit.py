@@ -485,6 +485,11 @@ CHECKS = {
     "dedup_cluster_representatives": [
         ("reads the clusters checkpoint, cluster-keyed window", lambda p: "Scan ExistingRDD" in p and "rangepartitioning" not in p.split("Sort")[0] and "CartesianProduct" not in p),
     ],
+    # r6: X107 — KS windows run over the distinct-length frame, the
+    # fact contributes one aggregate; top-1 via TakeOrdered, no join
+    "diag_ks_drift": [
+        ("one fact aggregate, no joins, top-1 not global sort", lambda p: "Join" not in p and "TakeOrderedAndProject" in p),
+    ],
 }
 
 

@@ -99,6 +99,7 @@ _WINDOW_PRIORITY: list[str] = [
     "multimodal_ahash_pairs",
     "decontaminate_neardup",
     "dedup_cluster_representatives",
+    "diag_ks_drift",
     "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---

@@ -29,6 +29,9 @@ large-scale training-data pipeline runs beside the dedup family:
 * X102 ``sample_token_budget_plan`` — the pretraining data-mixing
   planner: per-source full-epoch counts + exact partial-pass sampling
   rates (ppm) from token inventories, mixture weights, and a budget.
+* X107 ``diag_ks_drift`` — exact two-sample Kolmogorov–Smirnov
+  statistic over document lengths, the continuous-feature complement
+  to X97's categorical TVD drift.
 
 Every hashed output value is an integer (or, for X97's >bigint
 rationals, a digit-exact string); every oracle replays the same
@@ -822,3 +825,115 @@ ORDER BY source
 register(
     "sample_token_budget_plan", sample_token_budget_plan, _TOKEN_BUDGET_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# X107: exact two-sample Kolmogorov-Smirnov drift
+# ---------------------------------------------------------------------------
+
+
+def diag_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: distribution drift for a CONTINUOUS feature — the
+    complement to ``diag_distribution_drift``'s categorical TVD: the
+    exact two-sample Kolmogorov-Smirnov statistic over document
+    lengths, comparing the src0-src9 half of the corpus against
+    src10-src19 (the "did the new crawl batch shift the length
+    distribution" monitor).
+
+    D = max_v |F1(v) - F2(v)| cross-multiplies to integers: with
+    cum_i(v) = #{docs on side i with n_chars <= v},
+    D = max |cum1(v)*n2 - cum2(v)*n1| / (n1*n2) — numerator,
+    denominator, and the 10^4-scaled bp value are all published as
+    exact integers, plus the arg-max length (smallest on ties, so the
+    row is deterministic).
+
+    Lowering: one (length, side) aggregate over the fact, then
+    cumulative windows over the DISTINCT-LENGTH frame — bounded by
+    feature cardinality, not corpus size (the equidepth/zonemap
+    precedent); totals ride an unpartitioned window over that same
+    tiny frame.  At 100 TB with a high-cardinality feature, bucket
+    lengths first (the KS statistic of the bucketed CDF bounds the
+    true D within max bucket mass) — same plan, one extra floor.
+
+    Overflow: cum*n is <= n1*n2 ~ 2.5e9 at sf0.1 and ~2.5e21 at
+    ~5e10 docs/side — the cross-product is carried as decimal(38,0)
+    and only the bp ratio (<= 10^4) returns to bigint."""
+    docs = load_table(spark, sf_dir, "documents")
+    side = (
+        F.regexp_extract(F.col("source"), "(\\d+)", 1).cast("int") < 10
+    ).alias("side_a")
+    counts = (
+        docs.select(F.col("n_chars").alias("v"), side)
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("side_a"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(~F.col("side_a"), 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    cum = (
+        counts.withColumn("cum1", F.sum("c1").over(w_cum))
+        .withColumn("cum2", F.sum("c2").over(w_cum))
+        .withColumn("n1", F.sum("c1").over(w_all))
+        .withColumn("n2", F.sum("c2").over(w_all))
+        .withColumn(
+            "gap",
+            F.abs(
+                F.col("cum1").cast(d38) * F.col("n2")
+                - F.col("cum2").cast(d38) * F.col("n1")
+            ),
+        )
+    )
+    return (
+        cum.orderBy(F.desc("gap"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("v").cast("bigint").alias("argmax_len"),
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("gap").cast("string").alias("ks_num"),
+            (F.col("n1").cast(d38) * F.col("n2"))
+            .cast(d38)
+            .cast("string")
+            .alias("ks_den"),
+            F.expr(
+                f"cast(gap as {d38}) * 10000"
+                f" div (cast(n1 as {d38}) * cast(n2 as {d38}))"
+            ).alias("ks_bp"),
+        )
+    )
+
+
+_KS_DRIFT_ORACLE = """
+WITH counts AS (
+  SELECT n_chars AS v,
+    CAST(SUM(CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) < 10
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) >= 10
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT v,
+    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2,
+    SUM(c1) OVER () AS n1,
+    SUM(c2) OVER () AS n2
+  FROM counts
+), gapped AS (
+  SELECT v, n1, n2,
+    abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) AS gap
+  FROM cum
+)
+SELECT CAST(v AS BIGINT) AS argmax_len,
+  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(CAST(gap AS DECIMAL(38,0)) AS VARCHAR) AS ks_num,
+  CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS DECIMAL(38,0)) AS VARCHAR) AS ks_den,
+  CAST((gap * 10000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_bp
+FROM gapped
+ORDER BY gap DESC, v ASC
+LIMIT 1
+"""
+
+register("diag_ks_drift", diag_ks_drift, _KS_DRIFT_ORACLE)
