@@ -272,6 +272,7 @@ HEADLINE = [
     "decontaminate_neardup",
     "dedup_cluster_representatives",
     "diag_ks_drift",
+    "decontaminate_report",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -278,3 +278,39 @@ def test_cluster_representatives_keep_rule(spark, sf_dir):
         assert r["n_dropped"] == len(group) - 1
         seen.add(r["cluster_id"])
     assert seen == {c for c, g in members.items() if len(g) >= 2}
+
+
+def test_decontam_report_merges_both_detectors(spark, sf_dir):
+    # the report must be the full-outer merge of the two stage
+    # detectors under the shared %20 benchmark, with coherent verdicts.
+    from xero_api_etl_utilities_spark.operators.textnorm import ngram_overlap
+    from xero_api_etl_utilities_spark.plans.corpus_ops import (
+        _verified_pairs,
+        decontaminate_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in ngram_overlap(train, bench, "doc_id", "text", n=3).collect()
+    }
+    near: dict[int, int] = {}
+    for r in _verified_pairs(spark, sf_dir).collect():
+        ab, bb = r["doc_a"] % 20 == 0, r["doc_b"] % 20 == 0
+        if ab != bb:
+            d = r["doc_b"] if ab else r["doc_a"]
+            near[d] = near.get(d, 0) + 1
+
+    rows = {r["doc_id"]: r for r in decontaminate_report(spark, sf_dir).collect()}
+    assert set(rows) == set(exact) | set(near)
+    for d, r in rows.items():
+        assert r["n_shared_ngrams"] == exact.get(d, 0)
+        assert r["n_neardup"] == near.get(d, 0)
+        expect = (
+            "both"
+            if d in exact and d in near
+            else ("neardup" if d in near else "exact")
+        )
+        assert r["verdict"] == expect

@@ -490,6 +490,11 @@ CHECKS = {
     "diag_ks_drift": [
         ("one fact aggregate, no joins, top-1 not global sort", lambda p: "Join" not in p and "TakeOrderedAndProject" in p),
     ],
+    # r6: X108 — verdict merge: n-gram detector broadcasts, near-dup
+    # side reads the verified-pairs checkpoint; no cartesian anywhere
+    "decontaminate_report": [
+        ("broadcast n-gram side + checkpointed near-dup side", lambda p: "BroadcastHashJoin" in p and "Scan ExistingRDD" in p and "CartesianProduct" not in p),
+    ],
 }
 
 

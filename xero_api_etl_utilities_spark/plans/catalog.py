@@ -100,6 +100,7 @@ _WINDOW_PRIORITY: list[str] = [
     "decontaminate_neardup",
     "dedup_cluster_representatives",
     "diag_ks_drift",
+    "decontaminate_report",
     "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---

@@ -927,3 +927,111 @@ register(
     dedup_cluster_representatives,
     _cluster_reps_oracle,
 )
+
+
+# ---------------------------------------------------------------------------
+# X108: combined contamination report (r6)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108: the per-document contamination VERDICT table — exact
+    n-gram evidence and near-dup evidence against the SAME benchmark
+    set (the doc_id % 20 == 0 slice `decontaminate_ngrams` uses),
+    merged into one row per flagged training document:
+    (doc_id, n_shared_ngrams, n_neardup, verdict in
+    exact|neardup|both).  This is the composition a curation run
+    actually consumes — the stage-level queries prove each detector;
+    this proves the MERGE of their outputs (full-outer semantics,
+    zero-vs-null discipline), the integration surface stage-level
+    oracles cannot see (the pipeline_training_corpus argument).
+
+    Cost: the n-gram side is the broadcast semi-join detector, the
+    near-dup side is a predicate over the memoized candidates→verify
+    substrate, and the merge is a full outer join on doc_id between
+    two already-small flagged sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = tn.ngram_overlap(train, bench, "doc_id", "text", n=3).select(
+        "doc_id", F.col("n_shared").alias("n_shared_ngrams")
+    )
+    v = _verified_pairs(spark, sf_dir)
+    a_is_bench = (F.col("doc_a") % 20) == 0
+    b_is_bench = (F.col("doc_b") % 20) == 0
+    near = (
+        v.filter(a_is_bench != b_is_bench)
+        .select(
+            F.when(a_is_bench, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "doc_id"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_neardup"))
+    )
+    return (
+        exact.join(near, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).cast("bigint").alias(
+                "n_shared_ngrams"
+            ),
+            F.coalesce("n_neardup", F.lit(0)).cast("bigint").alias("n_neardup"),
+            F.when(
+                (F.coalesce("n_shared_ngrams", F.lit(0)) > 0)
+                & (F.coalesce("n_neardup", F.lit(0)) > 0),
+                "both",
+            )
+            .when(F.coalesce("n_neardup", F.lit(0)) > 0, "neardup")
+            .otherwise("exact")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _decontam_report_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH "
+        + sk.minhash_cand_ctes(bands=16, rows_per_band=4, max_bucket=500)
+        + ",\n"
+        + sk.jaccard_verify_ctes()
+        + """,
+gtoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS ng
+  FROM gtoks
+), gbench AS (
+  SELECT DISTINCT ng FROM grams WHERE doc_id % 20 = 0
+), exact AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+  FROM grams JOIN gbench USING (ng)
+  WHERE doc_id % 20 <> 0
+  GROUP BY doc_id
+), near AS (
+  SELECT CASE WHEN doc_a % 20 = 0 THEN doc_b ELSE doc_a END AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_neardup
+  FROM verified
+  WHERE (doc_a % 20 = 0) <> (doc_b % 20 = 0)
+  GROUP BY 1
+)
+SELECT COALESCE(e.doc_id, n.doc_id) AS doc_id,
+  COALESCE(e.n_shared_ngrams, 0) AS n_shared_ngrams,
+  COALESCE(n.n_neardup, 0) AS n_neardup,
+  CASE WHEN COALESCE(e.n_shared_ngrams, 0) > 0
+        AND COALESCE(n.n_neardup, 0) > 0 THEN 'both'
+       WHEN COALESCE(n.n_neardup, 0) > 0 THEN 'neardup'
+       ELSE 'exact' END AS verdict
+FROM exact e FULL OUTER JOIN near n ON e.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+    )
+
+
+register("decontaminate_report", decontaminate_report, _decontam_report_oracle)
