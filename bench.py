@@ -273,6 +273,7 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "diag_ks_drift",
     "decontaminate_report",
+    "diag_quality_deciles",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -278,3 +278,51 @@ def test_ks_drift_matches_python_recompute(spark, sf_dir):
     assert row["ks_den"] == str(n1 * n2)
     assert row["ks_bp"] == best[0] * 10000 // (n1 * n2)
     assert 0 < row["ks_bp"] <= 10000
+
+
+def test_quality_deciles_census_is_complete_and_balanced(spark, sf_dir):
+    # deciles must partition the corpus (sum of census = n_docs, each
+    # decile total within the NTILE +/-1 balance), and per-source rows
+    # must match a python recompute of the integer score + decile cut.
+    from xero_api_etl_utilities_spark.operators.textstats import STOPWORDS_EN
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        diag_quality_deciles,
+    )
+    import re as _re
+    import string
+
+    raw = _rows(sf_dir, "SELECT doc_id, source, text FROM documents")
+    scored = []
+    punct_chars = set(string.punctuation)
+    for d, src, text in raw:
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        ntok = max(len(toks), 1)
+        nch = max(len(text), 1)
+        stops = sum(1 for t in toks if t in STOPWORDS_EN)
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha())
+        punct = sum(1 for c in text if c in punct_chars)
+        score = (
+            10000 * stops // ntok + 10000 * alpha // nch - 10000 * punct // nch
+        )
+        scored.append((score, d, src))
+    scored.sort()
+    n = len(scored)
+    exp: dict[tuple[str, int], int] = {}
+    for i, (_, d, src) in enumerate(scored):
+        # NTILE(10) bucket boundaries for n rows, rank i (0-based)
+        decile = 1 + min(i // (n // 10 + 1), 9) if n % 10 else 1 + i // (n // 10)
+        if n % 10:
+            big, small = n % 10, 10 - n % 10
+            size_big = n // 10 + 1
+            if i < big * size_big:
+                decile = 1 + i // size_big
+            else:
+                decile = 1 + big + (i - big * size_big) // (n // 10)
+        exp[(src, decile)] = exp.get((src, decile), 0) + 1
+
+    got = {
+        (r["source"], r["decile"]): r["n_docs"]
+        for r in diag_quality_deciles(spark, sf_dir).collect()
+    }
+    assert sum(got.values()) == n
+    assert got == exp

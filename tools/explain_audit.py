@@ -495,6 +495,12 @@ CHECKS = {
     "decontaminate_report": [
         ("broadcast n-gram side + checkpointed near-dup side", lambda p: "BroadcastHashJoin" in p and "Scan ExistingRDD" in p and "CartesianProduct" not in p),
     ],
+    # r6: X109 — score is a scan projection; no joins (the corpus-wide
+    # NTILE is the documented exact form; the 100 TB swap is
+    # approx_percentile cut points, see the docstring)
+    "diag_quality_deciles": [
+        ("scan-projected score, join-free census", lambda p: "Join" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 

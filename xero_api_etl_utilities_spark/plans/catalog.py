@@ -101,6 +101,7 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_cluster_representatives",
     "diag_ks_drift",
     "decontaminate_report",
+    "diag_quality_deciles",
     "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---

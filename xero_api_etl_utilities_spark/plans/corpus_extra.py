@@ -937,3 +937,96 @@ LIMIT 1
 """
 
 register("diag_ks_drift", diag_ks_drift, _KS_DRIFT_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X109: per-source quality-decile census
+# ---------------------------------------------------------------------------
+
+
+def diag_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: the "which sources are low quality" curation heatmap —
+    every document scored on an integer quality composite
+    (stopword-density bp + alpha-density bp − punct-density bp, the
+    same cross-multiplied signals the quality gate thresholds), cut
+    into corpus-wide DECILES, and counted per (source, decile).  A
+    source whose mass piles into deciles 1-2 is a removal candidate;
+    a uniform row is healthy — the report every corpus card ships.
+
+    NTILE over a tied score splits by row order, so the decile ranks
+    over the (score, doc_id) total order — engine-exact, the RFM
+    precedent.  Shape: one scan projection for the score, ONE
+    dimension-sized ranking window (decile over the whole corpus — at
+    100 TB swap to approx_percentile cut points and the window
+    disappears; the census itself never changes), one (source,
+    decile) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from xero_api_etl_utilities_spark.operators.textstats import (
+        STOPWORDS_EN,
+        char_class_counts,
+        stopword_hits,
+    )
+
+    cc = char_class_counts(F.col("text"))
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    parts = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(F.size(toks).cast("bigint"), F.lit(1).cast("bigint")).alias(
+            "_ntok"
+        ),
+        F.greatest(cc["n_chars"], F.lit(1).cast("bigint")).alias("_nch"),
+        stopword_hits(toks, STOPWORDS_EN).alias("_stops"),
+        cc["n_alpha"].alias("_alpha"),
+        cc["n_punct"].alias("_punct"),
+    )
+    # integer `div` throughout — the flagship rule: bare `/` in a
+    # hashed column drifts vs the oracle's floor on ties
+    scored = parts.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "10000 * _stops div _ntok + 10000 * _alpha div _nch"
+            " - 10000 * _punct div _nch"
+        ).alias("q_score"),
+    )
+    decile = F.ntile(10).over(Window.orderBy(F.asc("q_score"), F.asc("doc_id")))
+    return (
+        scored.withColumn("decile", decile)
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("source", F.col("decile").cast("int").alias("decile"), "n_docs")
+        .orderBy("source", "decile")
+    )
+
+
+def _quality_deciles_oracle() -> str:
+    from xero_api_etl_utilities_spark.operators.textstats import STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    CAST(10000 * len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+           t -> list_contains([{stoplist}], t)))
+      // greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+      AS BIGINT)
+    + CAST(10000 * (length(text)
+           - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+      // greatest(length(text), 1) AS BIGINT)
+    - CAST(10000 * (length(text)
+           - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+      // greatest(length(text), 1) AS BIGINT) AS q_score
+  FROM documents
+), cut AS (
+  SELECT source,
+    NTILE(10) OVER (ORDER BY q_score ASC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT source, CAST(decile AS INT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cut GROUP BY 1, 2 ORDER BY source, decile
+"""
+
+
+register("diag_quality_deciles", diag_quality_deciles, _quality_deciles_oracle)
