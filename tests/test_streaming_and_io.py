@@ -527,3 +527,93 @@ def test_rollup_replay_is_idempotent(spark, tmp_path):
     spark.createDataFrame([("c", 7)], schema).write.mode("append").parquet(drop)
     out = run(ckpt_fresh)
     assert out["c"] == (1, 7)
+
+
+def test_inline_minhash_bands_match_batch_pipeline(spark):
+    """The in-row (streaming-safe) band values must be BIT-IDENTICAL
+    to the batch explode+groupBy signature pipeline's banding."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        inline_minhash_bands,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+            (4, ""),  # zero tokens -> zero band rows
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_id"], r["band"]): r["bv"]
+        for r in inline_minhash_bands(docs, "text").collect()
+    }
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    expected = {}
+    for r in sigs.collect():
+        for b in range(16):
+            key = "|".join(str(r[f"mh_{b * 4 + q}"]) for q in range(4))
+            import hashlib
+
+            expected[(r["doc"], b)] = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    assert got == expected
+    assert not [k for k in got if k[0] == 4]
+
+
+def test_stream_neardup_guard_quarantines_reference_neighbors(spark, tmp_path):
+    """End to end through a real availableNow stream: docs sharing an
+    LSH band with the static reference land in quarantine, the rest
+    pass clean, and suspects + clean partition the feed."""
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        run_available_now,
+        stream_neardup_guard,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ref_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    reference = spark.createDataFrame([(100, ref_text)], doc_schema)
+    rows = [
+        (1, ref_text),                                   # identical -> suspect
+        (2, ref_text + " lambda"),                       # near-dup -> suspect
+        (3, "completely different words about spark engines and parquet files"),
+        (4, ""),                                         # tokenless -> clean
+    ]
+    drop = str(tmp_path / "drop")
+    spark.createDataFrame(rows, doc_schema).write.mode("append").parquet(drop)
+
+    outcomes = {}
+    for emit in ("suspects", "clean"):
+        out = str(tmp_path / f"out_{emit}")
+        ckpt = str(tmp_path / f"ckpt_{emit}")
+        guarded = stream_neardup_guard(
+            spark.readStream.schema(doc_schema).parquet(drop),
+            reference,
+            emit=emit,
+        )
+        run_available_now(guarded, ckpt, out)
+        outcomes[emit] = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 1 in outcomes["suspects"] and 2 in outcomes["suspects"]
+    assert 3 in outcomes["clean"] and 4 in outcomes["clean"]
+    assert outcomes["suspects"] | outcomes["clean"] == {1, 2, 3, 4}
+    assert outcomes["suspects"] & outcomes["clean"] == set()
+
+    # batch parity: the same function on the same frames as plain batch
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        stream_neardup_guard as guard,
+    )
+
+    batch_susp = {
+        r["doc_id"]
+        for r in guard(
+            spark.createDataFrame(rows, doc_schema), reference, emit="suspects"
+        ).collect()
+    }
+    assert batch_susp == outcomes["suspects"]

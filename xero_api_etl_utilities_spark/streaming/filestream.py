@@ -235,3 +235,173 @@ def stream_stream_interval_join(
     return l.join(r, cond, "inner").select(
         F.col("l_key").alias(key), "l_id", "r_id", "l_ts", "r_ts"
     )
+
+
+def inline_minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    seed: int = 42,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH band values computed IN-ROW — the streaming-safe lowering of
+    the MinHash pipeline: ``operators.dedup.minhash_signatures`` is an
+    explode + groupBy (an AGGREGATION, which on a stream would demand
+    watermark state for no reason), while per-row array folds are
+    stateless projections that stream unchanged and produce
+    BIT-IDENTICAL band values (same tokens, same (a,b) family, same
+    band hash — pytest-pinned against the batch path).
+
+    Lambda-CSE discipline: the per-shingle base hashes are
+    materialized as ONE array column first; the 64 permutation folds
+    reference that column, never re-deriving md5 inside their lambdas
+    (the token_ngrams/boilerplate lesson).  Docs with zero tokens
+    produce no band rows, matching the batch explode semantics.
+
+    Output: one row per (input row, band) with the band value ``bv``
+    — explode AFTER the fold, so each document's text is hashed
+    exactly once."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+    from xero_api_etl_utilities_spark.operators.dedup import (
+        _P,
+        minhash_coeffs,
+        tokens,
+    )
+
+    coeffs = minhash_coeffs(num_hashes, seed)
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashed = df.withColumn(
+        "_hx", F.transform(toks, lambda sh: h32(sh) % _P)
+    ).filter(F.size("_hx") > 0)
+    def _perm(a: int, b: int):
+        # closure, NOT default-arg capture: pyspark counts default args
+        # as lambda parameters and rejects a 3-arg lambda for transform
+        return lambda h: (h * a + b) % _P
+
+    mh = [
+        F.array_min(F.transform(F.col("_hx"), _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sigged = hashed.select("*", *mh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            h32(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("bv"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sigged.withColumn("_e", F.explode(F.array(*band_structs)))
+        .select(
+            *[c for c in df.columns],
+            F.col("_e.band").alias("band"),
+            F.col("_e.bv").alias("bv"),
+        )
+    )
+
+
+def stream_neardup_guard(
+    stream_docs: DataFrame,
+    reference_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit: str = "suspects",
+) -> DataFrame:
+    """Streaming near-dup guard: flag (or drop) incoming documents
+    that share a MinHash-LSH band with ANY document of a STATIC
+    reference corpus — the ingest-time face of batch near-dup
+    decontamination (``decontaminate_neardup``): the reference set is
+    an eval benchmark or the already-accepted corpus, and a new doc
+    landing in one of its LSH buckets is a near-dup suspect routed to
+    quarantine (recall-tuned banding: ~0.998 at Jaccard >= 0.7; false
+    positives are the quarantine reviewer's cost, not data loss).
+
+    Lowering — deliberately STATELESS end to end: the stream side
+    computes its 16 band keys in-row (:func:`inline_minhash_bands`
+    math, kept as an ARRAY instead of exploding), the reference side
+    runs the BATCH signature pipeline once and collapses to a single
+    band-key array in a 1-row static frame, and the check is a
+    per-row ``arrays_overlap`` after a 1-row stream-static broadcast
+    cross join.  No explode, no distinct, no watermark, no state
+    store — the verdict is a scan projection, so the guard adds zero
+    streaming state at any feed rate.  Band keys pack (band, bv) into
+    one long (band << 32 | bv; bv < 2^32 by construction).
+
+    Bound (documented, not silent): the broadcast index is
+    16 x |reference| longs — right-sized for an eval benchmark or
+    daily acceptance set (10^6 refs ~ 128 MB).  For a reference the
+    size of the corpus itself, swap the array for a bloom filter
+    literal (the join_bloom_pruned recipe) and keep the same shape.
+
+    ``emit="suspects"`` returns flagged docs (quarantine feed);
+    ``emit="clean"`` returns the complement (accept feed).  Each doc
+    appears exactly once either way."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+
+    if emit not in ("suspects", "clean"):
+        raise ValueError(f"emit must be 'suspects' or 'clean', got {emit!r}")
+
+    def band_key(b: int, bv):
+        return F.shiftleft(F.lit(b).cast("long"), 32).bitwiseOR(bv)
+
+    # reference: batch signatures -> one array of packed band keys
+    ref_sigs = dd.minhash_signatures(
+        reference_docs, id_col, text_col, n=1, num_hashes=64
+    )
+    ref_keys = [
+        band_key(
+            b,
+            h32(F.concat_ws("|", *[F.col(f"mh_{b * 4 + r}") for r in range(4)])),
+        )
+        for b in range(16)
+    ]
+    ref_index = (
+        ref_sigs.select(F.explode(F.array(*ref_keys)).alias("k"))
+        .agg(F.array_distinct(F.collect_list("k")).alias("_ref_keys"))
+    )
+
+    # stream: in-row signature (the inline_minhash_bands math, array form)
+    coeffs = dd.minhash_coeffs(64, 42)
+    toks = F.array_distinct(dd.tokens(F.col(text_col)))
+    hashed = stream_docs.withColumn(
+        "_hx", F.transform(toks, lambda sh: h32(sh) % dd._P)
+    )
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % dd._P
+
+    mh = [
+        F.array_min(F.transform(F.col("_hx"), _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sigged = hashed.select("*", *mh)
+    my_keys = F.array(
+        *[
+            band_key(
+                b,
+                h32(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * 4 + r}") for r in range(4)]
+                    )
+                ),
+            )
+            for b in range(16)
+        ]
+    )
+    flagged = (
+        sigged.withColumn("_keys", my_keys)
+        .crossJoin(F.broadcast(ref_index))
+        .withColumn(
+            "_hit",
+            (F.size("_hx") > 0)
+            & F.arrays_overlap(F.col("_keys"), F.col("_ref_keys")),
+        )
+    )
+    keep = F.col("_hit") if emit == "suspects" else ~F.col("_hit")
+    return flagged.filter(keep).select(*stream_docs.columns)
