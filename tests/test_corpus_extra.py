@@ -326,3 +326,59 @@ def test_quality_deciles_census_is_complete_and_balanced(spark, sf_dir):
     }
     assert sum(got.values()) == n
     assert got == exp
+
+
+def test_dup_span_coverage_matches_python_union(spark, sf_dir):
+    # X110: recompute per-source duplicated-span token coverage in pure
+    # python with a set-of-positions union (no interval algebra at all)
+    # — if the window's running-max union miscounts an overlap, the two
+    # disagree.
+    from collections import defaultdict
+
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        text_dup_span_coverage,
+    )
+
+    k = 6
+    raw = _rows(sf_dir, "SELECT doc_id, source, text FROM documents")
+    span_docs = defaultdict(set)
+    doc_spans = {}
+    for doc_id, source, text in raw:
+        w = text.split(" ")
+        spans = [
+            " ".join(w[i : i + k]) for i in range(len(w) - k + 1)
+        ]
+        doc_spans[doc_id] = (source, len(w), spans)
+        for s in spans:
+            span_docs[s].add(doc_id)
+    dup = {s for s, d in span_docs.items() if len(d) >= 2}
+    per_src = defaultdict(lambda: [0, 0, 0, 0])  # docs, dupdocs, tok, cov
+    for doc_id, (source, n_w, spans) in doc_spans.items():
+        acc = per_src[source]
+        acc[0] += 1
+        acc[2] += n_w
+        covered = set()
+        for i, s in enumerate(spans):
+            if s in dup:
+                covered.update(range(i, i + k))
+        if covered:
+            acc[1] += 1
+            acc[3] += len(covered)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["dup_docs"],
+            r["total_tokens"],
+            r["covered_tokens"],
+            r["covered_bp"],
+        )
+        for r in text_dup_span_coverage(spark, sf_dir, k=k).collect()
+    }
+    want = {
+        src: (d, dd, t, c, c * 10000 // t)
+        for src, (d, dd, t, c) in per_src.items()
+    }
+    assert got == want
+    # the synthetic corpus plants near-dups: the census must not be
+    # all-zero at any shipped sf
+    assert sum(v[3] for v in got.values()) > 0

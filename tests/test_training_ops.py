@@ -314,3 +314,87 @@ def test_decontam_report_merges_both_detectors(spark, sf_dir):
             else ("neardup" if d in near else "exact")
         )
         assert r["verdict"] == expect
+
+
+def test_dim_health_census_matches_numpy(spark, sf_dir):
+    # X111: recompute the per-dimension SQ8 census with numpy's own
+    # quantizer (same one-association formula) — levels, range, and the
+    # exact integer variance numerator must agree digit-for-digit.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from xero_api_etl_utilities_spark.plans.training_ops import (
+        embedding_dim_health,
+    )
+
+    vecs = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    mn, mx = vecs.min(axis=0), vecs.max(axis=0)
+    span = mx - mn
+    codes = np.zeros_like(vecs, dtype=np.int64)
+    live = span > 0
+    codes[:, live] = np.floor(
+        ((vecs[:, live] - mn[live]) * 255.0) / span[live] + 0.5
+    ).astype(np.int64)
+    got = {
+        r["dim"]: (
+            r["n"],
+            r["n_levels"],
+            r["c_min"],
+            r["c_max"],
+            r["var_num"],
+            r["health"],
+        )
+        for r in embedding_dim_health(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(vecs.shape[1]))
+    for d in range(vecs.shape[1]):
+        c = codes[:, d]
+        n = len(c)
+        levels = len(np.unique(c))
+        var_num = n * int((c * c).sum()) - int(c.sum()) ** 2
+        health = "dead" if levels == 1 else ("coarse" if levels < 16 else "ok")
+        assert got[d] == (
+            n,
+            levels,
+            int(c.min()),
+            int(c.max()),
+            str(var_num),
+            health,
+        ), f"dim {d}"
+
+
+def test_pair_provenance_census_matches_pair_listing(spark, sf_dir):
+    # X112: the provenance census must be exactly the verified-pairs
+    # frame re-labeled through the documents table — recompute the
+    # (src_lo, src_hi) cells in python from the two upstream queries.
+    from collections import Counter
+
+    from xero_api_etl_utilities_spark.plans.corpus_ops import (
+        dedup_pair_provenance,
+        dedup_verified_pairs,
+    )
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    cells = Counter()
+    for r in dedup_verified_pairs(spark, sf_dir).collect():
+        sa, sb = src[r["doc_a"]], src[r["doc_b"]]
+        cells[(min(sa, sb), max(sa, sb))] += 1
+    got = {
+        (r["src_lo"], r["src_hi"]): (r["relation"], r["n_pairs"])
+        for r in dedup_pair_provenance(spark, sf_dir).collect()
+    }
+    want = {
+        k: ("within" if k[0] == k[1] else "cross", n)
+        for k, n in cells.items()
+    }
+    assert got == want

@@ -1030,3 +1030,158 @@ FROM cut GROUP BY 1, 2 ORDER BY source, decile
 
 
 register("diag_quality_deciles", diag_quality_deciles, _quality_deciles_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X110: exact-substring duplication coverage (Lee et al. 2022 census)
+# ---------------------------------------------------------------------------
+
+
+def text_dup_span_coverage(
+    spark: SparkSession, sf_dir: str, k: int = 6
+) -> DataFrame:
+    """X110: per-source token mass covered by LONG duplicated spans.
+
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) removes exact substrings of >= 50 BPE tokens that recur
+    anywhere in the corpus; the census that motivates the pass is this
+    query: for each source, how many documents contain at least one
+    duplicated long span, and what fraction of the source's TOKEN MASS
+    those spans cover.  Word ``k``-grams (k=6 here) stand in for the
+    50-token threshold at toy scale.  Distinct from
+    ``text_boilerplate_shingles`` (X99 counts df>=5 3-gram
+    *occurrences*) in both unit and semantics: a span is duplicated
+    iff it occurs in >= 2 DISTINCT documents (min(doc_id) <>
+    max(doc_id) — cheaper than a count-distinct and exact for the
+    >= 2 predicate; within-doc repetition is ``text_repetition``'s
+    business), and overlapping spans are UNION-merged per document so
+    covered tokens are never double-counted.
+
+    The union length needs no islands pass: spans arrive sorted by
+    start position, so each row's newly covered tokens are
+    ``greatest(0, end - greatest(running_max_prev_end, pos-1))`` — the
+    running max over the preceding frame is the only window, and it is
+    partitioned per document over duplicated spans only.
+
+    Scale shape: spans shuffle as 8-byte cross-engine md5-64 hashes
+    (functions/crosshash.py), never as span strings; df is one
+    hash-keyed aggregate with map-side partial min/max; the hit set
+    semi-joins back on the same 8-byte key; the coverage window is
+    doc-sized.  All linear in corpus tokens — the known O(n) span
+    profile, vs the suffix-array construction the paper uses
+    single-node.  Hash collisions (~2^-64 per pair) can only create a
+    false duplicate flag, and the oracle replays the identical hash,
+    so the check is bit-exact."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h64
+    from xero_api_etl_utilities_spark.operators.dedup import token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the words array BEFORE the shingle transform
+    # (lambda-CSE trap, see text_boilerplate_shingles)
+    wdocs = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
+    )
+    spans = wdocs.select(
+        "doc_id",
+        "source",
+        F.posexplode(token_ngrams(F.col("_w"), k)).alias("pos", "_s"),
+    ).select("doc_id", "source", "pos", h64(F.col("_s")).alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("h")
+    )
+    hits = spans.join(dup, "h", "leftsemi")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(F.col("pos") + (k - 1)).over(prev)
+    newly = F.greatest(
+        F.lit(0),
+        (F.col("pos") + (k - 1))
+        - F.greatest(F.coalesce(run_end, F.lit(-1)), F.col("pos") - 1),
+    )
+    per_doc = (
+        hits.withColumn("_cov", newly)
+        .groupBy("doc_id", "source")
+        .agg(F.sum("_cov").cast("bigint").alias("covered"))
+    )
+    by_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("dup_docs"),
+        F.sum("covered").alias("covered_tokens"),
+    )
+    tot = wdocs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_w").cast("bigint")).alias("total_tokens"),
+    )
+    return (
+        tot.join(by_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("dup_docs"), F.lit(0)).cast("bigint").alias(
+                "dup_docs"
+            ),
+            "total_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.expr("coalesce(covered_tokens, 0) * 10000 div total_tokens")
+            .cast("bigint")
+            .alias("covered_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dup_span_oracle(k: int = 6) -> str:
+    from xero_api_etl_utilities_spark.functions.crosshash import (
+        h64_hi_sql,
+        h64_lo_sql,
+        signed64_sql,
+    )
+
+    h = signed64_sql(h64_hi_sql("s"), h64_lo_sql("s"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), raw AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         array_to_string(w[i:i + {k - 1}], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(w) - {k - 1}, 0) + 1)) AS t(i)
+), spans AS (
+  SELECT doc_id, source, pos, {h} AS h FROM raw
+), dup AS (
+  SELECT h FROM spans GROUP BY h HAVING min(doc_id) <> max(doc_id)
+), cov AS (
+  SELECT doc_id, source,
+    greatest(0, pos + {k - 1} - greatest(coalesce(max(pos + {k - 1}) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+      pos - 1)) AS c
+  FROM spans WHERE h IN (SELECT h FROM dup)
+), per_doc AS (
+  SELECT doc_id, source, sum(c) AS covered FROM cov GROUP BY 1, 2
+), by_src AS (
+  SELECT source, count(*)::BIGINT AS dup_docs,
+         sum(covered)::BIGINT AS covered_tokens
+  FROM per_doc GROUP BY source
+), tot AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(w))::BIGINT AS total_tokens
+  FROM toks GROUP BY source
+)
+SELECT t.source, t.n_docs,
+  coalesce(b.dup_docs, 0)::BIGINT AS dup_docs,
+  t.total_tokens,
+  coalesce(b.covered_tokens, 0)::BIGINT AS covered_tokens,
+  CAST(coalesce(b.covered_tokens, 0) * 10000 // t.total_tokens AS BIGINT)
+    AS covered_bp
+FROM tot t LEFT JOIN by_src b USING (source) ORDER BY source
+"""
+
+
+register("text_dup_span_coverage", text_dup_span_coverage, _dup_span_oracle)

@@ -1035,3 +1035,78 @@ ORDER BY doc_id
 
 
 register("decontaminate_report", decontaminate_report, _decontam_report_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X112: near-dup provenance — within-source vs cross-source census (r6)
+# ---------------------------------------------------------------------------
+
+
+def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112: WHERE the duplication comes from — every verified
+    near-dup pair (the memoized LSH→exact-Jaccard substrate) labeled
+    with its two documents' sources and counted per normalized
+    (src_lo, src_hi) cell.  Within-source mass means crawl re-visits /
+    templated content inside one feed (fix the crawler); cross-source
+    mass means mirror sites or syndication (fix the source list) — the
+    first question a curation review asks of any dedup report, and a
+    different axis than ``dedup_cluster_sizes`` (how big) or
+    ``decontaminate_report`` (is it benchmark leakage).
+
+    Shape: pure marginal on the once-per-session verified-pairs
+    checkpoint — the corpus-scale work is already paid.  The pair
+    frame is duplication-sized (tiny relative to the corpus), so BOTH
+    source-attachment joins broadcast the pair side and stream the
+    documents scan; the census aggregate runs on sources² cells at
+    most.  No new corpus shuffle anywhere."""
+    pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    wa = src.join(
+        F.broadcast(pairs), F.col("doc_id") == F.col("doc_a")
+    ).select("doc_a", "doc_b", F.col("source").alias("_sa"))
+    wb = src.join(
+        F.broadcast(wa), F.col("doc_id") == F.col("doc_b")
+    ).select("_sa", F.col("source").alias("_sb"))
+    return (
+        wb.select(
+            F.least("_sa", "_sb").alias("src_lo"),
+            F.greatest("_sa", "_sb").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "src_lo",
+            "src_hi",
+            F.when(F.col("src_lo") == F.col("src_hi"), F.lit("within"))
+            .otherwise(F.lit("cross"))
+            .alias("relation"),
+            "n_pairs",
+        )
+        .orderBy("src_lo", "src_hi")
+    )
+
+
+def _pair_provenance_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH "
+        + sk.minhash_cand_ctes(bands=16, rows_per_band=4, max_bucket=500)
+        + ",\n"
+        + sk.jaccard_verify_ctes()
+        + """
+, prov AS (
+  SELECT least(da.source, db.source) AS src_lo,
+         greatest(da.source, db.source) AS src_hi
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+)
+SELECT src_lo, src_hi,
+  CASE WHEN src_lo = src_hi THEN 'within' ELSE 'cross' END AS relation,
+  count(*)::BIGINT AS n_pairs
+FROM prov GROUP BY 1, 2 ORDER BY src_lo, src_hi"""
+    )
+
+
+register("dedup_pair_provenance", dedup_pair_provenance, _pair_provenance_oracle)

@@ -1464,3 +1464,99 @@ ORDER BY doc_a, doc_b
 """
 
 register("multimodal_ahash_pairs", multimodal_ahash_pairs, _AHASH_PAIRS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X111: per-dimension SQ8 health census (dead/coarse dimension detector)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111: the "is my vector index wasting bytes" diagnostic — for
+    every embedding dimension, the SQ8 code census: how many distinct
+    8-bit levels the dimension actually uses (``n_levels``), the code
+    range, and the EXACT integer code variance as the cross-multiplied
+    rational numerator ``n·Σc² − (Σc)²`` (the X53 convention, VARCHAR
+    both sides so pandas dtype drift can never fail the hash).  A
+    ``dead`` dimension (one level) carries zero signal and its byte
+    should be dropped from the code; a ``coarse`` one (<16 levels)
+    signals the train-set min/max clipped the live range — the two
+    pathologies every FAISS-style SQ index audit looks for.
+
+    Shape: the corpus-sized explode feeds a (dim, code) HISTOGRAM
+    aggregate first — map-side combine collapses onto <= dims×256
+    cells, so the second (per-dim) aggregate and everything after it
+    run on a bounded frame no matter the corpus size.  Variance over
+    the histogram (Σ code·cnt, Σ code²·cnt) is exactly the
+    sufficient-statistics pass, just pre-binned — order-independent,
+    digit-exact, no floats anywhere past the quantizer itself."""
+    from xero_api_etl_utilities_spark.operators.quantize import sq8_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sq8_codes(emb, "vec_id", "embedding")
+    hist = codes.groupBy("dim", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    d38 = "decimal(38,0)"
+    per_dim = hist.groupBy("dim").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_levels"),
+        F.min("code").alias("c_min"),
+        F.max("code").alias("c_max"),
+        F.sum((F.col("code").cast("long") * F.col("cnt")).cast(d38)).alias("s"),
+        F.sum(
+            (
+                F.col("code").cast("long") * F.col("code") * F.col("cnt")
+            ).cast(d38)
+        ).alias("ss"),
+    )
+    return per_dim.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_levels").cast("bigint").alias("n_levels"),
+        F.col("c_min").cast("int").alias("c_min"),
+        F.col("c_max").cast("int").alias("c_max"),
+        (F.col("n").cast(d38) * F.col("ss") - F.col("s") * F.col("s"))
+        .cast(d38)
+        .cast("string")
+        .alias("var_num"),
+        F.when(F.col("n_levels") == 1, F.lit("dead"))
+        .when(F.col("n_levels") < 16, F.lit("coarse"))
+        .otherwise(F.lit("ok"))
+        .alias("health"),
+    ).orderBy("dim")
+
+
+register(
+    "embedding_dim_health",
+    embedding_dim_health,
+    """
+WITH d AS (
+  SELECT vec_id, CAST(r.i - 1 AS INT) AS dim,
+         CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), st AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim
+), codes AS (
+  SELECT d.vec_id, d.dim,
+    CAST(CASE WHEN st.mx - st.mn > 0
+              THEN floor(((d.x - st.mn) * 255.0) / (st.mx - st.mn) + 0.5)
+              ELSE 0 END AS INT) AS code
+  FROM d JOIN st USING (dim)
+), hist AS (
+  SELECT dim, code, CAST(count(*) AS HUGEINT) AS cnt
+  FROM codes GROUP BY 1, 2
+), pd AS (
+  SELECT dim, sum(cnt) AS n, count(*) AS n_levels,
+         min(code) AS c_min, max(code) AS c_max,
+         sum(code * cnt) AS s, sum(code * code * cnt) AS ss
+  FROM hist GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+  CAST(n_levels AS BIGINT) AS n_levels, c_min, c_max,
+  CAST(CAST(n * ss - s * s AS DECIMAL(38,0)) AS VARCHAR) AS var_num,
+  CASE WHEN n_levels = 1 THEN 'dead' WHEN n_levels < 16 THEN 'coarse'
+       ELSE 'ok' END AS health
+FROM pd ORDER BY dim
+""",
+)
