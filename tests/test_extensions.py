@@ -433,3 +433,50 @@ def test_topk_ivf_pq_distributed_matches_driver_path(spark):
         ivf.topk_ivf_pq(q_big, corpus, centroids, codebooks, k=3, nprobe=2)
     )
     assert driver_res == dist_res and len(driver_res) == 150
+
+
+def test_ivf_cell_balance_matches_numpy_assignment(spark, sf_dir):
+    # X113: recompute the per-cell census with a numpy argmax over the
+    # same deterministically-trained centroids; empty cells must appear
+    # with zero counts and the integer shares must replay exactly.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from xero_api_etl_utilities_spark.operators.ivf import (
+        train_centroids_from_parquet,
+    )
+    from xero_api_etl_utilities_spark.plans.extensions import (
+        similarity_ivf_cell_balance,
+    )
+
+    k_cells = 16
+    cents = np.array(
+        train_centroids_from_parquet(
+            f"{sf_dir}/embeddings.parquet", k=k_cells, iters=4, sample=1000
+        )
+    )
+    vecs = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    # ties (none at the shipped sfs, margin-checked by the IVF suite)
+    # would break toward the HIGHER cell id under the plan's
+    # reverse(array_sort(struct(d, cell))) — replay that orientation.
+    scores = vecs @ cents.T
+    best = np.zeros(len(vecs), dtype=int)
+    for i, row in enumerate(scores):
+        m = row.max()
+        best[i] = max(np.flatnonzero(row == m))
+    n = len(vecs)
+    want = {}
+    for cell in range(k_cells):
+        c = int((best == cell).sum())
+        want[cell] = (c, c * 10000 // n, c * 100 * k_cells // n)
+    got = {
+        r["cell"]: (r["n_vecs"], r["share_bp"], r["load_x100"])
+        for r in similarity_ivf_cell_balance(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert set(got) == set(range(k_cells))

@@ -444,3 +444,96 @@ SELECT doc_id, lang,
 FROM sampled
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# X113: IVF cell-balance diagnostic (r6)
+# ---------------------------------------------------------------------------
+
+
+def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113: the IVF index-health census — every corpus vector assigned
+    to its nearest cell (the same driver-trained deterministic
+    centroids the search queries use), counted per cell, INCLUDING
+    empty cells.  A dead cell wastes a probe; a hot cell makes every
+    query that probes it scan a corpus-sized list — the imbalance this
+    table surfaces is exactly why FAISS tutorials say "re-train k or
+    re-balance when max/mean load drifts".  ``share_bp`` is the cell's
+    corpus share and ``load_x100`` its load factor vs perfect balance
+    (100 = balanced), both cross-multiplied integers.
+
+    Shape: assignment is the JVM-side in-row argmax projection
+    (operators/ivf.assign_cells, centroids inlined as literals — no
+    join), the census is one 16-cell aggregate, and the empty-cell
+    completion joins against a k-row range frame.  Corpus-linear, one
+    tiny shuffle."""
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k_cells = 16
+    centroids = ivf.train_centroids(emb, k=k_cells, iters=4, sample=1000)
+    assigned = ivf.assign_cells(emb, centroids, nprobe=1)
+    census = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    total = emb.select(F.count(F.lit(1)).alias("_tot"))
+    cells = spark.range(k_cells).select(F.col("id").cast("int").alias("cell"))
+    return (
+        cells.join(F.broadcast(census), "cell", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            F.coalesce(F.col("n_vecs"), F.lit(0)).cast("bigint").alias("n_vecs"),
+            F.expr("coalesce(n_vecs, 0) * 10000 div _tot")
+            .cast("bigint")
+            .alias("share_bp"),
+            F.expr(f"coalesce(n_vecs, 0) * 100 * {k_cells} div _tot")
+            .cast("bigint")
+            .alias("load_x100"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _ivf_cell_balance_oracle(k_cells: int = 16) -> str:
+    import os as _os
+
+    from xero_api_etl_utilities_spark.operators.ivf import (
+        train_centroids_from_parquet,
+    )
+    from xero_api_etl_utilities_spark.plans.sketch_oracles import _vec_lit
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cents = train_centroids_from_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        k=k_cells,
+        iters=4,
+        sample=1000,
+    )
+    structs = ", ".join(
+        f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cells = f"list_transform(list_reverse(list_sort([{structs}])), s -> s.cell)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, ({cells})[1] AS cell FROM e
+), census AS (
+  SELECT cell, count(*)::BIGINT AS n_vecs FROM corpus GROUP BY cell
+), tot AS (SELECT count(*)::BIGINT AS t FROM e)
+SELECT CAST(r.range AS INT) AS cell,
+  coalesce(c.n_vecs, 0)::BIGINT AS n_vecs,
+  CAST(coalesce(c.n_vecs, 0) * 10000 // t AS BIGINT) AS share_bp,
+  CAST(coalesce(c.n_vecs, 0) * 100 * {k_cells} // t AS BIGINT) AS load_x100
+FROM range({k_cells}) r LEFT JOIN census c ON c.cell = r.range
+CROSS JOIN tot ORDER BY cell
+"""
+
+
+register(
+    "similarity_ivf_cell_balance",
+    similarity_ivf_cell_balance,
+    _ivf_cell_balance_oracle,
+)
