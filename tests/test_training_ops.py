@@ -398,3 +398,56 @@ def test_pair_provenance_census_matches_pair_listing(spark, sf_dir):
         for k, n in cells.items()
     }
     assert got == want
+
+
+def test_dedup_savings_census_matches_python_keep_rule(spark, sf_dir):
+    # X114: replay the keep-longest/min-id rule in python over the
+    # cluster substrate and recompute per-source droppable mass.
+    from collections import defaultdict
+
+    from xero_api_etl_utilities_spark.plans.corpus_ops import (
+        dedup_savings_census,
+        doc_clusters,
+    )
+
+    meta = {
+        r["doc_id"]: (r["source"], r["n_chars"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    }
+    clusters = defaultdict(list)
+    for r in doc_clusters(spark, sf_dir).collect():
+        clusters[r["cluster_id"]].append(r["doc_id"])
+    per_src = defaultdict(lambda: [0, 0])  # dropped_docs, dropped_chars
+    for members in clusters.values():
+        keep = max(members, key=lambda d: (meta[d][1], -d))
+        for d in members:
+            if d != keep:
+                per_src[meta[d][0]][0] += 1
+                per_src[meta[d][0]][1] += meta[d][1]
+    tot = defaultdict(lambda: [0, 0])  # n_docs, total_chars
+    for src, nc in meta.values():
+        tot[src][0] += 1
+        tot[src][1] += nc
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["dropped_docs"],
+            r["total_chars"],
+            r["dropped_chars"],
+            r["savings_bp"],
+        )
+        for r in dedup_savings_census(spark, sf_dir).collect()
+    }
+    want = {
+        src: (
+            tot[src][0],
+            per_src[src][0],
+            tot[src][1],
+            per_src[src][1],
+            per_src[src][1] * 10000 // tot[src][1],
+        )
+        for src in tot
+    }
+    assert got == want

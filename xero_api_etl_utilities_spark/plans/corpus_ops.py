@@ -1110,3 +1110,114 @@ FROM prov GROUP BY 1, 2 ORDER BY src_lo, src_hi"""
 
 
 register("dedup_pair_provenance", dedup_pair_provenance, _pair_provenance_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X114: dedup savings census (r6)
+# ---------------------------------------------------------------------------
+
+
+def dedup_savings_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114: the headline number every dedup proposal leads with —
+    per source, how many documents and how much character mass
+    DISAPPEARS if each near-dup cluster keeps only its X106
+    representative (longest, ties to min id).  ``savings_bp`` is the
+    droppable share of the source's char inventory; a source with
+    thousands of bp here pays for its own dedup pass, one near zero
+    doesn't — the prioritization table for rolling the pipeline out
+    corpus by corpus.
+
+    Shape: rides the once-per-session doc_clusters substrate exactly
+    like X106 (one cluster-keyed ranking window), then two
+    source-keyed aggregates (dropped mass, total inventory) merged by
+    a sources-sized left join.  Nothing new touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    labeled = doc_clusters(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    dropped = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("dropped_docs"),
+            F.sum("n_chars").alias("dropped_chars"),
+        )
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        tot.join(F.broadcast(dropped), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("dropped_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("dropped_docs"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.coalesce(F.col("dropped_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("dropped_chars"),
+            F.expr("coalesce(dropped_chars, 0) * 10000 div total_chars")
+            .cast("bigint")
+            .alias("savings_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _savings_census_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH RECURSIVE "
+        + sk.minhash_cand_ctes(bands=16, rows_per_band=4, max_bucket=500)
+        + ",\n"
+        + sk.jaccard_verify_ctes()
+        + """,
+vedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS doc, r.lbl AS lbl
+  FROM reach r JOIN vedges e ON e.src = r.doc
+  WHERE r.lbl < e.dst
+),
+comp AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN comp c ON c.doc = d.doc_id
+),
+dropped AS (
+  SELECT source, count(*)::BIGINT AS dropped_docs,
+         sum(n_chars)::BIGINT AS dropped_chars
+  FROM ranked WHERE rn > 1 GROUP BY source
+),
+tot AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY source
+)
+SELECT t.source, t.n_docs,
+  coalesce(d.dropped_docs, 0)::BIGINT AS dropped_docs,
+  t.total_chars,
+  coalesce(d.dropped_chars, 0)::BIGINT AS dropped_chars,
+  CAST(coalesce(d.dropped_chars, 0) * 10000 // t.total_chars AS BIGINT)
+    AS savings_bp
+FROM tot t LEFT JOIN dropped d USING (source) ORDER BY source
+"""
+    )
+
+
+register("dedup_savings_census", dedup_savings_census, _savings_census_oracle)
