@@ -382,3 +382,30 @@ def test_dup_span_coverage_matches_python_union(spark, sf_dir):
     # the synthetic corpus plants near-dups: the census must not be
     # all-zero at any shipped sf
     assert sum(v[3] for v in got.values()) > 0
+
+
+def test_corpus_mix_census_matches_python(spark, sf_dir):
+    # X115: python recompute of the (lang, source) inventory and ppm
+    # shares; cells must sum to the corpus and shares must floor-div.
+    from collections import defaultdict
+
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        corpus_mix_census,
+    )
+
+    rows = _rows(sf_dir, "SELECT lang, source, text FROM documents")
+    cells = defaultdict(lambda: [0, 0])
+    for lang, source, text in rows:
+        c = cells[(lang, source)]
+        c[0] += 1
+        c[1] += len(text.split(" "))
+    tot = sum(v[1] for v in cells.values())
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["n_tokens"], r["share_ppm"])
+        for r in corpus_mix_census(spark, sf_dir).collect()
+    }
+    want = {
+        k: (d, t, t * 1000000 // tot) for k, (d, t) in cells.items()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(rows)

@@ -102,6 +102,12 @@ _WINDOW_PRIORITY: list[str] = [
     "diag_ks_drift",
     "decontaminate_report",
     "diag_quality_deciles",
+    "text_dup_span_coverage",
+    "embedding_dim_health",
+    "dedup_pair_provenance",
+    "similarity_ivf_cell_balance",
+    "dedup_savings_census",
+    "corpus_mix_census",
     "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---

@@ -1185,3 +1185,63 @@ FROM tot t LEFT JOIN by_src b USING (source) ORDER BY source
 
 
 register("text_dup_span_coverage", text_dup_span_coverage, _dup_span_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X115: language × source mix census (the data-card table)
+# ---------------------------------------------------------------------------
+
+
+def corpus_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115: the composition table every dataset card publishes — per
+    (lang, source) cell: documents, whitespace-token mass, and the
+    cell's share of the whole corpus in ppm (integer ``div``, so the
+    hash is exact and the shares are reproducible row-order-free).
+    Upstream of the X102 mixture planner: this is the inventory the
+    planner's weights are set against.
+
+    Shape: ONE corpus scan into a (lang × source)-sized aggregate; the
+    corpus total is a window over that dimension-sized frame, not a
+    second scan (the X102 precedent — single-partition windows are
+    fine on frames bounded by the dimension product)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("_nt"),
+    )
+    cells = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )
+    tot = F.sum("n_tokens").over(Window.partitionBy())
+    return (
+        cells.withColumn("_tot", tot)
+        .select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("n_tokens * 1000000 div _tot").cast("bigint").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+register(
+    "corpus_mix_census",
+    corpus_mix_census,
+    """
+WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+  CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM cells) AS BIGINT)
+    AS share_ppm
+FROM cells ORDER BY lang, source
+""",
+)
