@@ -409,3 +409,125 @@ def test_corpus_mix_census_matches_python(spark, sf_dir):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == len(rows)
+
+
+def test_label_purity_matches_python_knn(spark, sf_dir):
+    # X116: recompute the 10-NN label agreement with plain python
+    # cosine over the probe set; purity must floor-div in bp.
+    import math
+    from collections import defaultdict
+
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        similarity_label_purity,
+    )
+
+    rows = _rows(sf_dir, "SELECT vec_id, embedding, label FROM embeddings")
+    vecs = {r[0]: r[1] for r in rows}
+    labels = {r[0]: r[2] for r in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den if den else 0.0
+
+    per_label = defaultdict(lambda: [set(), 0, 0])  # queries, match, n
+    for q in sorted(vecs):
+        if q >= 80:
+            continue
+        scored = sorted(
+            ((cos(vecs[q], vecs[c]), -c) for c in vecs if c != q),
+            reverse=True,
+        )[:10]
+        cell = per_label[labels[q]]
+        cell[0].add(q)
+        for s, negc in scored:
+            cell[2] += 1
+            if labels[-negc] == labels[q]:
+                cell[1] += 1
+    want = {
+        lab: (len(qs), match * 10000 // n)
+        for lab, (qs, match, n) in per_label.items()
+    }
+    got = {
+        r["label"]: (r["n_queries"], r["knn_match_bp"])
+        for r in similarity_label_purity(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_head_coverage_matches_python(spark, sf_dir):
+    # X117: the top-8 head set must tie-break (count desc, token asc)
+    # and per-source shares must floor-div against that exact set.
+    from collections import Counter, defaultdict
+
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        text_head_coverage,
+    )
+
+    rows = _rows(sf_dir, "SELECT source, text FROM documents")
+    global_c = Counter()
+    per_src = defaultdict(Counter)
+    for source, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        global_c.update(toks)
+        per_src[source].update(toks)
+    head = {
+        t for t, _ in sorted(global_c.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    }
+    want = {}
+    for source, c in per_src.items():
+        n = sum(c.values())
+        h = sum(v for t, v in c.items() if t in head)
+        want[source] = (n, h, h * 10000 // n)
+    got = {
+        r["source"]: (r["n_tokens"], r["head_tokens"], r["head_bp"])
+        for r in text_head_coverage(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pack_waste_matches_python(spark, sf_dir):
+    # X118: ceil arithmetic and both bp shares recomputed directly;
+    # the packing lower bound can never exceed the naive chunk count.
+    from collections import defaultdict
+
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        sample_pack_waste,
+    )
+
+    L = 128
+    rows = _rows(sf_dir, "SELECT source, text FROM documents")
+    acc = defaultdict(lambda: [0, 0, 0])  # docs, tokens, naive
+    for source, text in rows:
+        nt = len(text.split(" "))
+        a = acc[source]
+        a[0] += 1
+        a[1] += nt
+        a[2] += (nt + L - 1) // L
+    want = {}
+    for source, (d, t, naive) in acc.items():
+        lb = (t + L - 1) // L
+        want[source] = (
+            d,
+            t,
+            naive,
+            lb,
+            (naive * L - t) * 10000 // (naive * L),
+            (naive - lb) * 10000 // naive,
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            r["naive_chunks"],
+            r["packed_chunks_lb"],
+            r["pad_waste_bp"],
+            r["packing_savings_bp"],
+        )
+        for r in sample_pack_waste(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(r["packed_chunks_lb"] <= r["naive_chunks"] for r in
+               sample_pack_waste(spark, sf_dir).collect())

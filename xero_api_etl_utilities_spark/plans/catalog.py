@@ -108,6 +108,9 @@ _WINDOW_PRIORITY: list[str] = [
     "similarity_ivf_cell_balance",
     "dedup_savings_census",
     "corpus_mix_census",
+    "similarity_label_purity",
+    "text_head_coverage",
+    "sample_pack_waste",
     "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---

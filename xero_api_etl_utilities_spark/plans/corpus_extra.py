@@ -1245,3 +1245,246 @@ SELECT lang, source, n_docs, n_tokens,
 FROM cells ORDER BY lang, source
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# X116: kNN label purity — embedding-quality / label-noise census
+# ---------------------------------------------------------------------------
+
+
+def similarity_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116: per-label kNN agreement — for a bounded deterministic
+    query set, the share (bp) of each query's 10 nearest cosine
+    neighbors that carry the query's own label. The standard
+    embedding-quality / label-noise probe (a low-purity label is
+    either under-clustered or mislabeled) a curation pipeline runs
+    before trusting ``label`` for stratified sampling.
+
+    Shape: the exactness-baseline ``topk_bruteforce`` (guard-caged to
+    the 80-query probe set; the production-scale route would feed the
+    same purity aggregate from the IVF shortlist, see
+    ``similarity_topk_ivfpq_rerank``). The (80 x 10)-row neighbor
+    shortlist is BROADCAST against the corpus label table, so the
+    label join is map-side and the corpus never shuffles; the final
+    aggregate is label-dimension-sized.
+    """
+    from xero_api_etl_utilities_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 80)
+    nn = sim.topk_bruteforce(queries, emb, k=10, max_queries=100)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "ql"
+    )
+    nl = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "nl"
+    )
+    joined = (
+        F.broadcast(nn)
+        .join(ql, "query_id")
+        .join(nl, "neighbor_id")
+    )
+    return (
+        joined.groupBy(F.col("ql").alias("label"))
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.sum(
+                F.when(F.col("nl") == F.col("ql"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("_match"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            F.expr("_match * 10000 div _n").cast("bigint").alias("knn_match_bp"),
+        )
+        .orderBy("label")
+    )
+
+
+register(
+    "similarity_label_purity",
+    similarity_label_purity,
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 80
+), scored AS (
+  SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
+         list_cosine_similarity(q.qv, c.embedding) AS s
+  FROM q, embeddings c
+  WHERE q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, ql, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT CAST(ql AS INT) AS label,
+       CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS knn_match_bp
+FROM ranked WHERE rank <= 10
+GROUP BY ql ORDER BY label
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# X117: Zipf-head vocabulary coverage per source
+# ---------------------------------------------------------------------------
+
+
+def text_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117: per-source share (bp) of token mass covered by the
+    corpus-global top-8 tokens — the Zipf-head census. A source whose
+    head share is far above the corpus norm is template/boilerplate
+    heavy; far below suggests tokenizer-hostile or non-prose content.
+    (The head size is 8 because the synthetic corpus has a ~31-word
+    vocabulary; on a real corpus the same plan runs with top-1k.)
+
+    Shape: ONE explode scan aggregated to (source, token) counts —
+    the only data-sized shuffle, with map-side combine; the global
+    counts, the top-8 selection, and the per-source rollup all derive
+    from that vocabulary-dimension-sized frame. The head set joins
+    back by broadcast, so nothing data-sized shuffles twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top8 = (
+        st.groupBy("token")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), F.asc("token"))
+        .limit(8)
+        .select("token")
+    )
+    flagged = st.join(
+        F.broadcast(top8.withColumn("_head", F.lit(1))), "token", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_head") == 1, F.col("c")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("head_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "head_tokens",
+            F.expr("head_tokens * 10000 div n_tokens")
+            .cast("bigint")
+            .alias("head_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "text_head_coverage",
+    text_head_coverage,
+    """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), st AS (
+  SELECT source, token, count(*) AS c FROM tok WHERE token <> ''
+  GROUP BY source, token
+), top8 AS (
+  SELECT token FROM (
+    SELECT token, sum(c) AS gc FROM st GROUP BY token
+  ) ORDER BY gc DESC, token ASC LIMIT 8
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN token IN (SELECT token FROM top8) THEN c
+                ELSE 0 END) AS BIGINT) AS head_tokens,
+       CAST(sum(CASE WHEN token IN (SELECT token FROM top8) THEN c
+                ELSE 0 END) * 10000
+            // sum(c) AS BIGINT) AS head_bp
+FROM st GROUP BY source ORDER BY source
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# X118: sequence-packing waste census
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 128
+
+
+def sample_pack_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118: per-source padding-waste census at context length 128 —
+    naive one-doc-per-sequence chunk count vs the perfect-packing
+    lower bound ``ceil(total_tokens / L)``, with pad-waste and
+    packing-savings shares in bp. This is the number a pretraining
+    team reads before deciding whether sequence packing (or
+    best-fit-decreasing batching) is worth the shuffle it costs.
+
+    Shape: one scan projecting a token count per doc, one
+    source-dimension aggregate; every output is exact integer math
+    (ceil(n/L) as ``(n + L - 1) div L``), so the hash is stable.
+    """
+    L = _PACK_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum(F.expr(f"(nt + {L - 1}) div {L}")).alias("naive_chunks"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("naive_chunks").cast("bigint").alias("naive_chunks"),
+        F.expr(f"(n_tokens + {L - 1}) div {L}")
+        .cast("bigint")
+        .alias("packed_chunks_lb"),
+        F.expr(f"(naive_chunks * {L} - n_tokens) * 10000 div (naive_chunks * {L})")
+        .cast("bigint")
+        .alias("pad_waste_bp"),
+        F.expr(
+            f"(naive_chunks - ((n_tokens + {L - 1}) div {L})) * 10000"
+            " div naive_chunks"
+        )
+        .cast("bigint")
+        .alias("packing_savings_bp"),
+    ).orderBy("source")
+
+
+register(
+    "sample_pack_waste",
+    sample_pack_waste,
+    f"""
+WITH per_doc AS (
+  SELECT source, len(string_split(text, ' '))::BIGINT AS nt FROM documents
+), agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+         sum((nt + {_PACK_LEN - 1}) // {_PACK_LEN})::BIGINT AS naive_chunks
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_tokens, naive_chunks,
+  CAST((n_tokens + {_PACK_LEN - 1}) // {_PACK_LEN} AS BIGINT)
+    AS packed_chunks_lb,
+  CAST((naive_chunks * {_PACK_LEN} - n_tokens) * 10000
+       // (naive_chunks * {_PACK_LEN}) AS BIGINT) AS pad_waste_bp,
+  CAST((naive_chunks - ((n_tokens + {_PACK_LEN - 1}) // {_PACK_LEN})) * 10000
+       // naive_chunks AS BIGINT) AS packing_savings_bp
+FROM agg ORDER BY source
+""",
+)
