@@ -27,15 +27,69 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r6 WINDOW (slots 1-50). Composition, per VERDICT r5 "Next round"
-    # item 4: the 14 rows red/err in r4+r5 (canonicalization fixed this
-    # round — the driver must see them flip green), then the 32 queries
-    # with no driver row in ANY round (incl. diag_data_contract, whose
-    # HUGEINT oracle was also retyped), then the 5 newly wired X96-X100.
-    # That is 51 names for 50 slots: agg_approx_distinct_ok (cheap,
-    # local-only-verified, stable since r1) waits below the fold for r7.
-    # --- 14 formerly perma-red rows, retyped oracles (BIGINT/VARCHAR/
-    # CSV-serialized arrays) ---
+    # r7 WINDOW (slots 1-50). Composition, per VERDICT r6 "Next round"
+    # item 1: the 19 names with no driver CORRECTNESS row in ANY round
+    # (X101-X118 + the long-deferred agg_approx_distinct_ok), then the
+    # new r7 registrations (behavior-changed text_tf_cosine_pairs and
+    # sample_token_budget_plan are in the 19/new groups and MUST re-check),
+    # padded to 50 with the oldest r2-green classics for regression
+    # coverage.  Unregistered names are ignored, so planned-but-unlanded
+    # r7 queries can be listed before their module lands.
+    # --- 19 never driver-checked (X101-X118 + agg_approx_distinct_ok) ---
+    "dedup_semantic_clusters",
+    "sample_token_budget_plan",
+    "graph_cc_star",
+    "multimodal_ahash_pairs",
+    "decontaminate_neardup",
+    "dedup_cluster_representatives",
+    "diag_ks_drift",
+    "decontaminate_report",
+    "diag_quality_deciles",
+    "text_dup_span_coverage",
+    "embedding_dim_health",
+    "dedup_pair_provenance",
+    "similarity_ivf_cell_balance",
+    "dedup_savings_census",
+    "corpus_mix_census",
+    "similarity_label_purity",
+    "text_head_coverage",
+    "sample_pack_waste",
+    "agg_approx_distinct_ok",
+    # --- r7 new registrations + r7 behavior changes ---
+    "diag_quality_deciles_approx",
+    "feature_pit_scd2",
+    "text_unigram_logprob",
+    "text_line_repetition",
+    "sample_temperature_mix",
+    "embedding_source_centroid_sim",
+    "text_zipf_slope",
+    "text_pii_census",
+    "text_winnow_fingerprints",
+    "split_balance_report",
+    "corpus_self_similarity",
+    "sample_curriculum_order",
+    "text_tf_cosine_pairs",
+    # --- regression pad: oldest r2-green classics ---
+    "daily_pnl_rollup",
+    "scan_project_filter",
+    "filter_null_and_zero",
+    "dim_join_enrich",
+    "join_exactly_one",
+    "agg_conditional_sums",
+    "agg_string_receipts",
+    "agg_balance_check",
+    "agg_all_balanced",
+    "window_segmentation",
+    "sort_limit_topk",
+    "union_tagged_streams",
+    "invoice_line_assembly",
+    "reconcile_matched",
+    "reconcile_unverified",
+    "scalar_string_pack",
+    "scalar_date_pack",
+    "scalar_null_conditional_pack",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r6 window names (all green r6; kept high for visibility)
     "dedup_lsh_quality",
     "part_abc_classification",
     "orders_rfm_segments",
@@ -50,8 +104,6 @@ _WINDOW_PRIORITY: list[str] = [
     "replica_bucket_diff",
     "text_hashing_features",
     "text_posting_lists",
-    # --- never driver-checked across r1-r5 (31 of 32; the 32nd is
-    # agg_approx_distinct_ok, deferred to r7) ---
     "diag_data_contract",
     "set_customer_segments",
     "window_distribution_ranks",
@@ -83,35 +135,10 @@ _WINDOW_PRIORITY: list[str] = [
     "join_point_in_time",
     "text_gopher_rules",
     "text_bm25_topk",
-    # --- X96-X100, wired into the catalog this round ---
     "events_seq_pairs",
     "diag_distribution_drift",
-    "text_tf_cosine_pairs",
     "text_boilerplate_shingles",
     "sample_epoch_shuffle",
-    # ------------------- below the driver's 50-row fold -------------------
-    # r6-late additions (X101-X104) — locally gated + pytest-pinned +
-    # plan-audited this round; first in line for the r7 window along
-    # with agg_approx_distinct_ok
-    "dedup_semantic_clusters",
-    "sample_token_budget_plan",
-    "graph_cc_star",
-    "multimodal_ahash_pairs",
-    "decontaminate_neardup",
-    "dedup_cluster_representatives",
-    "diag_ks_drift",
-    "decontaminate_report",
-    "diag_quality_deciles",
-    "text_dup_span_coverage",
-    "embedding_dim_health",
-    "dedup_pair_provenance",
-    "similarity_ivf_cell_balance",
-    "dedup_savings_census",
-    "corpus_mix_census",
-    "similarity_label_purity",
-    "text_head_coverage",
-    "sample_pack_waste",
-    "agg_approx_distinct_ok",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---
     "graph_bfs_depth",
