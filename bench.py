@@ -274,17 +274,36 @@ HEADLINE = [
     "diag_ks_drift",
     "decontaminate_report",
     "diag_quality_deciles",
+    # round-7 wave: the X110-X118 census queries (VERDICT r6 missing
+    # #2 — registered in r6 but never timed), ordered after their
+    # substrate producers so memoized-checkpoint consumers
+    # (dedup_pair_provenance, dedup_savings_census rides the verified
+    # pairs; similarity_ivf_cell_balance rides the IVF build) are
+    # marginal-cost lines like their siblings above
+    "text_dup_span_coverage",
+    "embedding_dim_health",
+    "dedup_pair_provenance",
+    "similarity_ivf_cell_balance",
+    "dedup_savings_census",
+    "corpus_mix_census",
+    "similarity_label_purity",
+    "text_head_coverage",
+    "sample_pack_waste",
+    # r7: the relative max_df cap (df <= max(256, 5% of n_docs)) prunes
+    # saturated tokens on ANY vocabulary — 128.7 s near-dense (r6,
+    # excluded) -> 7.4 s with 31k surviving pairs (see docstring)
+    "text_tf_cosine_pairs",
+    # r7: distributed exact NTILE census (score-band rank decomposition)
+    "diag_quality_deciles_dist",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as
 # oracle generators (see VERDICT r1 items 2-3) — and
-# dedup_prefix_filter_pairs + text_tf_cosine_pairs, whose
-# prefix/max_df filters are sub-quadratic on Zipfian corpora but
-# measured near-dense on this synthetic 31-word-vocabulary one
-# (every token's df ~ 0.78·n_docs, so the posting self-join is
-# Σdf² ≈ 4.5e8 pairs at sf0.1 — 128.7 s measured; see the
-# text_tf_cosine_pairs docstring); the benched scale path for text
-# similarity stays dedup_minhash_lsh.
+# dedup_prefix_filter_pairs, whose prefix filter is sub-quadratic on
+# Zipfian corpora but measured near-dense on this synthetic
+# 31-word-vocabulary one (every token's df ~ 0.78·n_docs); the benched
+# scale path for text similarity is dedup_minhash_lsh +
+# text_tf_cosine_pairs (relative-capped since r7).
 
 
 def main() -> None:

@@ -101,6 +101,14 @@ def test_tf_cosine_pairs_match_bruteforce(spark, sf_dir):
     tfs = {
         d: Counter(tok for tok in text.split(" ") if tok) for d, text in raw
     }
+    # the r7 RELATIVE df guard: tokens in more than
+    # max(256, 5% of n_docs) documents are dropped before norms/dots
+    df = Counter(t for c in tfs.values() for t in c)
+    cap = max(256, len(raw) * 500 // 10000)
+    tfs = {
+        d: Counter({t: v for t, v in c.items() if df[t] <= cap})
+        for d, c in tfs.items()
+    }
     norms = {d: sum(v * v for v in c.values()) for d, c in tfs.items()}
     expected = {}
     ids = sorted(tfs)
@@ -119,9 +127,15 @@ def test_tf_cosine_pairs_match_bruteforce(spark, sf_dir):
 
 
 def test_tf_cosine_max_df_guard_drops_hot_tokens(spark, sf_dir):
-    # with max_df=1 every shared token is dropped, so NO pair can form —
-    # the guard is live on the Spark side (its oracle mirrors it).
-    assert text_tf_cosine_pairs(spark, sf_dir, max_df=1).count() == 0
+    # with the cap forced to 1 (floor=1, 0 bp) every shared token is
+    # dropped, so NO pair can form — the guard is live on the Spark
+    # side (its oracle mirrors it).
+    assert (
+        text_tf_cosine_pairs(
+            spark, sf_dir, max_df_bp=0, max_df_floor=1
+        ).count()
+        == 0
+    )
 
 
 def test_boilerplate_shingle_counts_and_short_doc_clamp(spark, sf_dir):
@@ -326,6 +340,23 @@ def test_quality_deciles_census_is_complete_and_balanced(spark, sf_dir):
     }
     assert sum(got.values()) == n
     assert got == exp
+
+
+def test_quality_deciles_dist_is_bitwise_equal_to_exact(spark, sf_dir):
+    # X109b: the distributed rank decomposition (score-band buckets +
+    # broadcast prefix offsets + closed-form NTILE) must reproduce the
+    # global-window census row for row — equality PROVES the
+    # decomposition reconstructs the (q_score, doc_id) total order.
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        diag_quality_deciles,
+        diag_quality_deciles_dist,
+    )
+
+    exact = [tuple(r) for r in diag_quality_deciles(spark, sf_dir).collect()]
+    dist = [
+        tuple(r) for r in diag_quality_deciles_dist(spark, sf_dir).collect()
+    ]
+    assert dist == exact and len(exact) > 0
 
 
 def test_dup_span_coverage_matches_python_union(spark, sf_dir):

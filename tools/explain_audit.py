@@ -501,6 +501,14 @@ CHECKS = {
     "diag_quality_deciles": [
         ("scan-projected score, join-free census", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    # r7: X109b — the 100 TB lowering: the doc-grain ranking window is
+    # score-band partitioned; the ONLY SinglePartition exchange left is
+    # the 1-row grand-total aggregate merge (unavoidable, 1 row)
+    "diag_quality_deciles_dist": [
+        ("rank window is band-partitioned, not global", lambda p: "hashpartitioning(bucket" in p),
+        ("only the 1-row total merges to a single partition", lambda p: p.count("SinglePartition") <= 1),
+        ("histogram/offset/total frames broadcast, no cartesian", lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p),
+    ],
 }
 
 

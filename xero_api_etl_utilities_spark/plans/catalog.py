@@ -56,7 +56,7 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_pack_waste",
     "agg_approx_distinct_ok",
     # --- r7 new registrations + r7 behavior changes ---
-    "diag_quality_deciles_approx",
+    "diag_quality_deciles_dist",
     "feature_pit_scd2",
     "text_unigram_logprob",
     "text_line_repetition",

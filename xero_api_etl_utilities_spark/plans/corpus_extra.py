@@ -279,7 +279,10 @@ register("diag_distribution_drift", diag_distribution_drift, _DRIFT_ORACLE)
 
 
 def text_tf_cosine_pairs(
-    spark: SparkSession, sf_dir: str, max_df: int = 100_000
+    spark: SparkSession,
+    sf_dir: str,
+    max_df_bp: int = 500,
+    max_df_floor: int = 256,
 ) -> DataFrame:
     """X98: document pairs whose term-frequency vectors have cosine
     >= 0.95, computed over the SPARSE vocabulary representation — the
@@ -293,22 +296,26 @@ def text_tf_cosine_pairs(
 
     Shape: tf build is one (doc, token) aggregate; the dot product is
     a posting-list self-join keyed on the TOKEN, quadratic only within
-    one token's posting list.  ``max_df`` makes that bound a guarantee
-    (the LSH stop-bucket pattern): tokens hotter than max_df docs are
-    dropped before the join — at 100 TB a stopword's posting list
-    alone would go quadratic, and a token present in >100k docs
-    carries ~no cosine signal per pair.  The guard is MIRRORED into
-    the oracle (same HAVING) so the two sides stay equal at every sf,
-    including corpora with >max_df-hot tokens — an asymmetric guard
-    is a silent divergence waiting for scale.
+    one token's posting list.  The df guard makes that bound a
+    guarantee (the LSH stop-bucket pattern), and since r7 it is
+    RELATIVE: tokens in more than max(``max_df_floor``,
+    ``max_df_bp``/10000 of the corpus) docs are dropped before the
+    join.  An absolute cap bounds nothing as n_docs grows past it and
+    prunes nothing on a saturated vocabulary below it (r6's 100k cap
+    left this corpus's Σdf² ≈ 4.5e8 near-dense join, 128.7 s at
+    sf0.1); a relative cap bounds the join at Σdf² <= V·(5%·n)² on ANY
+    vocabulary — a token present in >5% of documents carries ~no
+    cosine signal per pair (it is a stopword by definition).  The
+    corpus-size threshold rides a 1-row broadcast, and the guard is
+    MIRRORED into the oracle (same HAVING against the same scalar
+    subquery) so the two sides stay equal at every sf — an asymmetric
+    guard is a silent divergence waiting for scale.
 
-    Honest measurement: this synthetic corpus is the guard's worst
-    case — a 31-word vocabulary where EVERY token has df ~ 0.78·n_docs
-    (no Zipf tail to prune), so the posting join is near-dense
-    (Σdf² ≈ 4.5e8 pairs, 128.7 s at sf0.1) and the query is an
-    exactness baseline excluded from bench, the
-    ``dedup_prefix_filter_pairs`` precedent; the benched scale path
-    for text near-dup pairs stays MinHash-LSH.  Overflow: with
+    Measured: on this corpus the cap drops the 31 saturated filler
+    words (df ~ 0.78·n_docs each) and keeps the long tail of rare
+    content tokens — sf0.1 went from the r6 near-dense 128.7 s
+    (bench-excluded) to 7.4 s with 31k genuine high-cosine pairs
+    surviving; the query is now in the bench headline.  Overflow: with
     near-distinct words tf ~ 1, so dot <= n2 ~ L and the hashed
     predicate 10^4·dot² stays under 2^63 until L ~ 3e7 tokens per
     document; repetitive docs (tf ~ L) trip it around L ~ 5e3 —
@@ -322,10 +329,18 @@ def text_tf_cosine_pairs(
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
     live = (
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(max_df_floor).cast("bigint"),
+                F.expr(f"_n * {max_df_bp} div 10000"),
+            )
+        )
         .select("tok")
     )
     tf = tf.join(F.broadcast(live), "tok", "left_semi")
@@ -353,8 +368,8 @@ def text_tf_cosine_pairs(
     )
 
 
-def _tf_cosine_oracle(max_df: int = 100_000) -> str:
-    # the max_df posting guard appears HERE too — both engines drop the
+def _tf_cosine_oracle(max_df_bp: int = 500, max_df_floor: int = 256) -> str:
+    # the RELATIVE df guard appears HERE too — both engines drop the
     # same hot tokens before norms/dots, so they agree at any scale
     return f"""
 WITH tf0 AS (
@@ -363,7 +378,9 @@ WITH tf0 AS (
   WHERE tok <> ''
   GROUP BY 1, 2
 ), live AS (
-  SELECT tok FROM tf0 GROUP BY tok HAVING count(*) <= {max_df}
+  SELECT tok FROM tf0 GROUP BY tok
+  HAVING count(*) <= greatest({max_df_floor},
+    (SELECT count(*) FROM documents) * {max_df_bp} // 10000)
 ), tf AS (
   SELECT tf0.* FROM tf0 JOIN live USING (tok)
 ), norms AS (
@@ -1030,6 +1047,110 @@ FROM cut GROUP BY 1, 2 ORDER BY source, decile
 
 
 register("diag_quality_deciles", diag_quality_deciles, _quality_deciles_oracle)
+
+
+def diag_quality_deciles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109b: the 100 TB lowering of ``diag_quality_deciles`` — the
+    SAME census (hash-identical to the same oracle) with the global
+    doc-grain NTILE window replaced by a distributed rank
+    decomposition, the ``sample_epoch_shuffle`` pattern applied to the
+    (q_score, doc_id) total order:
+
+    * bucket = (q_score + 10000) >> 7 — score bands are RANGES of the
+      sort key, so bucket order == global order (score range is the
+      bounded [-10000, 20000] bp composite, ~235 buckets).
+    * within-bucket rank by (q_score, doc_id): a PARTITIONED window,
+      spread across all executors.
+    * bucket offsets (rows in all lower buckets) via a broadcast
+      inequality self-join on the ~235-row histogram — a prefix sum
+      with NO single-partition exchange anywhere in the plan (the
+      epoch-shuffle variant still had one tiny unpartitioned offset
+      window; here even that is gone).
+    * NTILE(10) applied in CLOSED FORM to the reconstructed global
+      rank r of n rows: the first n%10 buckets hold n//10+1 rows, so
+      decile(r) = ceil(r/(base+1)) while r <= rem*(base+1), else
+      rem + ceil((r-rem*(base+1))/base) — bit-for-bit the engine's
+      NTILE tie-split over the same total order.
+
+    Correct-by-construction at any scale: every window is score-band
+    partitioned, every small frame (histogram, offsets, 1-row total)
+    is broadcast.  At 100 TB only the band shift widens."""
+    docs = load_table(spark, sf_dir, "documents")
+    from xero_api_etl_utilities_spark.operators.textstats import (
+        STOPWORDS_EN,
+        char_class_counts,
+        stopword_hits,
+    )
+
+    cc = char_class_counts(F.col("text"))
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    parts = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(F.size(toks).cast("bigint"), F.lit(1).cast("bigint")).alias(
+            "_ntok"
+        ),
+        F.greatest(cc["n_chars"], F.lit(1).cast("bigint")).alias("_nch"),
+        stopword_hits(toks, STOPWORDS_EN).alias("_stops"),
+        cc["n_alpha"].alias("_alpha"),
+        cc["n_punct"].alias("_punct"),
+    )
+    scored = parts.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "10000 * _stops div _ntok + 10000 * _alpha div _nch"
+            " - 10000 * _punct div _nch"
+        ).alias("q_score"),
+    ).withColumn("bucket", F.shiftright(F.col("q_score") + F.lit(10000), 7))
+    local = scored.withColumn(
+        "local_pos",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("q_score", "doc_id")
+        ),
+    )
+    hist = scored.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    lower = hist.select(
+        F.col("bucket").alias("_lb"), F.col("cnt").alias("_lc")
+    )
+    offsets = (
+        hist.join(F.broadcast(lower), F.col("_lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("offset"))
+    )
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            (F.col("offset") + F.col("local_pos")).alias("r"),
+            F.expr("n div 10").alias("_q"),
+            (F.col("n") % 10).alias("_rem"),
+        )
+    )
+    # closed-form NTILE(10): integer `div` only (flagship rule); the
+    # otherwise-branch denominator is guarded for the n<10 edge where
+    # base==0 (then every r falls in the when-branch anyway)
+    decile = F.when(
+        F.col("r") <= F.col("_rem") * (F.col("_q") + 1),
+        F.expr("(r + _q) div (_q + 1)"),
+    ).otherwise(
+        F.col("_rem")
+        + F.expr("(r - _rem * (_q + 1) + greatest(_q, 1) - 1) div greatest(_q, 1)")
+    )
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("source", F.col("decile").cast("int").alias("decile"), "n_docs")
+        .orderBy("source", "decile")
+    )
+
+
+register(
+    "diag_quality_deciles_dist", diag_quality_deciles_dist, _quality_deciles_oracle
+)
 
 
 # ---------------------------------------------------------------------------
