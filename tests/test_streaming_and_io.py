@@ -562,6 +562,13 @@ def test_inline_minhash_bands_match_batch_pipeline(spark):
     assert got == expected
     assert not [k for k in got if k[0] == 4]
 
+    # inconsistent band layout must fail fast with a clear message,
+    # not die later on a nonexistent mh_* column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds num_hashes"):
+        inline_minhash_bands(docs, "text", num_hashes=32)
+
 
 def test_stream_neardup_guard_quarantines_reference_neighbors(spark, tmp_path):
     """End to end through a real availableNow stream: docs sharing an

@@ -441,6 +441,15 @@ def cc_large_star_small_star(
         ).collect()[0]
         return row["n"], row["s"]
 
+    def edges_equal(prev: DataFrame, cur: DataFrame, n: int) -> bool:
+        # EXACT fixpoint test (the checksum probe alone admits a
+        # collision that would silently emit a pre-fixpoint labeling):
+        # both frames are distinct, so set equality iff equal counts
+        # and |prev ∩ cur| == n — one tiny equi-join count per round
+        # that reaches this far.
+        inter = prev.join(cur, ["lo", "hi"], "inner").count()
+        return inter == n
+
     probe = edge_probe(e)
     for _ in range(max_iters):
         # ---- large star ----
@@ -474,9 +483,13 @@ def cc_large_star_small_star(
             )
             .distinct()
         )
+        prev = e
         e = materialize(small, checkpoint_dir)
         cur = edge_probe(e)
-        if cur == probe:
+        # cheap (count, checksum) probe first: a mismatch proves the
+        # edge set changed with no extra job; a match is CONFIRMED by
+        # the exact intersection count before declaring the fixpoint
+        if cur == probe and edges_equal(prev, e, cur[0]):
             break
         probe = cur
     else:

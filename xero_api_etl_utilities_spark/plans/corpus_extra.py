@@ -766,20 +766,21 @@ def sample_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm (<= 10^6) casts back down losslessly.
 
     Shape: ONE map-side-combinable source aggregate (token counts via
-    whitespace split length — the ``text_token_counts`` ws
-    convention), a 1-row totals frame broadcast back, then pure
-    per-row algebra; nothing about the plan changes with corpus size.
-    Downstream, the partial pass IS ``operators/sampling.py``'s
-    hash-predicate sample at partial_ppm — this query plans, that
-    operator executes."""
-    from xero_api_etl_utilities_spark.operators.textstats import (
-        whitespace_token_count,
-    )
-
+    single-space split length — the SAME rule the oracle's
+    string_split(trim(text), ' ') applies and the X115/X117/X118
+    siblings use; NOT ``whitespace_token_count``'s \\s+ split, which
+    silently diverges on consecutive spaces/tabs/newlines — one
+    tokenization rule on both sides at ANY input), a 1-row totals
+    frame broadcast back, then pure per-row algebra; nothing about
+    the plan changes with corpus size.  Downstream, the partial pass
+    IS ``operators/sampling.py``'s hash-predicate sample at
+    partial_ppm — this query plans, that operator executes."""
     docs = load_table(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(whitespace_token_count(F.col("text"))).alias("avail_tokens"),
+        F.sum(
+            F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint")
+        ).alias("avail_tokens"),
     )
     weight = (
         F.regexp_extract(F.col("source"), "(\\d+)", 1).cast("bigint") % 4 + 1
