@@ -295,6 +295,16 @@ HEADLINE = [
     "text_tf_cosine_pairs",
     # r7: distributed exact NTILE census (score-band rank decomposition)
     "diag_quality_deciles_dist",
+    # r7 wave: X119-X126 (plans/cdc_ops.py feature capstone +
+    # plans/corpus_wave7.py census/planning operators)
+    "feature_pit_scd2",
+    "text_unigram_logprob",
+    "text_winnow_fingerprints",
+    "corpus_self_similarity",
+    "split_balance_report",
+    "text_zipf_slope",
+    "embedding_label_centroid_sim",
+    "sample_curriculum_order",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

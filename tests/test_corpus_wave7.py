@@ -1,0 +1,287 @@
+"""Pytest pins for the round-7 wave (X119–X126).
+
+Each test recomputes the operator's answer in plain python (or
+numpy) from the raw parquet — an engine-independent third opinion
+beside the DuckDB oracle the driver runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import duckdb
+
+
+def _rows(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_feature_pit_scd2_rollup_matches_python(spark, sf_dir):
+    # X119: replay SCD2 + PIT + rollup with plain dicts: v2 exists for
+    # keys % 7 == 0; probes as-of 1 (even keys) see v1 always, as-of 2
+    # (odd keys) see v2 iff it exists.
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from xero_api_etl_utilities_spark.plans.cdc_ops import feature_pit_scd2
+
+    raw = _rows(sf_dir, "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders")
+    exp: dict[tuple[str, int], list[int]] = defaultdict(lambda: [0, 0])
+    for k, prio, price in raw:
+        as_of = 1 if k % 2 == 0 else 2
+        at_time = (
+            "0-REPRIORITIZED" if (as_of == 2 and k % 7 == 0) else prio
+        )
+        cents = int(
+            (Decimal(str(price)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+            * 100
+        )
+        cell = exp[(at_time, as_of)]
+        cell[0] += 1
+        cell[1] += cents
+    got = {
+        (r["prio_at_time"], r["as_of_v"]): [r["n_orders"], r["revenue_cents"]]
+        for r in feature_pit_scd2(spark, sf_dir).collect()
+    }
+    assert got == dict(exp)
+
+
+def test_unigram_logprob_census_matches_python(spark, sf_dir):
+    # X120: ilog2 surprisal = (N // cnt).bit_length() - 1, doc score in
+    # integer milli-bits, per-source census.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        text_unigram_logprob,
+    )
+    import re as _re
+
+    raw = _rows(sf_dir, "SELECT doc_id, source, text FROM documents")
+    tfs = {
+        (d, src): Counter(_re.findall(r"[a-z0-9]+", text.lower()))
+        for d, src, text in raw
+    }
+    vocab = Counter()
+    for c in tfs.values():
+        vocab.update(c)
+    N = sum(vocab.values())
+    per_src: dict[str, list[int]] = defaultdict(list)
+    for (d, src), c in tfs.items():
+        if not c:
+            continue
+        num = sum(tf * ((N // vocab[t]).bit_length() - 1) for t, tf in c.items())
+        per_src[src].append(num * 1000 // sum(c.values()))
+    exp = {
+        src: (
+            len(v),
+            sum(v) // len(v),
+            min(v),
+            max(v),
+        )
+        for src, v in per_src.items()
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["mean_mb"], r["min_mb"], r["max_mb"])
+        for r in text_unigram_logprob(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_winnow_fingerprints_match_python(spark, sf_dir):
+    # X121: python winnowing with the packed (hash, pos) key; census
+    # per source must match exactly.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        _WINNOW_K,
+        _WINNOW_W,
+        text_winnow_fingerprints,
+    )
+
+    k, w = _WINNOW_K, _WINNOW_W
+    raw = _rows(sf_dir, "SELECT doc_id, source, text FROM documents")
+    grams: Counter = Counter()
+    fps: dict[str, int] = defaultdict(int)
+    for d, src, text in raw:
+        wds = text.split(" ")
+        keys = [
+            _h32(" ".join(wds[i : i + k])) * 1_048_576 + i + 1
+            for i in range(len(wds) - k + 1)
+        ]
+        grams[src] += len(keys)
+        if not keys:
+            continue
+        last_s = max(len(keys) - w + 1, 1)
+        sel = {min(keys[s : s + w]) for s in range(last_s)}
+        fps[src] += len(sel)
+    exp = {
+        src: (grams[src], fps[src], fps[src] * 10000 // grams[src])
+        for src in grams
+    }
+    got = {
+        r["source"]: (r["n_kgrams"], r["n_fingerprints"], r["density_bp"])
+        for r in text_winnow_fingerprints(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_winnow_density_is_near_two_over_w_plus_one(spark, sf_dir):
+    # the paper's expected density for random hashes is 2/(w+1); this
+    # corpus should land in a loose band around it (sanity, not pin)
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        _WINNOW_W,
+        text_winnow_fingerprints,
+    )
+
+    rows = text_winnow_fingerprints(spark, sf_dir).collect()
+    expected_bp = 2 * 10000 // (_WINNOW_W + 1)
+    for r in rows:
+        assert 0 < r["density_bp"] <= 10000
+        assert abs(r["density_bp"] - expected_bp) < 2500
+
+
+def test_self_similarity_invariants_and_symmetric_coverage(spark, sf_dir):
+    # X122: bucket-set Jaccard invariants — shared <= min(a, b), bp in
+    # range, pairs unique and ordered; per-source bucket counts match
+    # an independent DuckDB-free lower bound (>= 1 per non-empty src).
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        corpus_self_similarity,
+    )
+
+    rows = corpus_self_similarity(spark, sf_dir).collect()
+    assert rows, "sources sharing filler vocabulary must collide somewhere"
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
+        denom = r["n_a"] + r["n_b"] - r["n_shared"]
+        assert r["jaccard_bp"] == r["n_shared"] * 10000 // denom
+
+
+def test_split_balance_report_matches_python(spark, sf_dir):
+    # X123: replay the md5 split + shares in python.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        split_balance_report,
+    )
+
+    raw = _rows(sf_dir, "SELECT doc_id, lang FROM documents")
+    cell: Counter = Counter()
+    for d, lang in raw:
+        sb = _h32(f"split|{d}") % 100
+        split = "train" if sb < 80 else ("val" if sb < 90 else "test")
+        cell[(split, lang)] += 1
+    st: Counter = Counter()
+    lt: Counter = Counter()
+    for (s, l), n in cell.items():
+        st[s] += n
+        lt[l] += n
+    ct = sum(cell.values())
+    exp = {}
+    for (s, l), n in cell.items():
+        ssb = n * 10000 // st[s]
+        csb = lt[l] * 10000 // ct
+        exp[(s, l)] = (n, ssb, csb, abs(ssb - csb))
+    got = {
+        (r["split"], r["lang"]): (
+            r["n_docs"],
+            r["split_share_bp"],
+            r["corpus_share_bp"],
+            r["dev_bp"],
+        )
+        for r in split_balance_report(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_zipf_slope_matches_python_and_is_negative(spark, sf_dir):
+    # X124: exact integer OLS recompute; slope must be negative
+    # (frequency falls with rank) and den positive.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import text_zipf_slope
+    import re as _re
+
+    raw = _rows(sf_dir, "SELECT text FROM documents")
+    vocab: Counter = Counter()
+    for (text,) in raw:
+        vocab.update(_re.findall(r"[a-z0-9]+", text.lower()))
+    ordered = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [(i + 1).bit_length() - 1 for i in range(len(ordered))]
+    ys = [c.bit_length() - 1 for _, c in ordered]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    row = text_zipf_slope(spark, sf_dir).collect()[0]
+    assert (row["n_terms"], row["slope_num"], row["slope_den"]) == (
+        n,
+        n * sxy - sx * sy,
+        n * sxx - sx * sx,
+    )
+    assert row["slope_num"] < 0 < row["slope_den"]
+
+
+def test_centroid_sim_matches_numpy_with_margin(spark, sf_dir):
+    # X125: numpy recompute of centroid cosines; the emitted pair set
+    # must match the threshold cut AND every cosine must sit at least
+    # 1e-4 away from the threshold (the engine-stability precondition).
+    import numpy as np
+
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        _CENTROID_COS_T,
+        embedding_label_centroid_sim,
+    )
+
+    raw = _rows(sf_dir, "SELECT label, embedding FROM embeddings")
+    by_label: dict[int, list] = defaultdict(list)
+    for label, emb in raw:
+        by_label[label].append(np.array(emb, dtype=np.float64))
+    cents = {l: np.mean(np.stack(v), axis=0) for l, v in by_label.items()}
+    labels = sorted(cents)
+    exp = set()
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1 :]:
+            ca, cb = cents[la], cents[lb]
+            cos = float(
+                ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb))
+            )
+            assert abs(cos - _CENTROID_COS_T) > 1e-4, (la, lb, cos)
+            if cos >= _CENTROID_COS_T:
+                exp.add((la, lb))
+    got = {
+        (r["label_a"], r["label_b"])
+        for r in embedding_label_centroid_sim(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_curriculum_phases_partition_corpus(spark, sf_dir):
+    # X126: phases must partition the docs; cumulative tokens per
+    # source must be monotone and end at the source's token total.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        sample_curriculum_order,
+    )
+
+    raw = _rows(
+        sf_dir,
+        "SELECT source, count(*), sum(len(string_split(trim(text), ' ')))"
+        " FROM documents GROUP BY source",
+    )
+    totals = {src: (n, int(tok)) for src, n, tok in raw}
+    rows = sample_curriculum_order(spark, sf_dir).collect()
+    per_src: dict[str, list] = defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append(r)
+    assert set(per_src) == set(totals)
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: r["phase"])
+        assert sum(r["n_docs"] for r in rs) == totals[src][0]
+        assert rs[-1]["cum_tokens"] == totals[src][1]
+        cums = [r["cum_tokens"] for r in rs]
+        assert cums == sorted(cums)

@@ -509,6 +509,46 @@ CHECKS = {
         ("only the 1-row total merges to a single partition", lambda p: p.count("SinglePartition") <= 1),
         ("histogram/offset/total frames broadcast, no cartesian", lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p),
     ],
+    # r7: X119 — PIT fetch is an entity-keyed equi-join; the SCD2 window
+    # is key-partitioned; never a range/nested-loop join
+    "feature_pit_scd2": [
+        ("PIT fetch equi-joins on the entity key", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    # r7: X120 — the vocab join must stay a shuffled equi-join (vocab is
+    # NOT blind-broadcast at 100 TB); 1-row total rides broadcast
+    "text_unigram_logprob": [
+        ("token-keyed equi-join, no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    # r7: X121 — the sliding window is doc-partitioned, never global
+    "text_winnow_fingerprints": [
+        ("winnow window doc-partitioned, no single-partition exchange", lambda p: "Exchange SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    # r7: X122 — pair join keys on (band, bh) with source-bounded
+    # fan-out; per-source totals broadcast
+    "corpus_self_similarity": [
+        ("bucket-keyed pair join, no all-pairs", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("per-source totals broadcast", lambda p: "BroadcastHashJoin" in p),
+    ],
+    # r7: X123 — dimension totals broadcast onto the cell frame
+    "split_balance_report": [
+        ("totals broadcast, no cartesian", lambda p: "CartesianProduct" not in p and "BroadcastHashJoin" in p),
+    ],
+    # r7: X124 — vocab rank band-decomposed like X109b; only the 1-row
+    # OLS-sums merge is single-partition
+    "text_zipf_slope": [
+        ("rank window is band-partitioned", lambda p: "hashpartitioning(bucket" in p),
+        ("only the 1-row sums merge to a single partition", lambda p: p.count("SinglePartition") <= 1),
+    ],
+    # r7: X125 — one fact-sized aggregate; all pair/norm joins are over
+    # the labels x dims frame and broadcast
+    "embedding_label_centroid_sim": [
+        ("centroid pair joins broadcast, no cartesian", lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p),
+    ],
+    # r7: X126 — cumulative window partitioned by source, never global
+    "sample_curriculum_order": [
+        ("cumulative schedule source-partitioned", lambda p: "Exchange SinglePartition" not in p),
+    ],
 }
 
 

@@ -59,16 +59,17 @@ _WINDOW_PRIORITY: list[str] = [
     "diag_quality_deciles_dist",
     "feature_pit_scd2",
     "text_unigram_logprob",
-    "text_line_repetition",
-    "sample_temperature_mix",
-    "embedding_source_centroid_sim",
-    "text_zipf_slope",
-    "text_pii_census",
     "text_winnow_fingerprints",
-    "split_balance_report",
     "corpus_self_similarity",
+    "split_balance_report",
+    "text_zipf_slope",
+    "embedding_label_centroid_sim",
     "sample_curriculum_order",
     "text_tf_cosine_pairs",
+    # (late-r7 planned names — ignored until registered)
+    "stream_semantic_guard_parity",
+    "pipeline_curation_report",
+    "join_interval_overlap",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",
@@ -270,6 +271,7 @@ def _load_extra_modules() -> None:
         graph_ops,
         mining_ops,
         corpus_extra,
+        corpus_wave7,
     )
 
 

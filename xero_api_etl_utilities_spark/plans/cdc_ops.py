@@ -482,6 +482,108 @@ ORDER BY p.o_orderkey, p.as_of_v
 )
 
 
+def feature_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119: the feature-store CAPSTONE — SCD2 history build composed
+    with a point-in-time feature fetch and a training-feature rollup,
+    oracled END TO END (VERDICT r6 next-round item 6: integration
+    layers are where stage oracles can't see).
+
+    The pipeline a leakage-free training set needs:
+
+    1. *History*: the ACTUAL ``merge_scd2_history`` catalog plan
+       (validity intervals valid_from_v/valid_to_v, NULL = current) —
+       called, not re-derived, so this query breaks if the SCD2 build
+       drifts.
+    2. *PIT fetch*: each training probe (order, as-of version, label
+       value in integer cents) joins the attribute version whose
+       validity interval CONTAINS its as-of — the interval-containment
+       lowering, complementary to ``join_point_in_time``'s
+       union-sort-window asof: equi-join on the entity key plus an
+       interval predicate, fan-out bounded by versions-per-key (<= 2
+       here; intervals partition the version axis, so exactly one
+       survives).  Training rows can never see a later rewrite.
+    3. *Feature rollup*: per (prio_at_time, as_of_v) example counts
+       and label mass — the grouped census a feature card publishes.
+
+    Money rides the flagship integer-cents rule (DOUBLE ->
+    decimal(12,2) -> x100 -> BIGINT; Spark HALF_UP == DuckDB
+    half-away-from-zero), so the hash is digit-exact.  Scale: one
+    orders scan per side of the history union, one key-partitioned
+    window (the SCD2 build), one equi-join shuffle on the entity key,
+    one grouped aggregate — no windows over the probe grain, nothing
+    driver-side."""
+    history = merge_scd2_history(spark, sf_dir)
+    od = load_table(spark, sf_dir, "orders")
+    probes = od.select(
+        "o_orderkey",
+        (F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(2)).alias(
+            "as_of_v"
+        ),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    fetched = probes.join(history, "o_orderkey").filter(
+        (F.col("valid_from_v") <= F.col("as_of_v"))
+        & (
+            F.col("valid_to_v").isNull()
+            | (F.col("valid_to_v") >= F.col("as_of_v"))
+        )
+    )
+    return (
+        fetched.groupBy(
+            F.col("prio").alias("prio_at_time"), F.col("as_of_v")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .select(
+            "prio_at_time",
+            F.col("as_of_v").cast("int").alias("as_of_v"),
+            "n_orders",
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("prio_at_time", "as_of_v")
+    )
+
+
+register(
+    "feature_pit_scd2",
+    feature_pit_scd2,
+    """
+WITH changes AS (
+  SELECT o_orderkey, o_orderpriority AS prio, 1 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, '0-REPRIORITIZED', 2 FROM orders WHERE o_orderkey % 7 = 0
+), history AS (
+  SELECT o_orderkey, prio,
+    version AS valid_from_v,
+    LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) - 1
+      AS valid_to_v
+  FROM changes
+), probes AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS as_of_v,
+    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), fetched AS (
+  SELECT h.prio AS prio_at_time, p.as_of_v, p.cents
+  FROM probes p
+  JOIN history h ON p.o_orderkey = h.o_orderkey
+   AND h.valid_from_v <= p.as_of_v
+   AND (h.valid_to_v IS NULL OR h.valid_to_v >= p.as_of_v)
+)
+SELECT prio_at_time, CAST(as_of_v AS INT) AS as_of_v,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM fetched
+GROUP BY 1, 2
+ORDER BY prio_at_time, as_of_v
+""",
+)
+
+
 def diag_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X74 (r5 seed): value-level data-contract validation — the
     companion to the FK audit: each rule (enum domain, positivity,

@@ -1,0 +1,756 @@
+"""Round-7 corpus-curation wave (SURVEY §2.12 X119–X126).
+
+No reference counterpart (``src/queries.ts`` is a bookkeeping ETL);
+these extend the LLM-training-pipeline families with the census and
+planning operators a curation run publishes alongside the dedup /
+similarity / drift reports already in the catalog:
+
+* X119 ``feature_pit_scd2`` (plans/cdc_ops.py) — the feature-store
+  capstone: SCD2 history build composed with a point-in-time fetch
+  and a training-feature rollup, oracled end to end.
+* X120 ``text_unigram_logprob`` — unigram-LM surprisal scoring, the
+  perplexity-proxy quality filter, in EXACT integer bit arithmetic
+  (ilog2 via binary-string length — no float log on either engine).
+* X121 ``text_winnow_fingerprints`` — Schleimer/Wilkerson/Aiken
+  winnowing (MOSS) fingerprint census: per-window minimum of k-gram
+  hashes with a total (hash, pos) tie order.
+* X122 ``corpus_self_similarity`` — source x source corpus overlap
+  estimated from shared MinHash-LSH buckets (bucket-set Jaccard in
+  bp) — the "which sources duplicate each other" heatmap.
+* X123 ``split_balance_report`` — per-(split, lang) census of the
+  hash split with deviation from the corpus language mix in bp — the
+  stratification check every datasheet publishes.
+* X124 ``text_zipf_slope`` — integer OLS fit of ilog2(freq) on
+  ilog2(rank) over the token frequency table; the slope ~ -1 Zipf
+  diagnostic, with the global frequency rank computed by the same
+  band-decomposed (no single-partition window) rank as X109b.
+* X125 ``embedding_label_centroid_sim`` — label-centroid pairwise
+  cosine: which class centroids are entangled (cos >= 0.12).  IDs
+  only in the output — the threshold sits >= 3.6e-3 from every pair
+  at every sf, far beyond cross-engine float-summation noise (the
+  dedup_embedding_cosine stability argument).
+* X126 ``sample_curriculum_order`` — curriculum phase plan: fixed
+  quality-score bands (easy -> hard), per (source, phase) doc/token
+  counts with cumulative token schedule per source.
+
+Every hashed output value is an integer; every oracle replays the
+same algorithm in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.crosshash import h32, h32_sql
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+# ---------------------------------------------------------------------------
+# X120: unigram-LM surprisal scoring (integer bit arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: the perplexity-proxy quality filter — score every
+    document by its mean unigram surprisal under the corpus's own
+    unigram LM, then publish the per-source score census.  Documents
+    whose tokens are uniformly corpus-frequent (boilerplate) score
+    low; rare-token-heavy documents (gibberish, foreign-language
+    leaks) score high — the cheap stand-in for a KenLM perplexity
+    gate in CCNet-style curation.
+
+    Float-free: surprisal of token t is ilog2(N / c_t) BITS, where
+    ilog2(x) = length(bin(x)) - 1 — the binary-string lowering both
+    engines compute digit-exactly (no log(), no cross-engine ulp
+    drift ever).  Doc score = sum(tf_t * bits_t) * 1000 div len_doc
+    (milli-bits per token).
+
+    Shape: one (doc, token) aggregate, one vocabulary aggregate, one
+    token-keyed equi-join (vocab-sized build side — shuffled, NOT
+    blind-broadcast: a 100 TB corpus's vocabulary is 10^8+), one
+    doc-grain aggregate, one source-grain census.  All
+    map-side-combinable; no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_N"))
+    bits = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            (F.length(F.bin(F.expr("_N div cnt"))) - 1)
+            .cast("bigint")
+            .alias("bits"),
+        )
+    )
+    doc_scores = (
+        tf.join(bits, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("sum(tf * bits) * 1000 div sum(tf)").alias("score_mb")
+        )
+    )
+    return (
+        doc_scores.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(score_mb) div count(1)").alias("mean_mb"),
+            F.min("score_mb").alias("min_mb"),
+            F.max("score_mb").alias("max_mb"),
+        )
+        .orderBy("source")
+    )
+
+
+_UNIGRAM_LOGPROB_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, source, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, source,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2, 3
+), vocab AS (
+  SELECT tok, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1
+), bits AS (
+  SELECT tok,
+    (length(bin((SELECT sum(cnt) FROM vocab) // cnt)) - 1)::BIGINT AS bits
+  FROM vocab
+), doc_scores AS (
+  SELECT doc_id, source,
+    sum(tf * bits) * 1000 // sum(tf) AS score_mb
+  FROM tf JOIN bits USING (tok)
+  GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  (sum(score_mb) // count(*))::BIGINT AS mean_mb,
+  min(score_mb)::BIGINT AS min_mb,
+  max(score_mb)::BIGINT AS max_mb
+FROM doc_scores GROUP BY source ORDER BY source
+"""
+
+register("text_unigram_logprob", text_unigram_logprob, _UNIGRAM_LOGPROB_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X121: winnowing fingerprint census (Schleimer et al., MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # word k-gram size
+_WINNOW_W = 4  # winnowing window (w consecutive k-gram hashes)
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121: winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003) —
+    the fingerprint-selection scheme MOSS uses: hash every word
+    k-gram, slide a window of w consecutive hashes, record each
+    window's minimum; the selected set is a ~2/(w+1)-density sample
+    with the guarantee that any shared run of w+k-1 words yields a
+    shared fingerprint.  The census per source: k-gram mass,
+    fingerprints selected, selection density in bp — the storage-
+    planning number for a fingerprint-based plagiarism/overlap index.
+
+    Determinism: ties are broken by POSITION via one packed integer
+    key = hash * 2^20 + pos (pos < 2^20 at this corpus's doc lengths;
+    widen the shift for book-length docs) — every window then has a
+    UNIQUE minimum, so "leftmost minimal hash" is the selected
+    occurrence and both engines agree bit-for-bit.  Docs with fewer
+    than w windows degenerate to one whole-doc window (s = 1), the
+    paper's short-document convention.
+
+    Shape: k-gram hashes in-row (transform over a sequence — the
+    boilerplate-shingles pattern), one DOC-PARTITIONED sliding-frame
+    window min (rows between current and w-1 following; fully
+    parallel), one distinct, one census aggregate.  No
+    single-partition windows, no joins on the k-gram grain."""
+    k, w = _WINNOW_K, _WINNOW_W
+    docs = load_table(spark, sf_dir, "documents")
+    wdocs = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
+    )
+    words = F.col("_w")
+
+    def shingle(i):
+        return F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)])
+
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kg = wdocs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(idx, lambda i: shingle(i.cast("int")))
+        ).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).alias("pos"),
+        (h32(F.col("s")) * F.lit(1_048_576) + F.col("pos0") + 1).alias("key"),
+    )
+    dw = Window.partitionBy("doc_id")
+    sel = kg.select(
+        "doc_id",
+        "source",
+        "pos",
+        F.min("key")
+        .over(dw.orderBy("pos").rowsBetween(0, w - 1))
+        .alias("winmin"),
+        F.count(F.lit(1)).over(dw).alias("_L"),
+    ).filter(F.col("pos") <= F.greatest(F.col("_L") - w + 1, F.lit(1)))
+    fps = sel.select("doc_id", "source", "winmin").distinct()
+    grams = kg.groupBy("source").agg(F.count(F.lit(1)).alias("n_kgrams"))
+    return (
+        fps.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .join(grams, "source")
+        .select(
+            "source",
+            "n_kgrams",
+            "n_fingerprints",
+            F.expr("n_fingerprints * 10000 div n_kgrams").alias("density_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _winnow_oracle() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    sh = " || ' ' || ".join(f"wds[i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS wds FROM documents
+), kg AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+    CAST({h32_sql(sh)} AS BIGINT) * 1048576 + i AS key
+  FROM toks, unnest(range(1, greatest(len(wds) - {k - 1}, 0) + 1)) AS t(i)
+), sel AS (
+  SELECT doc_id, source, pos,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS winmin,
+    count(*) OVER (PARTITION BY doc_id) AS L
+  FROM kg
+), fps AS (
+  SELECT DISTINCT doc_id, source, winmin
+  FROM sel WHERE pos <= greatest(L - {w - 1}, 1)
+), grams AS (
+  SELECT source, count(*)::BIGINT AS n_kgrams FROM kg GROUP BY source
+)
+SELECT f.source, g.n_kgrams, count(*)::BIGINT AS n_fingerprints,
+  (count(*) * 10000 // g.n_kgrams)::BIGINT AS density_bp
+FROM fps f JOIN grams g ON f.source = g.source
+GROUP BY f.source, g.n_kgrams
+ORDER BY f.source
+"""
+
+
+register("text_winnow_fingerprints", text_winnow_fingerprints, _winnow_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X122: source x source corpus self-similarity via shared LSH buckets
+# ---------------------------------------------------------------------------
+
+
+def corpus_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122: which sources duplicate each other — the source-grain
+    roll-up of the MinHash-LSH machinery: each source's OCCUPIED
+    bucket set {(band, band_hash)} is its sketch; the pairwise
+    bucket-set Jaccard (bp) estimates cross-source content overlap.
+    The census a mixture designer reads before weighting two scrapes
+    that are secretly the same crawl.
+
+    Scale shape: the doc-grain work is the ONE standard signature
+    pipeline (explode + groupBy); everything after the distinct
+    (source, band, bh) projection is source-cardinality-sized.  The
+    pair join keys on (band, bh) with fan-out bounded by the number
+    of SOURCES sharing a bucket (<= n_sources, ~20 here), never by
+    bucket membership — no stop-bucket cap needed, no doc-pair
+    explosion anywhere.  Signature params match dedup_minhash_lsh
+    (64 hashes, 16x4 banding, unigram shingles) so the sketch is the
+    one already computed in a real run."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+
+    bands, rows_per_band = 16, 4
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            h32(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    melted = sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("e")
+    ).select("doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    src = docs.select(F.col("doc_id").alias("doc"), "source")
+    occ = (
+        melted.join(src, "doc")
+        .select("source", "band", "bh")
+        .distinct()
+    )
+    per_src = occ.groupBy("source").agg(F.count(F.lit(1)).alias("n_buckets"))
+    a = occ.select(F.col("source").alias("src_a"), "band", "bh")
+    b = occ.select(F.col("source").alias("src_b"), "band", "bh")
+    shared = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_src.select(F.col("source").alias("src_a"), F.col("n_buckets").alias("n_a"))
+    nb = per_src.select(F.col("source").alias("src_b"), F.col("n_buckets").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("n_shared * 10000 div (n_a + n_b - n_shared)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _self_similarity_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans.sketch_oracles import (
+        minhash_cand_ctes,
+    )
+
+    return (
+        "WITH "
+        + minhash_cand_ctes(64, 42, 16, 4, 500, "documents")
+        + """, occ AS (
+  SELECT DISTINCT d.source, bd.band, bd.bh
+  FROM banded bd JOIN documents d ON bd.doc = d.doc_id
+), per_src AS (
+  SELECT source, count(*)::BIGINT AS n_buckets FROM occ GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+  FROM occ a JOIN occ b
+    ON a.band = b.band AND a.bh = b.bh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared, na.n_buckets AS n_a, nb.n_buckets AS n_b,
+  (n_shared * 10000 // (na.n_buckets + nb.n_buckets - n_shared))::BIGINT
+    AS jaccard_bp
+FROM shared
+JOIN per_src na ON src_a = na.source
+JOIN per_src nb ON src_b = nb.source
+ORDER BY src_a, src_b
+"""
+    )
+
+
+register("corpus_self_similarity", corpus_self_similarity, _self_similarity_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X123: split balance report
+# ---------------------------------------------------------------------------
+
+
+def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123: stratification audit of the deterministic hash split —
+    for every (split, lang): document count, the language's share of
+    that split (bp), its share of the whole corpus (bp), and the
+    absolute deviation — the datasheet table proving train/val/test
+    are language-balanced (a hash split is only balanced in
+    EXPECTATION; this is the measurement).  Composes the SAME
+    ``assign_split`` hash predicate as ``sample_split_assign`` and
+    the leakage-safe splitter, so the audit covers the split actually
+    shipped.
+
+    Shape: one corpus scan -> (split, lang) aggregate; split totals,
+    lang totals and the 1-row corpus total are dimension-sized
+    broadcasts.  Integer bp throughout."""
+    from xero_api_etl_utilities_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = sampling.assign_split(docs, "doc_id").select("split", "lang")
+    cell = assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    split_tot = cell.groupBy("split").agg(F.sum("n_docs").alias("_st"))
+    lang_tot = cell.groupBy("lang").agg(F.sum("n_docs").alias("_lt"))
+    corpus_tot = cell.agg(F.sum("n_docs").alias("_ct"))
+    return (
+        cell.join(F.broadcast(split_tot), "split")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.expr("n_docs * 10000 div _st").alias("split_share_bp"),
+            F.expr("_lt * 10000 div _ct").alias("corpus_share_bp"),
+            F.expr(
+                "abs(n_docs * 10000 div _st - _lt * 10000 div _ct)"
+            ).alias("dev_bp"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_BALANCE_ORACLE = """
+WITH assigned AS (
+  SELECT lang,
+    CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END
+      AS split
+  FROM (SELECT lang,
+    CAST(CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+      AS UBIGINT) AS BIGINT) % 100 AS sb FROM documents)
+), cell AS (
+  SELECT split, lang, count(*)::BIGINT AS n_docs
+  FROM assigned GROUP BY 1, 2
+), st AS (SELECT split, sum(n_docs)::BIGINT AS st FROM cell GROUP BY 1),
+lt AS (SELECT lang, sum(n_docs)::BIGINT AS lt FROM cell GROUP BY 1),
+ct AS (SELECT sum(n_docs)::BIGINT AS ct FROM cell)
+SELECT c.split, c.lang, c.n_docs,
+  (c.n_docs * 10000 // st.st)::BIGINT AS split_share_bp,
+  (lt.lt * 10000 // ct.ct)::BIGINT AS corpus_share_bp,
+  abs(c.n_docs * 10000 // st.st - lt.lt * 10000 // ct.ct)::BIGINT AS dev_bp
+FROM cell c
+JOIN st ON c.split = st.split
+JOIN lt ON c.lang = lt.lang
+CROSS JOIN ct
+ORDER BY c.split, c.lang
+"""
+
+register("split_balance_report", split_balance_report, _SPLIT_BALANCE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X124: Zipf slope via integer OLS on ilog2 scales
+# ---------------------------------------------------------------------------
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124: the Zipf diagnostic — OLS fit of y = ilog2(freq) on
+    x = ilog2(rank) over the whole token frequency table; a healthy
+    natural-language corpus fits slope ~ -1, while machine-generated
+    or template text bends the curve (this synthetic corpus's 31
+    saturated filler words + rare-token tail is exactly such a bend —
+    the diagnostic working as intended).
+
+    Exactness: both logs are the integer ilog2 (binary-string length
+    - 1 — digit-exact on both engines, like X120), so all five OLS
+    sums (n, Σx, Σy, Σxy, Σx²) are exact BIGINTs and the slope is
+    published as an exact RATIONAL (slope_num, slope_den) with
+    slope = slope_num/slope_den — no integer-division-of-negatives
+    semantics to match across engines, no float anywhere.
+
+    Scale: the frequency RANK (order by count desc, token asc) is the
+    one global total order — computed with the X109b band
+    decomposition (bucket = ilog2(cnt), within-bucket partitioned
+    row_number, broadcast prefix offsets from an inequality self-join
+    on the <= 64-row bucket histogram), so no single-partition window
+    touches the vocabulary grain; the oracle uses the plain global
+    row_number, proving the decomposition reconstructs the order."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket", (F.length(F.bin(F.col("cnt"))) - 1).cast("int"))
+    )
+    local = vocab.withColumn(
+        "local_pos",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("tok"))
+        ),
+    )
+    hist = vocab.groupBy("bucket").agg(F.count(F.lit(1)).alias("bcnt"))
+    higher = hist.select(F.col("bucket").alias("_hb"), F.col("bcnt").alias("_hc"))
+    offsets = (
+        hist.join(F.broadcast(higher), F.col("_hb") > F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("_hc"), F.lit(0)).alias("offset"))
+    )
+    ranked = local.join(F.broadcast(offsets), "bucket").select(
+        (F.length(F.bin(F.col("offset") + F.col("local_pos"))) - 1)
+        .cast("bigint")
+        .alias("x"),
+        (F.length(F.bin(F.col("cnt"))) - 1).cast("bigint").alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "n_terms",
+        (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+    )
+
+
+_ZIPF_SLOPE_ORACLE = """
+WITH vocab AS (
+  SELECT tok, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT (length(bin(row_number() OVER (ORDER BY cnt DESC, tok ASC))) - 1)
+           ::BIGINT AS x,
+         (length(bin(cnt)) - 1)::BIGINT AS y
+  FROM vocab
+), sums AS (
+  SELECT count(*)::BIGINT AS n_terms, sum(x)::BIGINT AS sx,
+    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+    sum(x * x)::BIGINT AS sxx
+  FROM ranked
+)
+SELECT n_terms,
+  (n_terms * sxy - sx * sy)::BIGINT AS slope_num,
+  (n_terms * sxx - sx * sx)::BIGINT AS slope_den
+FROM sums
+"""
+
+register("text_zipf_slope", text_zipf_slope, _ZIPF_SLOPE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X125: label-centroid pairwise cosine (class entanglement)
+# ---------------------------------------------------------------------------
+
+_CENTROID_COS_T = 0.12  # margin >= 3.6e-3 from every pair at sf0.001/0.01/0.1
+
+
+def embedding_label_centroid_sim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X125: which label centroids are entangled — pairwise cosine
+    between per-label embedding centroids, emitting the pairs with
+    cos >= 0.12: the class-confusion early warning a labeling run
+    checks before training (entangled centroids predict the
+    confusion-matrix hot spots X116's kNN purity measures at the
+    instance grain).
+
+    Engine stability: centroids are float means, so raw cosines
+    differ across engines in the last ulp — the output is therefore
+    IDS ONLY with a threshold sitting >= 3.6e-3 away from every
+    pair's cosine at every sf (measured; the dedup_embedding_cosine
+    argument).  The predicate is applied as dot > 0 AND
+    dot² >= t²·n2a·n2b — no sqrt.
+
+    Shape: ONE fact-sized aggregate (posexplode -> (label, dim) mean
+    — map-side-combinable); everything after is labels x dims (~640
+    rows): broadcast self-join on dim, pair aggregate, norm join.
+    At 100 TB the fact aggregate is still the only big stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("cv"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("cv").alias("va")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("cv").alias("vb")
+    )
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    norms = cent.groupBy("label").agg(F.sum(F.col("cv") * F.col("cv")).alias("n2"))
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    t2 = _CENTROID_COS_T * _CENTROID_COS_T
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("dot") * F.col("dot") >= F.lit(t2) * F.col("n2a") * F.col("n2b"))
+        )
+        .select(
+            F.col("label_a").cast("int").alias("label_a"),
+            F.col("label_b").cast("int").alias("label_b"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def _centroid_sim_oracle() -> str:
+    t2 = _CENTROID_COS_T * _CENTROID_COS_T
+    return f"""
+WITH cent AS (
+  SELECT label, CAST(t.d AS INT) AS dim, avg(embedding[t.d]) AS cv
+  FROM embeddings, unnest(range(1, 65)) AS t(d)
+  GROUP BY 1, 2
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.cv * b.cv) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+), norms AS (
+  SELECT label, sum(cv * cv) AS n2 FROM cent GROUP BY 1
+)
+SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b
+FROM dots
+JOIN norms na ON label_a = na.label
+JOIN norms nb ON label_b = nb.label
+WHERE dot > 0 AND dot * dot >= {t2!r} * na.n2 * nb.n2
+ORDER BY label_a, label_b
+"""
+
+
+register(
+    "embedding_label_centroid_sim",
+    embedding_label_centroid_sim,
+    _centroid_sim_oracle,
+)
+
+
+# ---------------------------------------------------------------------------
+# X126: curriculum phase plan
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_CUTS = (8900, 8600)  # phase 1: >= 8900; phase 2: >= 8600; else 3
+
+
+def sample_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126: curriculum training plan — fixed quality-score bands
+    (the X109 integer composite, ABSOLUTE thresholds rather than
+    X109's relative deciles: a curriculum must mean the same thing
+    run over run even as the corpus mix shifts) assign every document
+    a phase (1 = cleanest first, 3 = noisiest last); the plan is the
+    per (source, phase) doc/token census with the cumulative token
+    schedule per source — what the dataloader consumes as its phase
+    boundaries.
+
+    Shape: one scan projection for the score, one (source, phase)
+    aggregate, one 3-rows-per-source cumulative window (partitioned
+    by source — never global).  Integer throughout."""
+    t1, t2 = _CURRICULUM_CUTS
+    docs = load_table(spark, sf_dir, "documents")
+    from xero_api_etl_utilities_spark.operators.textstats import (
+        STOPWORDS_EN,
+        char_class_counts,
+        stopword_hits,
+    )
+
+    cc = char_class_counts(F.col("text"))
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    parts = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("_ntok_ws"),
+        F.greatest(F.size(toks).cast("bigint"), F.lit(1).cast("bigint")).alias("_ntok"),
+        F.greatest(cc["n_chars"], F.lit(1).cast("bigint")).alias("_nch"),
+        stopword_hits(toks, STOPWORDS_EN).alias("_stops"),
+        cc["n_alpha"].alias("_alpha"),
+        cc["n_punct"].alias("_punct"),
+    )
+    scored = parts.select(
+        "source",
+        "_ntok_ws",
+        F.expr(
+            "10000 * _stops div _ntok + 10000 * _alpha div _nch"
+            " - 10000 * _punct div _nch"
+        ).alias("q"),
+    ).withColumn(
+        "phase",
+        F.when(F.col("q") >= t1, 1).when(F.col("q") >= t2, 2).otherwise(3),
+    )
+    cell = scored.groupBy("source", "phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok_ws").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("source")
+        .orderBy("phase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.withColumn("cum_tokens", cum)
+        .select(
+            "source",
+            F.col("phase").cast("int").alias("phase"),
+            "n_docs",
+            "n_tokens",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+        .orderBy("source", "phase")
+    )
+
+
+def _curriculum_oracle() -> str:
+    from xero_api_etl_utilities_spark.operators.textstats import STOPWORDS_EN
+
+    t1, t2 = _CURRICULUM_CUTS
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH scored AS (
+  SELECT source, len(string_split(trim(text), ' '))::BIGINT AS ntok_ws,
+    CAST(10000 * len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+           t -> list_contains([{stoplist}], t)))
+      // greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+      AS BIGINT)
+    + CAST(10000 * (length(text)
+           - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+      // greatest(length(text), 1) AS BIGINT)
+    - CAST(10000 * (length(text)
+           - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+      // greatest(length(text), 1) AS BIGINT) AS q
+  FROM documents
+), phased AS (
+  SELECT source, ntok_ws,
+    CASE WHEN q >= {t1} THEN 1 WHEN q >= {t2} THEN 2 ELSE 3 END AS phase
+  FROM scored
+), cell AS (
+  SELECT source, phase, count(*)::BIGINT AS n_docs,
+    sum(ntok_ws)::BIGINT AS n_tokens
+  FROM phased GROUP BY 1, 2
+)
+SELECT source, CAST(phase AS INT) AS phase, n_docs, n_tokens,
+  sum(n_tokens) OVER (PARTITION BY source ORDER BY phase
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+FROM cell
+ORDER BY source, phase
+"""
+
+
+register("sample_curriculum_order", sample_curriculum_order, _curriculum_oracle)
