@@ -480,3 +480,45 @@ def test_ivf_cell_balance_matches_numpy_assignment(spark, sf_dir):
     }
     assert got == want
     assert set(got) == set(range(k_cells))
+
+
+def test_lsh_stop_bucket_guard_bounds_degenerate_skew(spark):
+    """Adversarial skew (VERDICT r6 stretch 8): 10^4 IDENTICAL docs —
+    the worst single-bucket hot spot LSH can see (every band collapses
+    to one bucket of 10^4 members, a naive pair expansion is ~5*10^7
+    pairs per band).  The max_bucket stop-bucket cap must drop the hot
+    buckets so candidate output stays EXACTLY the genuine near-dup
+    pairs hiding beside the degenerate mass, and the verify consumer
+    must stay green on the same fixture."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+
+    boiler = "the same boilerplate sentence repeated in every scraped page"
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fam_b = "one two three four five six seven eight nine ten"
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [
+        (20_000, fam_a),
+        (20_001, fam_a + " lambda"),
+        (20_002, fam_b),
+        (20_003, fam_b + " eleven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    cands = dd.minhash_lsh_candidates(
+        sigs, bands=16, rows_per_band=4, max_bucket=500
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in cands}
+    # the 10^4-doc bucket is dropped wholesale; ONLY the two small
+    # families pair up — bounded output under maximal skew
+    assert got == {(20_000, 20_001), (20_002, 20_003)}
+
+    verified = dd.jaccard_verify(
+        dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500),
+        docs,
+        "doc_id",
+        "text",
+        n=1,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in verified} == got
+    for r in verified:
+        assert 10 * r["inter_size"] >= 7 * r["union_size"]

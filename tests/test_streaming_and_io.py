@@ -624,3 +624,92 @@ def test_stream_neardup_guard_quarantines_reference_neighbors(spark, tmp_path):
         ).collect()
     }
     assert batch_susp == outcomes["suspects"]
+
+
+def test_stream_semdedup_guard_matches_numpy_and_batch(spark, tmp_path):
+    """The semantic guard through a real availableNow stream: verdicts
+    must equal a numpy recompute of the within-cell cosine rule, and
+    the batch invocation of the same function must agree."""
+    import numpy as np
+
+    from xero_api_etl_utilities_spark.operators.ivf import train_centroids
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        run_available_now,
+        stream_semdedup_guard,
+    )
+
+    rng = np.random.default_rng(7)
+    ref_rows = [
+        (100 + i, [float(x) for x in rng.normal(size=8)]) for i in range(20)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    reference = spark.createDataFrame(ref_rows, schema)
+    cents = train_centroids(reference, "embedding", "vec_id", k=4, iters=3)
+
+    # stream: two near-copies of reference vectors (scaled — cosine
+    # invariant), the rest fresh noise
+    stream_rows = [
+        (1, [x * 2.0 for x in ref_rows[0][1]]),
+        (2, [x * 0.5 for x in ref_rows[7][1]]),
+    ] + [(3 + i, [float(x) for x in rng.normal(size=8)]) for i in range(10)]
+    drop = str(tmp_path / "vdrop")
+    spark.createDataFrame(stream_rows, schema).write.mode("append").parquet(drop)
+
+    tau = 0.85
+
+    def np_cell(v):
+        u = np.array(v) / (np.linalg.norm(v) or 1e-12)
+        scores = [(float(np.dot(u * np.linalg.norm(v), c)), i) for i, c in enumerate(map(np.array, cents))]
+        # replicate the plan's argmax over RAW-vector dots with the
+        # (d, cell) struct sort: max d, ties to larger cell index
+        return max(scores, key=lambda t: (t[0], t[1]))[1]
+
+    ref_cells = {}
+    for rid, v in ref_rows:
+        ref_cells.setdefault(np_cell(v), []).append(
+            np.array(v) / np.linalg.norm(v)
+        )
+    exp_susp = set()
+    for sid, v in stream_rows:
+        u = np.array(v) / np.linalg.norm(v)
+        for rv in ref_cells.get(np_cell(v), []):
+            if float(np.dot(u, rv)) >= tau:
+                exp_susp.add(sid)
+                break
+
+    outcomes = {}
+    for emit in ("suspects", "clean"):
+        out = str(tmp_path / f"vout_{emit}")
+        ckpt = str(tmp_path / f"vckpt_{emit}")
+        guarded = stream_semdedup_guard(
+            spark.readStream.schema(schema).parquet(drop),
+            reference,
+            cents,
+            tau=tau,
+            emit=emit,
+        )
+        run_available_now(guarded, ckpt, out)
+        outcomes[emit] = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+
+    all_ids = {r[0] for r in stream_rows}
+    assert outcomes["suspects"] == exp_susp
+    assert {1, 2} <= exp_susp
+    assert outcomes["suspects"] | outcomes["clean"] == all_ids
+    assert outcomes["suspects"] & outcomes["clean"] == set()
+
+    batch_susp = {
+        r["vec_id"]
+        for r in stream_semdedup_guard(
+            spark.createDataFrame(stream_rows, schema),
+            reference,
+            cents,
+            tau=tau,
+            emit="suspects",
+        ).collect()
+    }
+    assert batch_susp == outcomes["suspects"]

@@ -419,3 +419,93 @@ def stream_neardup_guard(
     )
     keep = F.col("_hit") if emit == "suspects" else ~F.col("_hit")
     return flagged.filter(keep).select(*stream_docs.columns)
+
+
+def stream_semdedup_guard(
+    stream_vecs: DataFrame,
+    reference_vecs: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.85,
+    emit: str = "suspects",
+) -> DataFrame:
+    """Streaming SEMANTIC near-dup guard — the embedding-space sibling
+    of :func:`stream_neardup_guard`: flag incoming vectors whose
+    cosine against ANY reference vector in their k-means cell reaches
+    ``tau`` (the SemDeDup drop rule, applied at ingest against a
+    static accepted-corpus / eval-benchmark reference).  MinHash bands
+    catch lexical near-dups at the door; this catches rephrasings no
+    shingle can see.
+
+    Lowering — stateless end to end, mirroring the band guard:
+
+    * ``centroids`` are BATCH-trained (``operators/ivf.py`` — cell
+      training on a stream is meaningless; production trains on the
+      accepted corpus and ships literals), and the stream side's cell
+      assignment is the same inlined-literal argmax column math as
+      ``cluster_assign`` — a scan projection, no explode.
+    * the reference collapses ONCE to a 1-row broadcast
+      ``map<cell, array<unit-vector>>``; each stream row looks up its
+      own cell's array (absent cell -> empty) and runs an in-row
+      ``exists`` cosine check.  Unit-normalizing both sides at build
+      time turns the cosine into a bare dot-vs-tau compare — no sqrt
+      per pair.
+    * no join on the stream (the 1-row cross join is a broadcast), no
+      watermark, no state store: both emit modes are scan projections,
+      so the guard adds zero streaming state at any feed rate.
+
+    Bound (documented, not silent): the broadcast is the full
+    reference at 8 bytes x dims per vector (10^5 x 64-dim ~ 51 MB) —
+    an acceptance set or benchmark, not a corpus; for corpus-sized
+    references run the batch SemDeDup path (dedup_semantic_clusters)
+    offline instead.
+
+    Cell-blind miss mode (honest): a stream vector lands in exactly
+    ONE cell (nprobe=1, the SemDeDup convention); a reference twin
+    sitting just across a cell boundary is missed — the same
+    within-cluster-only recall the batch operator has, by design."""
+    from xero_api_etl_utilities_spark.operators.ivf import _centroid_scores
+    from xero_api_etl_utilities_spark.operators.similarity import _dot, _norm
+
+    if emit not in ("suspects", "clean"):
+        raise ValueError(f"emit must be 'suspects' or 'clean', got {emit!r}")
+
+    def unit(col):
+        nrm = F.greatest(_norm(col), F.lit(1e-12))
+        return F.transform(col, lambda x: x.cast("double") / nrm)
+
+    def cell_of(col):
+        best = F.reverse(F.array_sort(_centroid_scores(col, centroids)))
+        return F.element_at(best, 1)["cell"]
+
+    ref_index = (
+        reference_vecs.select(
+            cell_of(F.col(vec_col)).alias("cell"),
+            unit(F.col(vec_col)).alias("u"),
+        )
+        .groupBy("cell")
+        .agg(F.collect_list("u").alias("us"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("cell"), F.col("us")))
+            ).alias("_ref_cells")
+        )
+    )
+    probed = (
+        stream_vecs.withColumn("_u", unit(F.col(vec_col)))
+        .withColumn("_cell", cell_of(F.col(vec_col)))
+        .crossJoin(F.broadcast(ref_index))
+        .withColumn(
+            "_hit",
+            F.exists(
+                F.coalesce(
+                    F.element_at(F.col("_ref_cells"), F.col("_cell")),
+                    F.array().cast("array<array<double>>"),
+                ),
+                lambda rv: _dot(rv, F.col("_u")) >= F.lit(tau),
+            ),
+        )
+    )
+    keep = F.col("_hit") if emit == "suspects" else ~F.col("_hit")
+    return probed.filter(keep).select(*stream_vecs.columns)
