@@ -80,6 +80,9 @@ HEADLINE = [
     # not best-of-2.
     "dedup_substrate_build",
     "pipeline_corpus_clean",
+    # r7: rides pipeline_corpus_clean's memoized survivor/near-dup
+    # frames (extensions._pipeline_stages) — marginal-cost line
+    "pipeline_curation_report",
     "sample_split_assign",
     "join_range_intransit",
     "text_quality",
@@ -305,6 +308,8 @@ HEADLINE = [
     "text_zipf_slope",
     "embedding_label_centroid_sim",
     "sample_curriculum_order",
+    # r7: interval x interval overlap join (claim-bucket lowering)
+    "join_interval_overlap",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

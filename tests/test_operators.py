@@ -254,6 +254,49 @@ def test_range_join_bucketed_semantics(spark):
         range_join_bucketed(points, intervals, "p", "s", "e", 0)
 
 
+def test_interval_overlap_join_claim_bucket_exactly_once(spark):
+    """X127 operator: the claim-bucket rule must emit every
+    overlapping pair EXACTLY once at any bucket width — pinned
+    against a naive quadratic python recompute on random intervals
+    (incl. touching endpoints, containment, and zero-length
+    intervals)."""
+    import random
+
+    import pytest
+
+    from xero_api_etl_utilities_spark.operators.rangejoin import (
+        interval_overlap_join_bucketed,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(120):
+        s = rng.randrange(0, 300)
+        rows.append((rng.choice(["x", "y"]), i, s, s + rng.randrange(0, 40)))
+    df = spark.createDataFrame(rows, "k string, rid long, s long, e long")
+
+    expected = set()
+    for ka, ra, sa, ea in rows:
+        for kb, rb, sb, eb in rows:
+            if ka == kb and ra < rb and sb <= ea and sa <= eb:
+                expected.add((ka, ra, rb))
+
+    a = df.select("k", F.col("rid").alias("ra"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = df.select("k", F.col("rid").alias("rb"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    for bucket in (1, 7, 32, 1000):
+        got = [
+            (r["k"], r["ra"], r["rb"])
+            for r in interval_overlap_join_bucketed(
+                a, b, "sa", "ea", "sb", "eb", bucket, keys=["k"],
+                extra_cond=F.col("ra") < F.col("rb"),
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicates at bucket={bucket}"
+        assert set(got) == expected, f"mismatch at bucket={bucket}"
+    with pytest.raises(ValueError, match="positive"):
+        interval_overlap_join_bucketed(a, b, "sa", "ea", "sb", "eb", 0)
+
+
 def test_snapshot_diff_null_keys(spark):
     """The full-outer join matches NULL keys across sides (eqNullSafe),
     so presence must come from literal markers, not key nullness: a

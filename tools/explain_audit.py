@@ -549,6 +549,16 @@ CHECKS = {
     "sample_curriculum_order": [
         ("cumulative schedule source-partitioned", lambda p: "Exchange SinglePartition" not in p),
     ],
+    # r7: X127 — interval overlap via bucketed equi-join + claim-bucket
+    # dedup: no nested loop, no distinct pass over the pair output
+    "join_interval_overlap": [
+        ("bucketed equi-join, never a nested loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("claim-bucket rule, no dedup exchange on pairs", lambda p: "HashAggregate" in p),
+    ],
+    # r7: X128 — funnel report rides the memoized pipeline subtree
+    "pipeline_curation_report": [
+        ("funnel shaped from a bounded driver frame", lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+    ],
 }
 
 

@@ -62,3 +62,68 @@ def range_join_bucketed(
         & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("_bkt")
+
+
+def interval_overlap_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: int,
+    keys: list[str] | None = None,
+    extra_cond=None,
+) -> DataFrame:
+    """Interval x interval OVERLAP join: every (l, r) pair with
+    ``[l_start, l_end] ∩ [r_start, r_end] != ∅`` (and equal ``keys``,
+    if given) — the second member of the range-join family (the first
+    joins points to intervals).  Sessions x promotions, shift x
+    outage, delivery-window collision analysis all reduce to this.
+
+    Same bucketed equi-join trick, plus the CLAIM-BUCKET dedup rule:
+    both sides explode to the buckets they span, so an overlapping
+    pair meets in every bucket of the overlap range
+    ``max(ls, rs) div W .. min(le, re) div W`` — instead of a
+    distinct pass over the (potentially huge) pair output, the pair
+    is emitted ONLY from the bucket containing the overlap's start
+    (``greatest(ls, rs) div W``): exactly-once by construction, zero
+    extra shuffle.
+
+    ``extra_cond`` (a Column, optional) is applied WITH the residual
+    overlap filter — pass the caller's pair-ordering predicate (e.g.
+    ``a.rowid < b.rowid`` for a self-join) here rather than after, so
+    it prunes before anything else materializes.  Column name
+    collisions are the caller's to avoid (alias the sides)."""
+    if bucket <= 0:
+        raise ValueError("bucket width must be a positive integer")
+    keys = keys or []
+    l = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{left_start} div {bucket}"),
+                F.expr(f"{left_end} div {bucket}"),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{right_start} div {bucket}"),
+                F.expr(f"{right_end} div {bucket}"),
+            )
+        ),
+    )
+    cond = (
+        (F.col(right_start) <= F.col(left_end))
+        & (F.col(left_start) <= F.col(right_end))
+        & (
+            F.col("_bkt")
+            == F.expr(f"greatest({left_start}, {right_start}) div {bucket}")
+        )
+    )
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return l.join(r, on=["_bkt", *keys], how="inner").filter(cond).drop("_bkt")

@@ -66,8 +66,6 @@ _WINDOW_PRIORITY: list[str] = [
     "embedding_label_centroid_sim",
     "sample_curriculum_order",
     "text_tf_cosine_pairs",
-    # (late-r7 planned names — ignored until registered)
-    "stream_semantic_guard_parity",
     "pipeline_curation_report",
     "join_interval_overlap",
     # --- regression pad: oldest r2-green classics ---

@@ -394,27 +394,164 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: filter is a scan predicate; exact dedup shuffles
     32-byte digests; candidates are the banded equi-join; verify is
     O(candidates × shingles) — no stage is all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    flags = tx.quality_flags(F.col("text"))
-    q = docs.filter(flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"])
-    surv_ids = (
-        q.select("doc_id", F.sha2(F.col("text"), 256).alias("_h"))
-        .groupBy("_h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    # surv feeds three consumers (signatures, verify shingle sets, the
-    # final anti-join): materialize once instead of re-running the
-    # quality gate + digest dedup per branch
-    surv = q.join(surv_ids, "doc_id").localCheckpoint()
-    sigs = dd.minhash_signatures(surv, "doc_id", "text", n=1, num_hashes=64)
-    cands = dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500)
-    pairs = dd.jaccard_verify(cands, surv, "doc_id", "text", n=1)
-    near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    surv, near_dups = _pipeline_stages(spark, sf_dir)
     return surv.join(near_dups, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+# The quality-gated survivor frame + verified near-dup id set feed TWO
+# catalog consumers (the cleaned corpus and the X128 funnel report) —
+# memoized per (SparkContext, sf_dir) like the corpus_ops substrate so
+# the report's marginal cost is one aggregate, not a second full
+# LSH+verify run.
+_PIPE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _pipeline_stages(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PIPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        flags = tx.quality_flags(F.col("text"))
+        q = docs.filter(flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"])
+        surv_ids = (
+            q.select("doc_id", F.sha2(F.col("text"), 256).alias("_h"))
+            .groupBy("_h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        # surv feeds three consumers (signatures, verify shingle sets,
+        # the final anti-join): materialize once instead of re-running
+        # the quality gate + digest dedup per branch
+        surv = q.join(surv_ids, "doc_id").localCheckpoint()
+        sigs = dd.minhash_signatures(surv, "doc_id", "text", n=1, num_hashes=64)
+        cands = dd.minhash_lsh_candidates(
+            sigs, bands=16, rows_per_band=4, max_bucket=500
+        )
+        pairs = dd.jaccard_verify(cands, surv, "doc_id", "text", n=1)
+        near_dups = (
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+        )
+        _PIPE_CACHE[key] = (surv, near_dups)
+    return _PIPE_CACHE[key]
+
+
 register("pipeline_corpus_clean", pipeline_corpus_clean, sk.corpus_clean_oracle)
+
+
+def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128: the curation FUNNEL — stage-by-stage document counts
+    through the cleaning pipeline (raw -> quality gate -> exact dedup
+    -> near-dup prune) with per-stage drop counts and drop rates in
+    bp: the one-table summary every corpus datasheet opens with, and
+    the integration check that the stages compose (each count is
+    downstream of every previous stage's real operator, so a drift in
+    any stage moves a number here — the feature_pit_scd2 argument at
+    pipeline grain).
+
+    Lowering: rides the SAME memoized survivor/near-dup frames as
+    ``pipeline_corpus_clean`` (one LSH+verify per session, the
+    corpus_ops substrate pattern), tags each raw document with its
+    furthest-surviving stage via two presence-marker doc_id equi-joins
+    + the quality predicate, and aggregates ONCE; the 4-row funnel is
+    then shaped driver-side (the diag_data_contract precedent —
+    bounded, dimension-sized).  Scale: one corpus scan beyond the
+    memoized subtree, no windows, no collects of data rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv, near_dups = _pipeline_stages(spark, sf_dir)
+    flags = tx.quality_flags(F.col("text"))
+    tagged = (
+        docs.withColumn(
+            "_q",
+            (flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"]).cast(
+                "int"
+            ),
+        )
+        # presence markers via doc_id equi-joins — NOT broadcast: the
+        # survivor set is corpus-sized at 100 TB (AQE picks broadcast
+        # on its own when a side is actually small)
+        .join(surv.select("doc_id", F.lit(1).alias("_s")), "doc_id", "left")
+        .join(
+            near_dups.select("doc_id", F.lit(1).alias("_d")), "doc_id", "left"
+        )
+    )
+    row = tagged.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("_q").alias("n_q"),
+        F.sum(F.coalesce(F.col("_s"), F.lit(0))).alias("n_exact"),
+        F.sum(
+            F.when(
+                F.col("_s").isNotNull() & F.col("_d").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_final"),
+    ).collect()[0]
+    funnel = [
+        ("raw", int(row["n_raw"])),
+        ("quality_gate", int(row["n_q"])),
+        ("exact_dedup", int(row["n_exact"])),
+        ("neardup_prune", int(row["n_final"])),
+    ]
+    out = []
+    prev = None
+    for i, (stage, n) in enumerate(funnel, start=1):
+        dropped = 0 if prev is None else prev - n
+        drop_bp = 0 if prev in (None, 0) else dropped * 10000 // prev
+        out.append((i, stage, n, dropped, drop_bp))
+        prev = n
+    return spark.createDataFrame(
+        out,
+        "stage_no int, stage string, n_docs bigint,"
+        " dropped bigint, drop_bp bigint",
+    ).orderBy("stage_no")
+
+
+def _curation_report_oracle() -> str:
+    chain = sk.minhash_cand_ctes(source="surv", bands=16, rows_per_band=4)
+    return f"""
+WITH qdocs AS (
+  SELECT doc_id, text, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t))) AS BIGINT) AS n_stopwords,
+    CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+), q AS (
+  SELECT doc_id, text, lang FROM qdocs
+  WHERE n_chars >= 50
+    AND 100 * n_punct <= 20 * n_chars
+    AND 100 * n_stopwords >= 1 * greatest(n_tokens, 1)
+), surv_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY sha256(text)
+), surv AS (
+  SELECT q.doc_id, q.text, q.lang FROM q JOIN surv_ids USING (doc_id)
+), {chain},
+{sk.jaccard_verify_ctes()}, counts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_raw,
+    (SELECT count(*) FROM q) AS n_q,
+    (SELECT count(*) FROM surv) AS n_exact,
+    (SELECT count(*) FROM surv s
+      LEFT JOIN (SELECT DISTINCT doc_b FROM verified) d ON s.doc_id = d.doc_b
+      WHERE d.doc_b IS NULL) AS n_final
+), funnel AS (
+  SELECT 1 AS stage_no, 'raw' AS stage, n_raw AS n_docs,
+         CAST(0 AS BIGINT) AS dropped, CAST(0 AS BIGINT) AS drop_bp
+  FROM counts
+  UNION ALL SELECT 2, 'quality_gate', n_q, n_raw - n_q,
+    (n_raw - n_q) * 10000 // n_raw FROM counts
+  UNION ALL SELECT 3, 'exact_dedup', n_exact, n_q - n_exact,
+    (n_q - n_exact) * 10000 // n_q FROM counts
+  UNION ALL SELECT 4, 'neardup_prune', n_final, n_exact - n_final,
+    (n_exact - n_final) * 10000 // n_exact FROM counts
+)
+SELECT CAST(stage_no AS INT) AS stage_no, stage,
+  CAST(n_docs AS BIGINT) AS n_docs, CAST(dropped AS BIGINT) AS dropped,
+  CAST(drop_bp AS BIGINT) AS drop_bp
+FROM funnel ORDER BY stage_no
+"""
+
+
+register(
+    "pipeline_curation_report", pipeline_curation_report, _curation_report_oracle
+)
 
 
 def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

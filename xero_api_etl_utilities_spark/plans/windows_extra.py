@@ -389,6 +389,93 @@ GROUP BY on_date
 )
 
 
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127: interval x interval OVERLAP join — the second member of
+    the range-join family (``join_range_intransit`` joins points to
+    intervals; this joins intervals to intervals): per supplier,
+    count the pairs of its shipments whose delivery windows
+    [shipdate, shipdate + quantity days] overlap in time — the
+    warehouse-collision / concurrent-shipment census.
+
+    Lowering: ``interval_overlap_join_bucketed`` — both sides explode
+    to 32-day buckets, equi-join on (supplier, bucket), residual
+    overlap filter, and the CLAIM-BUCKET rule (a pair is emitted only
+    from the bucket holding max(start_a, start_b)) makes each
+    overlapping pair appear exactly once with NO distinct pass.
+    Never a nested loop; fan-out bounded by per-(supplier, bucket)
+    shipment counts.  Pair identity (order*10 + linenumber, unique:
+    linenumber <= 7) orders the self-join so each unordered pair
+    counts once."""
+    from xero_api_etl_utilities_spark.operators.rangejoin import (
+        interval_overlap_join_bucketed,
+    )
+
+    epoch = F.lit("1970-01-01").cast("date")
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+            F.datediff(F.col("l_shipdate"), epoch).alias("s_day"),
+            (
+                F.datediff(F.col("l_shipdate"), epoch)
+                + F.col("l_quantity").cast("int")
+            ).alias("e_day"),
+        )
+    )
+    a = base.select(
+        "supp",
+        F.col("rid").alias("rid_a"),
+        F.col("s_day").alias("sa"),
+        F.col("e_day").alias("ea"),
+    )
+    b = base.select(
+        "supp",
+        F.col("rid").alias("rid_b"),
+        F.col("s_day").alias("sb"),
+        F.col("e_day").alias("eb"),
+    )
+    pairs = interval_overlap_join_bucketed(
+        a,
+        b,
+        "sa",
+        "ea",
+        "sb",
+        "eb",
+        bucket=32,
+        keys=["supp"],
+        extra_cond=F.col("rid_a") < F.col("rid_b"),
+    )
+    return (
+        pairs.groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("n_overlap_pairs"))
+        .select(F.col("supp").cast("bigint").alias("l_suppkey"), "n_overlap_pairs")
+        .orderBy("l_suppkey")
+    )
+
+
+register(
+    "join_interval_overlap",
+    join_interval_overlap,
+    """
+WITH iv AS (
+  SELECT l_suppkey AS supp, l_orderkey * 10 + l_linenumber AS rid,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+  FROM lineitem WHERE l_orderkey % 20 = 0
+)
+SELECT CAST(a.supp AS BIGINT) AS l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+FROM iv a JOIN iv b
+  ON a.supp = b.supp AND a.rid < b.rid
+ AND b.s <= a.e AND a.s <= b.e
+GROUP BY a.supp
+ORDER BY l_suppkey
+""",
+)
+
+
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile quartiles, percent_rank,
     cume_dist) over order totals per priority class. The ordering key
