@@ -310,6 +310,10 @@ HEADLINE = [
     "sample_curriculum_order",
     # r7: interval x interval overlap join (claim-bucket lowering)
     "join_interval_overlap",
+    # r7 late wave: X129-X131
+    "label_noise_kappa",
+    "tokenizer_oov_census",
+    "text_char_entropy",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -285,3 +285,111 @@ def test_curriculum_phases_partition_corpus(spark, sf_dir):
         assert rs[-1]["cum_tokens"] == totals[src][1]
         cums = [r["cum_tokens"] for r in rs]
         assert cums == sorted(cums)
+
+
+def test_label_noise_kappa_matches_numpy(spark, sf_dir):
+    # X129: recompute the kNN-majority vote + kappa rational with
+    # numpy cosines (ties to smaller label, like the plan).
+    import numpy as np
+
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        label_noise_kappa,
+    )
+
+    raw = _rows(sf_dir, "SELECT vec_id, embedding, label FROM embeddings")
+    ids = [r[0] for r in raw]
+    vecs = {r[0]: np.array(r[1], dtype=np.float64) for r in raw}
+    labels = {r[0]: r[2] for r in raw}
+    preds, truths = [], []
+    for q in sorted(i for i in ids if i < 80):
+        qv = vecs[q]
+        qn = np.linalg.norm(qv) or 1e-12
+        scored = sorted(
+            (
+                (-float(vecs[c] @ qv / (qn * (np.linalg.norm(vecs[c]) or 1e-12))), c)
+                for c in ids
+                if c != q
+            ),
+        )[:10]
+        votes = Counter(labels[c] for _, c in scored)
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        preds.append(best)
+        truths.append(labels[q])
+    n = len(preds)
+    po_n = sum(1 for p, t in zip(preds, truths) if p == t)
+    rowm = Counter(truths)
+    colm = Counter(preds)
+    pe_num = sum(rowm[l] * colm.get(l, 0) for l in rowm)
+    row = label_noise_kappa(spark, sf_dir).collect()[0]
+    assert (
+        row["n_probes"],
+        row["n_agree"],
+        row["kappa_num"],
+        row["kappa_den"],
+    ) == (n, po_n, n * po_n - pe_num, n * n - pe_num)
+
+
+def test_tokenizer_oov_census_matches_python(spark, sf_dir):
+    # X130: top-V vocab by (cnt desc, tok asc); per-source OOV mass.
+    import re as _re
+
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        _OOV_VOCAB_SIZE,
+        tokenizer_oov_census,
+    )
+
+    raw = _rows(sf_dir, "SELECT source, text FROM documents")
+    occ: dict[str, Counter] = defaultdict(Counter)
+    vocab_all: Counter = Counter()
+    for src, text in raw:
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        occ[src].update(toks)
+        vocab_all.update(toks)
+    top = {
+        t
+        for t, _ in sorted(vocab_all.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_OOV_VOCAB_SIZE
+        ]
+    }
+    exp = {}
+    for src, c in occ.items():
+        tot = sum(c.values())
+        oov = sum(v for t, v in c.items() if t not in top)
+        types = sum(1 for t in c if t not in top)
+        exp[src] = (tot, oov, oov * 10000 // tot, types)
+    got = {
+        r["source"]: (
+            r["n_occurrences"],
+            r["n_oov"],
+            r["oov_bp"],
+            r["n_oov_types"],
+        )
+        for r in tokenizer_oov_census(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_char_entropy_census_matches_python(spark, sf_dir):
+    # X131: per-doc ilog2 entropy in milli-bits, per-source census.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        text_char_entropy,
+    )
+
+    raw = _rows(sf_dir, "SELECT source, text FROM documents")
+    per_src: dict[str, list[int]] = defaultdict(list)
+    for src, text in raw:
+        c = Counter(text)
+        n = sum(c.values())
+        if n == 0:
+            continue
+        h = sum(v * ((n // v).bit_length() - 1) for v in c.values())
+        per_src[src].append(h * 1000 // n)
+    exp = {
+        src: (len(v), sum(v) // len(v), min(v), max(v))
+        for src, v in per_src.items()
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["mean_mb"], r["min_mb"], r["max_mb"])
+        for r in text_char_entropy(spark, sf_dir).collect()
+    }
+    assert got == exp

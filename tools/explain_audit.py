@@ -559,6 +559,20 @@ CHECKS = {
     "pipeline_curation_report": [
         ("funnel shaped from a bounded driver frame", lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
     ],
+    # r7: X129 — shortlist broadcast onto labels; vote window is
+    # probe-partitioned; marginal joins dimension-sized
+    "label_noise_kappa": [
+        ("no all-pairs scoring", lambda p: "CartesianProduct" not in p),
+    ],
+    # r7: X130 — top-V via TakeOrdered, never a global rank window
+    "tokenizer_oov_census": [
+        ("top-V selection is TakeOrdered", lambda p: "TakeOrderedAndProject" in p),
+        ("vocabulary broadcast onto the source aggregate", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ],
+    # r7: X131 — pure aggregates; the entropy fold is in-row
+    "text_char_entropy": [
+        ("join-free aggregate chain", lambda p: "Join" not in p and "Exchange SinglePartition" not in p),
+    ],
 }
 
 

@@ -68,6 +68,9 @@ _WINDOW_PRIORITY: list[str] = [
     "text_tf_cosine_pairs",
     "pipeline_curation_report",
     "join_interval_overlap",
+    "label_noise_kappa",
+    "tokenizer_oov_census",
+    "text_char_entropy",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",

@@ -32,9 +32,15 @@ similarity / drift reports already in the catalog:
 * X126 ``sample_curriculum_order`` — curriculum phase plan: fixed
   quality-score bands (easy -> hard), per (source, phase) doc/token
   counts with cumulative token schedule per source.
+* X129 ``label_noise_kappa`` — Cohen's kappa between dataset labels
+  and the kNN-majority vote, published as an exact rational.
+* X130 ``tokenizer_oov_census`` — top-V vocabulary OOV rates per
+  source (TakeOrdered top-V, never a rank window).
+* X131 ``text_char_entropy`` — per-doc character entropy in ilog2
+  milli-bits (single-char floods / base64 spills detector).
 
-Every hashed output value is an integer; every oracle replays the
-same algorithm in DuckDB SQL.
+Every hashed output value is an integer (or exact rational published
+as num/den); every oracle replays the same algorithm in DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -754,3 +760,298 @@ ORDER BY source, phase
 
 
 register("sample_curriculum_order", sample_curriculum_order, _curriculum_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X129: label-noise Cohen's kappa (kNN-majority vs dataset label)
+# ---------------------------------------------------------------------------
+
+
+def label_noise_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129: chance-corrected label agreement — Cohen's kappa between
+    the dataset label and the kNN-MAJORITY label over the same
+    bounded probe set X116 uses: purity (X116) says how mixed each
+    label's neighborhood is; kappa says whether the labeling beats
+    chance AT ALL once the marginal label frequencies are priced in —
+    the one number a labeling vendor is held to.
+
+    Exact rational output (the X124 convention): with n probes,
+    po_n = #agreements, and pe_num = sum over labels of
+    row-marginal x column-marginal, kappa = (n*po_n - pe_num) /
+    (n^2 - pe_num) — published as (kappa_num, kappa_den) BIGINTs,
+    division left to the reader; no float crosses an engine.
+
+    The majority vote ties break to the SMALLER label (deterministic
+    on both engines).  Shape: the guard-caged brute-force shortlist
+    (80 probes; production feeds the same aggregate from the IVF
+    shortlist), a probe-partitioned vote window over <= 10 rows per
+    probe, and label-dimension-sized marginal aggregates."""
+    from xero_api_etl_utilities_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 80)
+    nn = sim.topk_bruteforce(queries, emb, k=10, max_queries=100)
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "ql"
+    )
+    nl = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "nl"
+    )
+    votes = (
+        F.broadcast(nn)
+        .join(nl, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    top = votes.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("nl"))
+        ),
+    ).filter(F.col("rk") == 1)
+    paired = top.join(ql, "query_id").select(
+        "query_id", F.col("nl").alias("pred"), F.col("ql").alias("truth")
+    )
+    # confusion marginals: rows = truth, cols = pred; all bounded by
+    # the label dimension
+    n_po = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("pred") == F.col("truth"), 1).otherwise(0)
+        ).alias("po_n"),
+    )
+    rows = paired.groupBy(F.col("truth").alias("l")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    cols = paired.groupBy(F.col("pred").alias("l")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pe = (
+        rows.join(cols, "l", "inner")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).alias("pe_num"))
+    )
+    return (
+        n_po.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("bigint").alias("n_probes"),
+            F.col("po_n").cast("bigint").alias("n_agree"),
+            (F.col("n") * F.col("po_n") - F.col("pe_num"))
+            .cast("bigint")
+            .alias("kappa_num"),
+            (F.col("n") * F.col("n") - F.col("pe_num"))
+            .cast("bigint")
+            .alias("kappa_den"),
+        )
+    )
+
+
+_KAPPA_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 80
+), scored AS (
+  SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
+         list_cosine_similarity(q.qv, c.embedding) AS s
+  FROM q, embeddings c
+  WHERE q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, ql, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, nid ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, any_value(ql) AS ql, nl, count(*) AS v
+  FROM ranked WHERE rank <= 10 GROUP BY query_id, nl
+), top AS (
+  SELECT query_id, ql, nl AS pred
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY v DESC, nl ASC) = 1
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+    sum(CASE WHEN pred = ql THEN 1 ELSE 0 END)::BIGINT AS po_n
+  FROM top
+), pe AS (
+  SELECT coalesce(sum(r.rn * c.cn), 0)::BIGINT AS pe_num
+  FROM (SELECT ql AS l, count(*) AS rn FROM top GROUP BY 1) r
+  JOIN (SELECT pred AS l, count(*) AS cn FROM top GROUP BY 1) c
+    ON r.l = c.l
+)
+SELECT n AS n_probes, po_n AS n_agree,
+  (n * po_n - pe_num)::BIGINT AS kappa_num,
+  (n * n - pe_num)::BIGINT AS kappa_den
+FROM agg CROSS JOIN pe
+"""
+
+register("label_noise_kappa", label_noise_kappa, _KAPPA_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X130: tokenizer vocabulary OOV census
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_SIZE = 1000
+
+
+def tokenizer_oov_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130: the vocabulary-sizing census — fix the tokenizer's word
+    vocabulary at the top-V corpus tokens (by frequency, ties to the
+    lexicographically smaller token) and report, per source: token
+    occurrences, out-of-vocabulary occurrences, OOV rate (bp) and
+    distinct OOV types.  The table that decides V (and flags the
+    source whose domain jargon a shared vocabulary will shred into
+    UNKs / byte-fallback pieces).
+
+    Scale shape: top-V selection is ``orderBy(...).limit(V)`` — a
+    TakeOrderedAndProject (per-partition partial top-V, ~V rows to
+    the driver), NEVER a global sort or rank window; the V-row
+    vocabulary then broadcasts onto the (source, token) aggregate.
+    Both corpus-sized stages are map-side-combinable aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = (
+        occ.groupBy("tok")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_OOV_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_occurrences"),
+            F.sum(F.when(F.col("_in").isNull(), F.col("n")).otherwise(0)).alias(
+                "n_oov"
+            ),
+            F.sum(
+                F.when(F.col("_in").isNull(), 1).otherwise(0)
+            ).alias("n_oov_types"),
+        )
+        .select(
+            "source",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            F.expr("n_oov * 10000 div n_occurrences").alias("oov_bp"),
+            F.col("n_oov_types").cast("bigint").alias("n_oov_types"),
+        )
+        .orderBy("source")
+    )
+
+
+_OOV_ORACLE = f"""
+WITH occ AS (
+  SELECT source, tok, count(*)::BIGINT AS n
+  FROM (SELECT source,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, sum(n) AS cnt FROM occ GROUP BY tok
+  ) ORDER BY cnt DESC, tok ASC LIMIT {_OOV_VOCAB_SIZE}
+)
+SELECT source, sum(n)::BIGINT AS n_occurrences,
+  sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN n ELSE 0 END)::BIGINT
+    AS n_oov,
+  (sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN n ELSE 0 END)
+    * 10000 // sum(n))::BIGINT AS oov_bp,
+  sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)::BIGINT
+    AS n_oov_types
+FROM occ GROUP BY source ORDER BY source
+"""
+
+register("tokenizer_oov_census", tokenizer_oov_census, _OOV_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X131: character-entropy census (integer bit arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131: per-document character-distribution entropy, quantized
+    to the same float-free ilog2 arithmetic as X120: for a doc of n
+    chars with per-char counts c_i, H_mb = sum(c_i * ilog2(n div
+    c_i)) * 1000 div n milli-bits per char.  Near-zero entropy flags
+    single-char floods / padding artifacts; anomalously high entropy
+    flags base64 / binary spills — the two char-level pathologies the
+    word-level signals (X120, quality flags) are blind to.
+
+    The per-doc fold needs the doc TOTAL inside every char term's
+    ilog2, so the (doc, char) counts collapse to one row per doc
+    (collect_list bounded by the charset, ~100 entries) and the
+    entropy folds IN-ROW — one aggregation pass, no join back of a
+    totals frame.  Shape: one explode to the char grain, one
+    (doc, char) aggregate, one doc aggregate, one source census —
+    all map-side-combinable, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "source", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doc_h = cc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_ch"),
+        F.collect_list("c").alias("_cs"),
+    )
+    scored = doc_h.select(
+        "source",
+        F.expr(
+            "aggregate(_cs, cast(0 as bigint), (acc, c) ->"
+            " acc + c * (length(bin(n_ch div c)) - 1)) * 1000 div n_ch"
+        ).alias("h_mb"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(h_mb) div count(1)").alias("mean_mb"),
+            F.min("h_mb").alias("min_mb"),
+            F.max("h_mb").alias("max_mb"),
+        )
+        .orderBy("source")
+    )
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH cc AS (
+  SELECT doc_id, source, ch, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+        FROM documents)
+  WHERE ch <> ''
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_ch FROM cc GROUP BY 1
+), doc_h AS (
+  SELECT cc.source,
+    sum(c * (length(bin(t.n_ch // c)) - 1)) * 1000 // any_value(t.n_ch)
+      AS h_mb
+  FROM cc JOIN tot t USING (doc_id)
+  GROUP BY cc.doc_id, cc.source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  (sum(h_mb) // count(*))::BIGINT AS mean_mb,
+  min(h_mb)::BIGINT AS min_mb,
+  max(h_mb)::BIGINT AS max_mb
+FROM doc_h GROUP BY source ORDER BY source
+"""
+
+register("text_char_entropy", text_char_entropy, _CHAR_ENTROPY_ORACLE)
