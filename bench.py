@@ -310,10 +310,14 @@ HEADLINE = [
     "sample_curriculum_order",
     # r7: interval x interval overlap join (claim-bucket lowering)
     "join_interval_overlap",
-    # r7 late wave: X129-X131
+    # r7 late wave: X129-X134 (similarity_ivfpq_recall rides the
+    # memoized PQ index built under similarity_topk_ivfpq above)
     "label_noise_kappa",
     "tokenizer_oov_census",
     "text_char_entropy",
+    "similarity_ivfpq_recall",
+    "text_rake_keywords",
+    "doc_chunk_overlap_census",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

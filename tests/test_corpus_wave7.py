@@ -393,3 +393,124 @@ def test_char_entropy_census_matches_python(spark, sf_dir):
         for r in text_char_entropy(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_rake_keywords_match_python(spark, sf_dir):
+    # X133: full python RAKE recompute (segmentation, cap, deg/freq,
+    # phrase scores, top-k by (score desc, phrase)).
+    import re as _re
+
+    from xero_api_etl_utilities_spark.operators.textstats import STOPWORDS_EN
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        _RAKE_MAX_LEN,
+        _RAKE_TOP,
+        text_rake_keywords,
+    )
+
+    raw = _rows(sf_dir, "SELECT doc_id, text FROM documents")
+    stops = set(STOPWORDS_EN)
+    phrases = []  # (phrase_tuple,)
+    for d, text in raw:
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        run: list[str] = []
+        for t in toks + ["the"]:  # sentinel stop flushes the last run
+            if t in stops:
+                if run and len(run) <= _RAKE_MAX_LEN:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    deg: Counter = Counter()
+    freq: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            deg[w] += len(p)
+            freq[w] += 1
+    wscore = {w: deg[w] * 1000 // freq[w] for w in deg}
+    agg: dict[str, list[int]] = {}
+    for p in phrases:
+        text_p = " ".join(p)
+        score = sum(wscore[w] for w in p)
+        cell = agg.setdefault(text_p, [0, score])
+        cell[0] += 1
+        assert cell[1] == score  # same phrase text -> same score
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:_RAKE_TOP]
+    exp = [(ph, sc, n) for ph, (n, sc) in ranked]
+    got = [
+        (r["phrase"], r["score"], r["n_occurrences"])
+        for r in text_rake_keywords(spark, sf_dir).collect()
+    ]
+    assert got == exp
+
+
+def test_chunk_overlap_census_matches_python(spark, sf_dir):
+    # X134: closed-form chunk math vs an EXPLICIT python chunker that
+    # actually materializes the chunks — proving the closed form.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        _CHUNK_S,
+        _CHUNK_W,
+        doc_chunk_overlap_census,
+    )
+
+    raw = _rows(sf_dir, "SELECT source, text FROM documents")
+    exp: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for src, text in raw:
+        toks = text.strip().split(" ")
+        L = len(toks)
+        chunks = []
+        start = 0
+        while True:
+            chunks.append(toks[start : start + _CHUNK_W])
+            if start + _CHUNK_W >= L:
+                break
+            start += _CHUNK_S
+        cell = exp[src]
+        cell[0] += 1
+        cell[1] += L
+        cell[2] += len(chunks)
+        cell[3] += sum(len(c) for c in chunks)
+    want = {
+        src: (v[0], v[1], v[2], v[3], v[3] * 10000 // v[1])
+        for src, v in exp.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_chunks"],
+            r["stored_tokens"],
+            r["amplification_bp"],
+        )
+        for r in doc_chunk_overlap_census(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_recall_census_consistency(spark, sf_dir):
+    # X132: census invariants + agreement with a direct set compare of
+    # the two catalog shortlists it is built from.
+    from xero_api_etl_utilities_spark.plans.training_ops import (
+        similarity_ivfpq_recall,
+        similarity_topk_ivfpq_rerank,
+    )
+    from xero_api_etl_utilities_spark.operators import similarity as sim
+    from xero_api_etl_utilities_spark.plans.catalog import queries as _q
+    from xero_api_etl_utilities_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    row = similarity_ivfpq_recall(spark, sf_dir).collect()[0]
+    assert row["n_truth"] == row["n_queries"] * 5
+    assert 0 <= row["n_hits"] <= row["n_truth"]
+    assert row["recall_bp"] == row["n_hits"] * 10000 // row["n_truth"]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.topk_bruteforce(qs, emb, k=5, max_queries=100).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_topk_ivfpq_rerank(spark, sf_dir).collect()
+    }
+    assert row["n_hits"] == len(truth & approx)

@@ -573,6 +573,21 @@ CHECKS = {
     "text_char_entropy": [
         ("join-free aggregate chain", lambda p: "Join" not in p and "Exchange SinglePartition" not in p),
     ],
+    # r7: X132 — both shortlists are bounded frames; the census join
+    # is a broadcast, never a corpus-grain shuffle
+    "similarity_ivfpq_recall": [
+        ("shortlist census broadcast, no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    # r7: X133 — segmentation window doc-partitioned; top-20 via
+    # TakeOrdered, never a global rank window
+    "text_rake_keywords": [
+        ("top-k via TakeOrdered", lambda p: "TakeOrderedAndProject" in p),
+        ("doc-partitioned segmentation, no single-partition window", lambda p: "Exchange SinglePartition" not in p),
+    ],
+    # r7: X134 — closed-form chunk math: scan projection + aggregate
+    "doc_chunk_overlap_census": [
+        ("no explode, no joins — closed-form census", lambda p: "Join" not in p and "Generate" not in p),
+    ],
 }
 
 

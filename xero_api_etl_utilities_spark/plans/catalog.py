@@ -71,6 +71,9 @@ _WINDOW_PRIORITY: list[str] = [
     "label_noise_kappa",
     "tokenizer_oov_census",
     "text_char_entropy",
+    "similarity_ivfpq_recall",
+    "text_rake_keywords",
+    "doc_chunk_overlap_census",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",

@@ -1055,3 +1055,231 @@ FROM doc_h GROUP BY source ORDER BY source
 """
 
 register("text_char_entropy", text_char_entropy, _CHAR_ENTROPY_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X133: RAKE-lite keyword extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 20
+_RAKE_MAX_LEN = 6  # candidate phrases longer than this are discarded
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133: RAKE (Rose et al. 2010, "Automatic Keyword Extraction
+    from Individual Documents") at corpus grain — candidate phrases
+    are maximal runs of non-stopword tokens, CAPPED at
+    ``_RAKE_MAX_LEN`` words (the paper's practice: longer runs are
+    not keywords; on this stopword-sparse synthetic corpus the cap is
+    also what keeps the candidate set meaningful — uncapped, most
+    "phrases" are near-whole documents); each word scores
+    deg(w)/freq(w) (degree = total length of CANDIDATE phrases
+    containing it); a phrase scores the sum of its words; the census
+    is the corpus's top-20 phrases.  The keyword table a corpus card
+    publishes, and the "what is this source about" probe mixture
+    designers read.
+
+    Integer exactness: word scores are deg*1000 div freq (milli-
+    units), phrase scores sum those — identical `div` both engines.
+    Phrase segmentation is a RUNNING COUNT of stopword markers per
+    doc (a doc-partitioned window), so the phrase ids — and therefore
+    deg/freq — are engine-identical by construction.
+
+    Shape: one explode to the token grain, one doc-partitioned
+    running-sum window, one (doc, segment) phrase aggregate, two
+    word-dimension aggregates, top-20 via TakeOrdered — no global
+    rank window, no joins beyond the word-score broadcast."""
+    from xero_api_etl_utilities_spark.operators.textstats import STOPWORDS_EN
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("pos", "tok"),
+    ).withColumn(
+        "_stop", F.col("tok").isin(*STOPWORDS_EN).cast("int")
+    )
+    seg = toks.withColumn(
+        "seg",
+        F.sum("_stop").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter(F.col("_stop") == 0)
+    phrases = (
+        seg.groupBy("doc_id", "seg")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    words = seg.join(
+        phrases.select("doc_id", "seg", "plen"), ["doc_id", "seg"]
+    ).select("tok", "plen")
+    scores = words.groupBy("tok").agg(
+        F.expr("sum(plen) * 1000 div count(1)").alias("wscore")
+    )
+    scored = (
+        seg.join(F.broadcast(scores), "tok")
+        .groupBy("doc_id", "seg")
+        .agg(F.sum("wscore").alias("score"))
+        .join(phrases, ["doc_id", "seg"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score").alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(_RAKE_TOP)
+    )
+
+
+def _rake_oracle() -> str:
+    from xero_api_etl_utilities_spark.operators.textstats import STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, tk[t.i] AS tok,
+    CASE WHEN list_contains([{stoplist}], tk[t.i]) THEN 1 ELSE 0 END AS stp
+  FROM (SELECT doc_id,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents),
+       unnest(range(1, len(tk) + 1)) AS t(i)
+), seg AS (
+  SELECT doc_id, pos, tok,
+    sum(stp) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM toks
+  QUALIFY stp = 0
+), phrases AS (
+  SELECT doc_id, seg,
+    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+    count(*)::BIGINT AS plen
+  FROM seg GROUP BY doc_id, seg
+  HAVING count(*) <= {_RAKE_MAX_LEN}
+), scores AS (
+  SELECT s.tok, sum(p.plen) * 1000 // count(*) AS wscore
+  FROM seg s JOIN phrases p USING (doc_id, seg)
+  GROUP BY s.tok
+), phrase_scores AS (
+  SELECT s.doc_id, s.seg, sum(sc.wscore) AS score
+  FROM seg s JOIN scores sc USING (tok)
+  GROUP BY s.doc_id, s.seg
+)
+SELECT p.phrase, CAST(max(ps.score) AS BIGINT) AS score,
+  count(*)::BIGINT AS n_occurrences
+FROM phrases p JOIN phrase_scores ps USING (doc_id, seg)
+GROUP BY p.phrase
+ORDER BY score DESC, phrase ASC
+LIMIT {_RAKE_TOP}
+"""
+
+
+register("text_rake_keywords", text_rake_keywords, _rake_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X134: overlapped-chunking storage amplification census
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32  # chunk window (tokens) — sized to this corpus's ~40-80
+_CHUNK_S = 24  # token docs so the census exercises the multi-chunk
+               # branch at every sf; production uses e.g. (512, 384)
+
+
+def doc_chunk_overlap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134: the RAG-chunking storage planner — sliding chunks of W
+    tokens at stride S (overlap W-S) and, per source, the CLOSED-FORM
+    chunk/storage census: chunk count, stored token mass (overlap
+    counts every chunk it lands in), and the storage amplification in
+    bp over the raw corpus.  ``doc_pack_chunks`` materializes
+    non-overlapping chunk rows; retrieval chunking overlaps (so no
+    answer straddles a boundary), and the amplification is the number
+    a vector-store capacity plan needs BEFORE materializing anything.
+
+    Entirely per-row integer algebra — no explode: for a doc of L
+    tokens, n_chunks = 1 if L <= W else (L - W + S - 1) div S + 1,
+    and stored = L + (n_chunks - 1) * (W - S) + padding-free tail
+    correction... no: stored = W * (n_chunks - 1) + (L - S *
+    (n_chunks - 1)) for L > W (the last chunk is whatever remains
+    from its start), = L + (W - S) * (n_chunks - 1) exactly — the
+    overlap mass in closed form.  One scan projection + one source
+    aggregate; nothing else."""
+    w, s = _CHUNK_W, _CHUNK_S
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("L"),
+    )
+    n_chunks = F.when(
+        F.col("L") <= w, F.lit(1).cast("bigint")
+    ).otherwise(F.expr(f"(L - {w} + {s} - 1) div {s} + 1"))
+    per_doc = sized.select(
+        "source",
+        "L",
+        n_chunks.alias("nc"),
+    ).select(
+        "source",
+        "L",
+        "nc",
+        (F.col("L") + (F.col("nc") - 1) * (w - s)).alias("stored"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("L").alias("n_tokens"),
+            F.sum("nc").alias("n_chunks"),
+            F.sum("stored").alias("stored_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chunks",
+            "stored_tokens",
+            F.expr("stored_tokens * 10000 div n_tokens").alias(
+                "amplification_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_CHUNK_OVERLAP_ORACLE = f"""
+WITH sized AS (
+  SELECT source, len(string_split(trim(text), ' '))::BIGINT AS L
+  FROM documents
+), per_doc AS (
+  SELECT source, L,
+    CASE WHEN L <= {_CHUNK_W} THEN 1
+         ELSE (L - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1 END AS nc
+  FROM sized
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(L)::BIGINT AS n_tokens,
+  sum(nc)::BIGINT AS n_chunks,
+  sum(L + (nc - 1) * {_CHUNK_W - _CHUNK_S})::BIGINT AS stored_tokens,
+  (sum(L + (nc - 1) * {_CHUNK_W - _CHUNK_S}) * 10000 // sum(L))::BIGINT
+    AS amplification_bp
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+register("doc_chunk_overlap_census", doc_chunk_overlap_census, _CHUNK_OVERLAP_ORACLE)

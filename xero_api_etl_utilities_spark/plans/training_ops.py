@@ -943,6 +943,80 @@ register(
 )
 
 
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132: ANN quality AS A QUERY — recall@5 of the production
+    IVF-PQ + exact-rerank search against the brute-force cosine truth
+    over the same probe set, driver-hash-verified: the X94 pattern
+    (LSH recall/precision promoted into the catalog) applied to the
+    similarity family, so the index's headline quality number is
+    continuously verified instead of living only in
+    tools/ann_recall.py.
+
+    Engine stability: both sides are rank SETS already proven
+    engine-stable (the exact truth is the similarity_label_purity
+    ranking; the approx side is similarity_topk_ivfpq_rerank, green
+    r6) — the census only counts their intersection.  Shape: the
+    two shortlists are (20 x 5)-row frames; everything after the
+    searches is dimension-sized."""
+    from xero_api_etl_utilities_spark.operators import ivf
+    from xero_api_etl_utilities_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, books, index = _pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = ivf.topk_ivf_pq(
+        queries, emb, centroids, books, k=5, nprobe=4, corpus_index=index,
+        rerank=50,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    truth = sim.topk_bruteforce(queries, emb, k=5, max_queries=100).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_queries",
+            "n_truth",
+            "n_hits",
+            F.expr("n_hits * 10000 div n_truth").alias("recall_bp"),
+        )
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    return f"""
+WITH truth AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q
+  JOIN embeddings c ON q.vec_id <> c.vec_id
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             c.vec_id ASC) <= 5
+), approx AS (
+  SELECT query_id, neighbor_id FROM ({_ivfpq_oracle_sql(rerank=50)})
+), agg AS (
+  SELECT count(DISTINCT t.query_id)::BIGINT AS n_queries,
+    count(*)::BIGINT AS n_truth,
+    count(a.query_id)::BIGINT AS n_hits
+  FROM truth t
+  LEFT JOIN approx a
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+)
+SELECT n_queries, n_truth, n_hits,
+  (n_hits * 10000 // n_truth)::BIGINT AS recall_bp
+FROM agg
+"""
+
+
+register("similarity_ivfpq_recall", similarity_ivfpq_recall, _ivfpq_recall_oracle)
+
+
 def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X26 completion — trailing-baseline ANOMALY flags on the daily
     event-type rollup: a day is anomalous when its count deviates from
