@@ -318,6 +318,8 @@ HEADLINE = [
     "similarity_ivfpq_recall",
     "text_rake_keywords",
     "doc_chunk_overlap_census",
+    "multimodal_audio_vad",
+    "similarity_range_search",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -514,3 +514,77 @@ def test_ivfpq_recall_census_consistency(spark, sf_dir):
         for r in similarity_topk_ivfpq_rerank(spark, sf_dir).collect()
     }
     assert row["n_hits"] == len(truth & approx)
+
+
+def test_audio_vad_matches_python_decode(spark, sf_dir):
+    # X135: recompute the window energies from the closed-form sample
+    # rule (doc_id*37 + i*13 + c*7 mod 4001 - 2000) in python.
+    from xero_api_etl_utilities_spark.plans.training_ops import (
+        multimodal_audio_vad,
+    )
+
+    raw = _rows(sf_dir, "SELECT doc_id FROM documents WHERE doc_id % 10 = 0")
+    exp = {}
+    for (d,) in raw:
+        rate = 8000 + (d % 3) * 4000
+        n_ch = 1 + (d % 2)
+        n_fr = 200 + (d % 5) * 50
+        win = rate * 20 // 1000
+        n_windows = (n_fr + win - 1) // win
+        n_active = 0
+        for w in range(n_windows):
+            lo, hi = w * win, min((w + 1) * win, n_fr)
+            e = sum(
+                abs(((d * 37 + i * 13 + c * 7) % 4001) - 2000)
+                for c in range(n_ch)
+                for i in range(lo, hi)
+            )
+            if e >= 1000 * (hi - lo) * n_ch:
+                n_active += 1
+        exp[d] = (n_windows, n_active, n_active * 10000 // n_windows)
+    got = {
+        r["media_id"]: (r["n_windows"], r["n_active"], r["active_bp"])
+        for r in multimodal_audio_vad(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_range_search_matches_numpy_within_cells(spark, sf_dir):
+    # X136: the pair set must equal a numpy replay of cell assignment
+    # (argmax centroid dot, ties to larger cell) + cosine radius.
+    import numpy as np
+
+    from xero_api_etl_utilities_spark.operators.ivf import train_centroids
+    from xero_api_etl_utilities_spark.plans.extensions import (
+        similarity_range_search,
+    )
+    from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [np.array(c) for c in train_centroids(emb, k=16, iters=4, sample=1000)]
+    raw = _rows(sf_dir, "SELECT vec_id, embedding FROM embeddings")
+    V = {r[0]: np.array(r[1], dtype=np.float64) for r in raw}
+
+    def cells(v, nprobe):
+        scores = sorted(
+            ((float(v @ c), i) for i, c in enumerate(cents)), reverse=True
+        )
+        return [i for _, i in scores[:nprobe]]
+
+    corpus_cell = {i: cells(v, 1)[0] for i, v in V.items()}
+    exp = set()
+    for q in (i for i in V if i < 20):
+        probe = set(cells(V[q], 4))
+        for c, v in V.items():
+            if c == q or corpus_cell[c] not in probe:
+                continue
+            cos = float(
+                V[q] @ v / ((np.linalg.norm(V[q]) or 1e-12) * (np.linalg.norm(v) or 1e-12))
+            )
+            if cos >= 0.30:
+                exp.add((q, c))
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_range_search(spark, sf_dir).collect()
+    }
+    assert got == exp

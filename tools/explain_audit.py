@@ -588,6 +588,15 @@ CHECKS = {
     "doc_chunk_overlap_census": [
         ("no explode, no joins — closed-form census", lambda p: "Join" not in p and "Generate" not in p),
     ],
+    # r7: X135 — Arrow decode projection; bytes never shuffle
+    "multimodal_audio_vad": [
+        ("decode is an Arrow mapInPandas projection", lambda p: "MapInPandas" in p),
+        ("no joins on the byte grain", lambda p: "Join" not in p),
+    ],
+    # r7: X136 — radius search candidates from the cell equi-join
+    "similarity_range_search": [
+        ("cell equi-join candidates, no all-pairs", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 

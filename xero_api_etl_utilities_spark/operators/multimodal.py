@@ -308,6 +308,63 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
 
 
+AUDIO_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_windows", T.LongType(), True),
+        T.StructField("n_active", T.LongType(), True),
+        T.StructField("active_bp", T.LongType(), True),
+    ]
+)
+
+
+def decode_audio_vad(
+    media: DataFrame, win_ms: int = 20, threshold: int = 1000
+) -> DataFrame:
+    """Energy-based voice-activity detection through the FULL RIFF
+    decoder: the int16 stream is framed into ``win_ms`` windows
+    (win_frames = rate * win_ms // 1000 — rate-dependent, so a window
+    always means the same wall-clock span); a window is ACTIVE when
+    its mean absolute amplitude across all channels reaches
+    ``threshold`` (integer cross-multiplied: sum|v| >= threshold *
+    n_samples — no division).  Output per media: window count, active
+    count, active share in bp — the speech-density number an audio
+    curation pipeline uses to drop silence-heavy clips before they
+    reach an ASR labeler.
+
+    Same execution contract as ``decode_audio_stats``: Arrow-batched
+    ``mapInPandas`` projection of the media scan; audio bytes never
+    shuffle.  The trailing partial window counts with its OWN sample
+    count (cross-multiply, not padding), so short tails are judged
+    fairly."""
+    from xero_api_etl_utilities_spark.functions.audiocodec import decode_wav
+
+    def _vad(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, c in zip(pdf["media_id"], pdf["content"]):
+                rate, n_ch, n_fr, channels = decode_wav(bytes(c))
+                win = max(rate * win_ms // 1000, 1)
+                n_windows = max((n_fr + win - 1) // win, 1) if n_fr else 0
+                n_active = 0
+                for w in range(n_windows):
+                    lo, hi = w * win, min((w + 1) * win, n_fr)
+                    e = sum(
+                        abs(ch[i]) for ch in channels for i in range(lo, hi)
+                    )
+                    if e >= threshold * (hi - lo) * n_ch:
+                        n_active += 1
+                bp = n_active * 10000 // n_windows if n_windows else 0
+                rows.append([int(d), n_windows, n_active, bp])
+            yield pd.DataFrame(
+                rows, columns=[fld.name for fld in AUDIO_VAD_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_vad, schema=AUDIO_VAD_SCHEMA)
+
+
 GRAY_BLOCKS_SCHEMA = T.StructType(
     [T.StructField("media_id", T.LongType(), False)]
     + [T.StructField(f"f{j}", T.LongType(), True) for j in range(8)]

@@ -74,6 +74,8 @@ _WINDOW_PRIORITY: list[str] = [
     "similarity_ivfpq_recall",
     "text_rake_keywords",
     "doc_chunk_overlap_census",
+    "multimodal_audio_vad",
+    "similarity_range_search",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",

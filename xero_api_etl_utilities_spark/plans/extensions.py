@@ -351,6 +351,31 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("similarity_topk_ivf", similarity_topk_ivf, sk.topk_ivf_oracle)
 
 
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136: radius similarity search (FAISS range_search) — every
+    corpus vector within cosine >= 0.30 of each probe, candidates
+    from nprobe=4 IVF cells: the "give me ALL near matches" member of
+    the similarity family (top-k answers a different question; dedup
+    sweeps and recall-first retrieval want the radius form).  Pair
+    SET engine-stable: tau margin measured >= 2.2e-5 at every sf,
+    ~10^7 x the double-summation noise of a 64-dim dot.  Oracle
+    re-trains bit-identical centroids and replays cells + cosine
+    filter in SQL."""
+    from xero_api_etl_utilities_spark.operators import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf.range_search_ivf(queries, emb, centroids, tau=0.30, nprobe=4)
+
+
+def _range_search_oracle() -> str:
+    return sk.range_search_ivf_oracle(tau=0.30, nprobe=4)
+
+
+register("similarity_range_search", similarity_range_search, _range_search_oracle)
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: SimHash near-dup pairs (Hamming <= 3) via 16-bit banding —
     completes the SimHash path from fingerprint to pair set (oracle

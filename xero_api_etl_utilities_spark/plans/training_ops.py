@@ -943,6 +943,59 @@ register(
 )
 
 
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135: energy VAD census through the REAL RIFF decode chain —
+    synth 16-bit PCM per doc_id (the ``multimodal_audio_features``
+    source rule), framed into 20 ms rate-dependent windows, each
+    window judged active by integer cross-multiplied mean-|v| >=
+    1000; per-clip window/active counts and active share in bp.  The
+    silence-density gate an audio curation pipeline applies before
+    paying an ASR labeler.  Oracle regenerates the same samples via
+    generate_series and replays the same window algebra — a wrong
+    byte ANYWHERE in encode -> chunk-walk -> int16 -> windowing
+    hash-mismatches.  Bytes never shuffle (mapInPandas projection);
+    the 1-in-10 doc slice keeps the oracle's generate_series frame
+    DuckDB-sized at any sf."""
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    media = mm.synth_wav_media(docs, "doc_id")
+    return mm.decode_audio_vad(media).orderBy("media_id")
+
+
+_AUDIO_VAD_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + (doc_id % 2) AS n_ch,
+         200 + (doc_id % 5) * 50 AS n_fr
+  FROM documents WHERE doc_id % 10 = 0
+), s AS (
+  SELECT doc_id, rate, n_ch, n_fr, c, i,
+         abs(((doc_id * 37 + i * 13 + c * 7) % 4001) - 2000) AS av,
+         i // (rate * 20 // 1000) AS w
+  FROM (SELECT base.*, unnest(generate_series(0, n_ch - 1)) AS c FROM base),
+       unnest(generate_series(0, n_fr - 1)) AS t(i)
+), win AS (
+  SELECT doc_id, w, sum(av) AS e, count(*) AS n_samp
+  FROM s GROUP BY doc_id, w
+), judged AS (
+  SELECT doc_id, count(*)::BIGINT AS n_windows,
+    sum(CASE WHEN e >= 1000 * n_samp THEN 1 ELSE 0 END)::BIGINT AS n_active
+  FROM win GROUP BY doc_id
+)
+SELECT doc_id AS media_id, n_windows, n_active,
+  (n_active * 10000 // n_windows)::BIGINT AS active_bp
+FROM judged ORDER BY media_id
+"""
+
+register("multimodal_audio_vad", multimodal_audio_vad, _AUDIO_VAD_ORACLE)
+
+
 def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X132: ANN quality AS A QUERY — recall@5 of the production
     IVF-PQ + exact-rerank search against the brute-force cosine truth
