@@ -320,6 +320,8 @@ HEADLINE = [
     "doc_chunk_overlap_census",
     "multimodal_audio_vad",
     "similarity_range_search",
+    "layout_partition_advisor",
+    "diag_langid_confusion",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

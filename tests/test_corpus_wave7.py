@@ -588,3 +588,68 @@ def test_range_search_matches_numpy_within_cells(spark, sf_dir):
         for r in similarity_range_search(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_partition_advisor_matches_python(spark, sf_dir):
+    # X137: recompute the advisory table from raw counts.
+    from xero_api_etl_utilities_spark.plans.scale_ops import (
+        layout_partition_advisor,
+    )
+
+    raw = _rows(
+        sf_dir,
+        "SELECT CAST(o_orderdate AS VARCHAR), CAST(o_orderpriority AS VARCHAR),"
+        " CAST(o_orderstatus AS VARCHAR), CAST(o_custkey AS VARCHAR) FROM orders",
+    )
+    cols = ["o_orderdate", "o_orderpriority", "o_orderstatus", "o_custkey"]
+    exp = {}
+    for ci, col in enumerate(cols):
+        c = Counter(r[ci] for r in raw)
+        n_rows = sum(c.values())
+        n_values = len(c)
+        avg = n_rows // n_values
+        mx = max(c.values())
+        skew = mx * 100 // avg
+        verdict = (
+            "one_value"
+            if n_values <= 1
+            else "too_granular"
+            if avg < 1000
+            else "skewed"
+            if skew > 500
+            else "ok"
+        )
+        exp[col] = (n_values, n_rows, avg, mx, skew, verdict)
+    got = {
+        r["col"]: (
+            r["n_values"],
+            r["n_rows"],
+            r["avg_rows_per_value"],
+            r["max_value_rows"],
+            r["skew_x100"],
+            r["verdict"],
+        )
+        for r in layout_partition_advisor(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_langid_confusion_cells_partition_each_language(spark, sf_dir):
+    # X138: per-declared shares must sum to ~10000 bp (integer floors)
+    # and cell counts must sum to the corpus.
+    from xero_api_etl_utilities_spark.plans.extensions import (
+        diag_langid_confusion,
+    )
+
+    rows = diag_langid_confusion(spark, sf_dir).collect()
+    (n_docs,) = _rows(sf_dir, "SELECT count(*) FROM documents")[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    per_decl: dict[str, list] = defaultdict(list)
+    for r in rows:
+        per_decl[r["declared"]].append(r)
+    for decl, rs in per_decl.items():
+        tot = sum(r["n_docs"] for r in rs)
+        bp = sum(r["share_bp"] for r in rs)
+        assert 10000 - len(rs) < bp <= 10000
+        for r in rs:
+            assert r["share_bp"] == r["n_docs"] * 10000 // tot

@@ -597,6 +597,15 @@ CHECKS = {
     "similarity_range_search": [
         ("cell equi-join candidates, no all-pairs", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # r7: X137 — candidates unpivot in-row; ONE fact scan feeds all
+    "layout_partition_advisor": [
+        ("single fact scan for every candidate column", lambda p: p.count("Location: InMemoryFileIndex") == 1),
+        ("no joins", lambda p: "Join" not in p),
+    ],
+    # r7: X138 — declared totals broadcast onto the confusion cells
+    "diag_langid_confusion": [
+        ("totals broadcast, no cartesian", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ],
 }
 
 

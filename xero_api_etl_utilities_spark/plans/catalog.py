@@ -76,6 +76,8 @@ _WINDOW_PRIORITY: list[str] = [
     "doc_chunk_overlap_census",
     "multimodal_audio_vad",
     "similarity_range_search",
+    "layout_partition_advisor",
+    "diag_langid_confusion",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",

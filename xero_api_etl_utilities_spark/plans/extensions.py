@@ -252,6 +252,75 @@ FROM hits
 )
 
 
+def diag_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138: declared-vs-detected language CONFUSION census — the
+    integration roll-up of the X3 lang-id heuristic against the
+    corpus's own ``lang`` labels: one row per (declared, detected)
+    cell with its count and its share of the declared language's docs
+    in bp.  The diagonal is the labeler's agreement rate; a hot
+    off-diagonal cell is either a metadata bug or a marker-list gap —
+    the table that decides whether `lang` can be trusted for
+    stratified sampling (the X123 split audit assumes it can).
+
+    One scan, one (declared, detected) aggregate, one declared-grain
+    broadcast total — integer bp throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    det = docs.select(
+        F.col("lang").alias("declared"),
+        tx.lang_id(F.col("text")).alias("detected"),
+    )
+    cell = det.groupBy("declared", "detected").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cell.groupBy("declared").agg(F.sum("n_docs").alias("_t"))
+    return (
+        cell.join(F.broadcast(tot), "declared")
+        .select(
+            "declared",
+            "detected",
+            "n_docs",
+            F.expr("n_docs * 10000 div _t").alias("share_bp"),
+        )
+        .orderBy("declared", "detected")
+    )
+
+
+register(
+    "diag_langid_confusion",
+    diag_langid_confusion,
+    """
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(['der','und','die','das','ist'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+    len(list_filter(toks, x -> list_contains(['el','los','las','una','es'], x))) AS h_es
+  FROM t
+), det AS (
+  SELECT lang AS declared,
+    CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+         WHEN h_en >= h_de THEN 'en'
+         ELSE 'de' END AS detected
+  FROM hits
+), cell AS (
+  SELECT declared, detected, count(*)::BIGINT AS n_docs
+  FROM det GROUP BY 1, 2
+), tot AS (
+  SELECT declared, sum(n_docs)::BIGINT AS t FROM cell GROUP BY 1
+)
+SELECT c.declared, c.detected, c.n_docs,
+  (c.n_docs * 10000 // t.t)::BIGINT AS share_bp
+FROM cell c JOIN tot t ON c.declared = t.declared
+ORDER BY c.declared, c.detected
+""",
+)
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 token counting: whitespace tokens + BPE-ish regex tokens."""
     docs = load_table(spark, sf_dir, "documents")

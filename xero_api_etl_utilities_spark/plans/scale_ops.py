@@ -225,3 +225,89 @@ ORDER BY bucket
 
 
 register("layout_zorder_stats", layout_zorder_stats, _zorder_oracle)
+
+
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137: the partition-column advisor — for each CANDIDATE
+    partition column of the fact table, the three numbers that decide
+    a physical layout (distinct values, mean rows per value, heaviest
+    value's skew vs that mean) plus a rule verdict: 'one_value'
+    (partitioning is a no-op), 'too_granular' (mean partition under
+    1000 rows — small-file storm), 'skewed' (heaviest value > 5x the
+    mean — stragglers), else 'ok'.  The advisory every lakehouse
+    writes by hand; here it is ONE scan: the candidates unpivot
+    in-row via ``stack`` and a single (column, value) aggregate feeds
+    a column-grain rollup — adding a candidate is adding a stack
+    entry, never a pass.
+
+    Value grain is stringified (partition directories are strings
+    anyway); verdict thresholds are integers so the row hashes."""
+    od = load_table(spark, sf_dir, "orders")
+    cands = od.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderdate', cast(o_orderdate as string),"
+            " 'o_orderpriority', cast(o_orderpriority as string),"
+            " 'o_orderstatus', cast(o_orderstatus as string),"
+            " 'o_custkey', cast(o_custkey as string)"
+            ") as (col, val)"
+        )
+    )
+    per_val = cands.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    per_col = per_val.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_value_rows"),
+    )
+    avg_rows = F.expr("n_rows div n_values")
+    skew = F.expr("max_value_rows * 100 div (n_rows div n_values)")
+    verdict = (
+        F.when(F.col("n_values") <= 1, F.lit("one_value"))
+        .when(avg_rows < 1000, F.lit("too_granular"))
+        .when(skew > 500, F.lit("skewed"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        per_col.select(
+            "col",
+            "n_values",
+            "n_rows",
+            avg_rows.alias("avg_rows_per_value"),
+            "max_value_rows",
+            skew.alias("skew_x100"),
+            verdict.alias("verdict"),
+        )
+        .orderBy("col")
+    )
+
+
+_PARTITION_ADVISOR_ORACLE = """
+WITH cands AS (
+  SELECT 'o_orderdate' AS col, CAST(o_orderdate AS VARCHAR) AS val FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+), per_val AS (
+  SELECT col, val, count(*)::BIGINT AS n FROM cands GROUP BY 1, 2
+), per_col AS (
+  SELECT col, count(*)::BIGINT AS n_values, sum(n)::BIGINT AS n_rows,
+         max(n)::BIGINT AS max_value_rows
+  FROM per_val GROUP BY col
+)
+SELECT col, n_values, n_rows,
+  (n_rows // n_values)::BIGINT AS avg_rows_per_value,
+  max_value_rows,
+  (max_value_rows * 100 // (n_rows // n_values))::BIGINT AS skew_x100,
+  CASE WHEN n_values <= 1 THEN 'one_value'
+       WHEN n_rows // n_values < 1000 THEN 'too_granular'
+       WHEN max_value_rows * 100 // (n_rows // n_values) > 500 THEN 'skewed'
+       ELSE 'ok' END AS verdict
+FROM per_col ORDER BY col
+"""
+
+register(
+    "layout_partition_advisor", layout_partition_advisor, _PARTITION_ADVISOR_ORACLE
+)
