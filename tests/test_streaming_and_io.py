@@ -713,3 +713,81 @@ def test_stream_semdedup_guard_matches_numpy_and_batch(spark, tmp_path):
         ).collect()
     }
     assert batch_susp == outcomes["suspects"]
+
+
+def test_stream_ingest_pipeline_composition(spark, tmp_path):
+    """The full INGEST pipeline as one streaming DAG — quality gate
+    (stateless filter) -> lexical band guard (vs a reference doc) ->
+    semantic cell guard (vs reference vectors), drained through a
+    real availableNow run.  Each stage must drop exactly its own
+    casualties and the surviving set must equal the same three
+    functions applied as plain batch — the streaming twin of
+    pipeline_corpus_clean's composition argument."""
+    import numpy as np
+
+    from xero_api_etl_utilities_spark.operators.ivf import train_centroids
+    from xero_api_etl_utilities_spark.operators.textstats import quality_flags
+    from xero_api_etl_utilities_spark.streaming.filestream import (
+        run_available_now,
+        stream_neardup_guard,
+        stream_semdedup_guard,
+    )
+
+    rng = np.random.default_rng(21)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    good = (
+        "the quick brown fox jumps over a lazy dog and the crate of "
+        "spark executors hums along to the shuffle of parquet row groups"
+    )
+    ref_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref_vecs = [
+        (900 + i, "ref doc " + str(i), [float(x) for x in rng.normal(size=8)])
+        for i in range(10)
+    ]
+    reference = spark.createDataFrame(ref_vecs, schema)
+    cents = train_centroids(reference, "embedding", "doc_id", k=3, iters=3)
+
+    fresh = [float(x) for x in rng.normal(size=8)]
+    rows = [
+        # 1: survives everything
+        (1, good, fresh),
+        # 2: too short -> quality gate drops it
+        (2, "tiny", [float(x) for x in rng.normal(size=8)]),
+        # 3: lexical near-dup of the reference doc -> band guard
+        (3, "the " + ref_text, [float(x) for x in rng.normal(size=8)]),
+        # 4: semantic twin of a reference vector -> semantic guard
+        (4, good + " but rephrased", [x * 3.0 for x in ref_vecs[2][2]]),
+    ]
+    drop = str(tmp_path / "ingest")
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(drop)
+
+    def pipeline(df):
+        flags = quality_flags(F.col("text"))
+        gated = df.filter(flags["len_ok"] & flags["stopword_ok"])
+        lex_ok = stream_neardup_guard(
+            gated,
+            spark.createDataFrame([(999, ref_text)], "doc_id long, text string"),
+            emit="clean",
+        )
+        return stream_semdedup_guard(
+            lex_ok, reference, cents, id_col="doc_id", tau=0.85, emit="clean"
+        )
+
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ickpt")
+    run_available_now(
+        pipeline(spark.readStream.schema(schema).parquet(drop)), ckpt, out
+    )
+    accepted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert accepted == {1}
+
+    batch_accept = {
+        r["doc_id"]
+        for r in pipeline(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert batch_accept == accepted
