@@ -361,3 +361,54 @@ def test_cc_star_equals_label_propagation_property(spark, data):
         for r in connected_components(df, max_iters=200).collect()
     }
     assert star == lp
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_decomposed_rank_and_ntile_property(spark, data):
+    """operators/rankdist: the band-decomposed global rank must equal
+    row_number() OVER (ORDER BY score, id), and the closed-form NTILE
+    must equal F.ntile, on tie-HEAVY random frames (scores drawn from
+    a tiny domain so bands collapse and ties span band boundaries) at
+    several tile counts including t > n."""
+    from pyspark.sql import Window as W
+
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed,
+        ntile_closed_form,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 15), st.integers(0, 10**6)),
+            min_size=1,
+            max_size=400,
+            unique_by=lambda t: t[1],
+        )
+    )
+    df = spark.createDataFrame(rows, "score long, id long")
+    banded = df.withColumn("bucket", F.shiftright(F.col("score"), 2))
+    ranked = global_rank_decomposed(
+        banded, "bucket", [F.asc("score"), F.asc("id")], rank_name="r"
+    )
+    total = df.count()
+    w = W.orderBy(F.asc("score"), F.asc("id"))
+    expected = df.select(
+        "id",
+        F.row_number().over(w).alias("er"),
+        *[F.ntile(t).over(w).alias(f"et{t}") for t in (1, 3, 10, 1000)],
+    )
+    got = ranked.select(
+        "id",
+        "r",
+        *[
+            ntile_closed_form(F.col("r"), F.lit(total), t).alias(f"gt{t}")
+            for t in (1, 3, 10, 1000)
+        ],
+    )
+    j = {r["id"]: r for r in expected.join(got, "id").collect()}
+    assert len(j) == total
+    for r in j.values():
+        assert r["r"] == r["er"]
+        for t in (1, 3, 10, 1000):
+            assert r[f"gt{t}"] == r[f"et{t}"], (r["id"], t)

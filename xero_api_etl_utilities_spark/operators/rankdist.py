@@ -1,0 +1,96 @@
+"""Distributed global-rank decomposition (no single-partition window).
+
+``row_number()/ntile() OVER (ORDER BY ...)`` with no partition key is
+the classic scale-killer: Spark moves the ENTIRE frame to one
+partition.  This module provides the band-decomposed equivalent used
+by ``diag_quality_deciles_dist`` and ``text_zipf_slope``
+(plans/corpus_extra.py, plans/corpus_wave7.py) as a reusable
+operator:
+
+1. the caller supplies a BAND column whose order is a coarsening of
+   the sort order (band boundaries are ranges of the sort key — e.g.
+   ``(score + off) >> 7`` for an ascending integer score, or
+   ``ilog2(cnt)`` for a descending count);
+2. within-band ranks come from a PARTITIONED window — fully parallel;
+3. band offsets (rows in all earlier bands) come from a broadcast
+   inequality self-join over the band histogram — a prefix sum with
+   no single-partition exchange anywhere;
+4. global rank = offset + within-band rank, and NTILE is applied in
+   CLOSED FORM: for n rows and t tiles, the first n % t tiles hold
+   n // t + 1 rows, so
+   ``tile(r) = ceil(r / (q+1))`` while ``r <= rem * (q+1)`` else
+   ``rem + ceil((r - rem*(q+1)) / q)`` with q = n // t, rem = n % t —
+   bit-for-bit the engine's NTILE tie-split over the same total
+   order (hypothesis-pinned against ``F.ntile`` on tie-heavy random
+   frames).
+
+The only SinglePartition exchange in a consumer plan is the 1-row
+grand-total merge — unavoidable and harmless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank_decomposed(
+    df: DataFrame,
+    band_col: str,
+    order_cols: list,
+    rank_name: str = "r",
+    descending_bands: bool = False,
+) -> DataFrame:
+    """Attach the global ``row_number`` rank of the total order
+    ``order_cols`` (list of Columns or names; must totally order the
+    frame — include a unique id) WITHOUT a global window.
+
+    ``band_col`` must be a coarsening of that order: ascending bands
+    for an ascending order, or pass ``descending_bands=True`` when
+    larger bands sort FIRST (e.g. rank-by-count-descending with
+    ``band = ilog2(cnt)``)."""
+    local = df.withColumn(
+        "_local_pos",
+        F.row_number().over(Window.partitionBy(band_col).orderBy(*order_cols)),
+    )
+    hist = df.groupBy(band_col).agg(F.count(F.lit(1)).alias("_bcnt"))
+    other = hist.select(
+        F.col(band_col).alias("_ob"), F.col("_bcnt").alias("_oc")
+    )
+    before = (
+        F.col("_ob") > F.col(band_col)
+        if descending_bands
+        else F.col("_ob") < F.col(band_col)
+    )
+    offsets = (
+        hist.join(F.broadcast(other), before, "left")
+        .groupBy(band_col)
+        .agg(F.coalesce(F.sum("_oc"), F.lit(0)).alias("_offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), band_col)
+        .withColumn(rank_name, F.col("_offset") + F.col("_local_pos"))
+        .drop("_local_pos", "_offset")
+    )
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for nonnegative operands as pure Column
+    math: subtracting the remainder first makes the float division an
+    exact multiple — exact in double up to 2^53, far past any
+    realistic global rank."""
+    return ((a - a % b) / b).cast("bigint")
+
+
+def ntile_closed_form(rank: Column, total: Column, n_tiles: int) -> Column:
+    """NTILE(n_tiles) from a 1-based global rank and the frame total,
+    in pure integer column math (guarded for total < n_tiles, where
+    every rank falls in the when-branch and the otherwise-branch's
+    greatest() keeps the denominator nonzero)."""
+    q = _idiv(total, F.lit(n_tiles))
+    rem = (total % n_tiles).cast("bigint")
+    first_mass = rem * (q + 1)
+    qg = F.greatest(q, F.lit(1))
+    return F.when(rank <= first_mass, _idiv(rank + q, q + 1)).otherwise(
+        rem + _idiv(rank - first_mass + qg - 1, qg)
+    )

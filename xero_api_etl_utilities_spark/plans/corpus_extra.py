@@ -1104,44 +1104,19 @@ def diag_quality_deciles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 10000 * _punct div _nch"
         ).alias("q_score"),
     ).withColumn("bucket", F.shiftright(F.col("q_score") + F.lit(10000), 7))
-    local = scored.withColumn(
-        "local_pos",
-        F.row_number().over(
-            Window.partitionBy("bucket").orderBy("q_score", "doc_id")
-        ),
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed,
+        ntile_closed_form,
     )
-    hist = scored.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    lower = hist.select(
-        F.col("bucket").alias("_lb"), F.col("cnt").alias("_lc")
+
+    ranked = global_rank_decomposed(
+        scored, "bucket", [F.asc("q_score"), F.asc("doc_id")], rank_name="r"
     )
-    offsets = (
-        hist.join(F.broadcast(lower), F.col("_lb") < F.col("bucket"), "left")
-        .groupBy("bucket")
-        .agg(F.coalesce(F.sum("_lc"), F.lit(0)).alias("offset"))
-    )
-    total = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
-    ranked = (
-        local.join(F.broadcast(offsets), "bucket")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            (F.col("offset") + F.col("local_pos")).alias("r"),
-            F.expr("n div 10").alias("_q"),
-            (F.col("n") % 10).alias("_rem"),
-        )
-    )
-    # closed-form NTILE(10): integer `div` only (flagship rule); the
-    # otherwise-branch denominator is guarded for the n<10 edge where
-    # base==0 (then every r falls in the when-branch anyway)
-    decile = F.when(
-        F.col("r") <= F.col("_rem") * (F.col("_q") + 1),
-        F.expr("(r + _q) div (_q + 1)"),
-    ).otherwise(
-        F.col("_rem")
-        + F.expr("(r - _rem * (_q + 1) + greatest(_q, 1) - 1) div greatest(_q, 1)")
-    )
+    total = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    decile = ntile_closed_form(F.col("r"), F.col("n"), 10)
     return (
-        ranked.withColumn("decile", decile)
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("decile", decile)
         .groupBy("source", "decile")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select("source", F.col("decile").cast("int").alias("decile"), "n_docs")

@@ -493,23 +493,18 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bucket", (F.length(F.bin(F.col("cnt"))) - 1).cast("int"))
     )
-    local = vocab.withColumn(
-        "local_pos",
-        F.row_number().over(
-            Window.partitionBy("bucket").orderBy(F.desc("cnt"), F.asc("tok"))
-        ),
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed,
     )
-    hist = vocab.groupBy("bucket").agg(F.count(F.lit(1)).alias("bcnt"))
-    higher = hist.select(F.col("bucket").alias("_hb"), F.col("bcnt").alias("_hc"))
-    offsets = (
-        hist.join(F.broadcast(higher), F.col("_hb") > F.col("bucket"), "left")
-        .groupBy("bucket")
-        .agg(F.coalesce(F.sum("_hc"), F.lit(0)).alias("offset"))
-    )
-    ranked = local.join(F.broadcast(offsets), "bucket").select(
-        (F.length(F.bin(F.col("offset") + F.col("local_pos"))) - 1)
-        .cast("bigint")
-        .alias("x"),
+
+    ranked = global_rank_decomposed(
+        vocab,
+        "bucket",
+        [F.desc("cnt"), F.asc("tok")],
+        rank_name="r",
+        descending_bands=True,
+    ).select(
+        (F.length(F.bin(F.col("r"))) - 1).cast("bigint").alias("x"),
         (F.length(F.bin(F.col("cnt"))) - 1).cast("bigint").alias("y"),
     )
     sums = ranked.agg(
