@@ -322,6 +322,8 @@ HEADLINE = [
     "similarity_range_search",
     "layout_partition_advisor",
     "diag_langid_confusion",
+    "orders_rfm_migration",
+    "diag_benford_firstdigit",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -653,3 +653,83 @@ def test_langid_confusion_cells_partition_each_language(spark, sf_dir):
         assert 10000 - len(rs) < bp <= 10000
         for r in rs:
             assert r["share_bp"] == r["n_docs"] * 10000 // tot
+
+
+def test_rfm_migration_matches_python(spark, sf_dir):
+    # X139: replay the per-half monetary quartiles + full-outer
+    # migration census in python (ntile over (cents, custkey)).
+    import datetime
+
+    from xero_api_etl_utilities_spark.plans.mining_ops import (
+        _RFM_SPLIT_DATE,
+        orders_rfm_migration,
+    )
+
+    raw = _rows(
+        sf_dir,
+        "SELECT o_custkey, CAST(o_orderdate AS DATE),"
+        " CAST(round(o_totalprice * 100) AS BIGINT) FROM orders",
+    )
+    split = datetime.date.fromisoformat(_RFM_SPLIT_DATE)
+
+    def quartiles(rows):
+        cents: dict[int, int] = defaultdict(int)
+        for k, _, c in rows:
+            cents[k] += c
+        ordered = sorted(cents.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(ordered)
+        out = {}
+        big, size_big = n % 4, n // 4 + 1
+        for i, (k, _) in enumerate(ordered):
+            if n % 4 and i < big * size_big:
+                out[k] = 1 + i // size_big
+            elif n % 4:
+                out[k] = 1 + big + (i - big * size_big) // (n // 4)
+            else:
+                out[k] = 1 + i // (n // 4)
+        return out
+
+    old = quartiles([r for r in raw if r[1] <= split])
+    new = quartiles([r for r in raw if r[1] > split])
+    cells: Counter = Counter()
+    for k in set(old) | set(new):
+        cells[(old.get(k, 0), new.get(k, 0))] += 1
+    got = {
+        (r["m_old"], r["m_new"]): r["n_customers"]
+        for r in orders_rfm_migration(spark, sf_dir).collect()
+    }
+    assert got == dict(cells)
+
+
+def test_benford_census_matches_python(spark, sf_dir):
+    # X140: first-digit counts + fixed expectation table.
+    from xero_api_etl_utilities_spark.plans.mining_ops import (
+        _BENFORD_BP,
+        diag_benford_firstdigit,
+    )
+
+    raw = _rows(
+        sf_dir,
+        "SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM orders",
+    )
+    digs = Counter(int(str(c)[0]) for (c,) in raw if c > 0)
+    total = sum(digs.values())
+    exp = {
+        d: (
+            n,
+            n * 10000 // total,
+            _BENFORD_BP[d],
+            abs(n * 10000 // total - _BENFORD_BP[d]),
+        )
+        for d, n in digs.items()
+    }
+    got = {
+        r["digit"]: (
+            r["n_orders"],
+            r["share_bp"],
+            r["expected_bp"],
+            r["dev_bp"],
+        )
+        for r in diag_benford_firstdigit(spark, sf_dir).collect()
+    }
+    assert got == exp

@@ -606,6 +606,17 @@ CHECKS = {
     "diag_langid_confusion": [
         ("totals broadcast, no cartesian", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
     ],
+    # r7: X139 — date predicates push to the scans; the migration join
+    # is customer-dimension-sized
+    "orders_rfm_migration": [
+        ("half-split predicates pushed to parquet", lambda p: "PushedFilters" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    # r7: X140 — 9-row census; the constant table is an in-row map and
+    # the grand total windows over the census frame (one fact scan)
+    "diag_benford_firstdigit": [
+        ("one scan, map-literal expectations, no big join", lambda p: p.count("Location: InMemoryFileIndex") == 1 and "SortMergeJoin" not in p),
+    ],
 }
 
 

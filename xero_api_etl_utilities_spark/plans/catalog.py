@@ -78,6 +78,8 @@ _WINDOW_PRIORITY: list[str] = [
     "similarity_range_search",
     "layout_partition_advisor",
     "diag_langid_confusion",
+    "orders_rfm_migration",
+    "diag_benford_firstdigit",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",
