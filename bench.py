@@ -324,6 +324,7 @@ HEADLINE = [
     "diag_langid_confusion",
     "orders_rfm_migration",
     "diag_benford_firstdigit",
+    "join_asof_nearest",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

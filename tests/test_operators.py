@@ -353,3 +353,33 @@ def test_profile_columns_modes(spark):
 
     with pytest.raises(ValueError, match="distinct_mode"):
         profile_columns(df, ["k"], distinct_mode="bogus")
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """X141 operator: nearest in either direction, ties -> backward,
+    pinned against a quadratic python recompute on numeric axes
+    (incl. equidistant ties, no-right-rows keys, and equal-ts left/
+    right rows)."""
+    from xero_api_etl_utilities_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 15), ("a", 3, 20), ("b", 4, 7), ("c", 5, 1)],
+        "k string, lid long, lts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 101, 8), ("a", 102, 12), ("a", 103, 20), ("b", 104, 100)],
+        "k string, rid long, rts long",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join_nearest(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"],
+        ).collect()
+    }
+    # lid=1 (ts10): candidates 8 (d2, back) / 12 (d2, fwd) -> tie -> 8
+    # lid=2 (ts15): 12 (d3) vs 20 (d5) -> 12
+    # lid=3 (ts20): exact match 20 -> 103
+    # lid=4 (ts7): only forward 100 -> 104
+    # lid=5: no right rows -> null
+    assert got == {1: 101, 2: 102, 3: 103, 4: 104, 5: None}

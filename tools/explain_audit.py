@@ -617,6 +617,12 @@ CHECKS = {
     "diag_benford_firstdigit": [
         ("one scan, map-literal expectations, no big join", lambda p: p.count("Location: InMemoryFileIndex") == 1 and "SortMergeJoin" not in p),
     ],
+    # r7: X141 — one union-sort shuffle on the user key, both
+    # directions filled in the same window pass, no range join
+    "join_asof_nearest": [
+        ("union-sort-window lowering, no range/nested-loop join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("both direction fills share one window", lambda p: p.count("Window") <= 2),
+    ],
 }
 
 

@@ -80,6 +80,7 @@ _WINDOW_PRIORITY: list[str] = [
     "diag_langid_confusion",
     "orders_rfm_migration",
     "diag_benford_firstdigit",
+    "join_asof_nearest",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",

@@ -851,3 +851,85 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """,
 )
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141: NEAREST as-of join — completing the as-of family
+    (backward X..., tolerance, point-in-time) with the
+    pandas ``direction='nearest'`` member via
+    ``operators/asof.asof_join_nearest``: even-id events probe (their
+    ts shifted +37 minutes so neither direction trivially wins) for
+    each user's nearest odd-id event, ties to the backward candidate,
+    |delta| in exact integer micros.  Right side deduped to one row
+    per (user, ts) (max event_id) — the operator's determinism
+    contract.  One union-sort shuffle on the user key; no range
+    join.  Oracle: DuckDB correlated nearest-row subquery with the
+    same tie rule."""
+    from xero_api_etl_utilities_spark.operators.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 37 MINUTES")).alias("pts"),
+    )
+    right = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"))
+    )
+    nearest = asof_join_nearest(
+        probes,
+        right,
+        on="user_id",
+        left_ts="pts",
+        right_ts="ts",
+        right_cols=["r_event_id"],
+    )
+    return (
+        nearest.filter(F.col("r_event_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "r_event_id",
+            F.abs(
+                F.unix_micros(F.col("pts").cast("timestamp"))
+                - F.unix_micros(F.col("ts_right").cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("delta_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+register(
+    "join_asof_nearest",
+    join_asof_nearest,
+    """
+WITH probes AS (
+  SELECT event_id, user_id, ts + INTERVAL 37 MINUTE AS pts
+  FROM events WHERE event_id % 2 = 0
+), rt AS (
+  SELECT user_id, ts, max(event_id) AS r_event_id
+  FROM events WHERE event_id % 2 = 1
+  GROUP BY user_id, ts
+), picked AS (
+  SELECT p.event_id, p.user_id,
+    (SELECT r.r_event_id FROM rt r
+     WHERE r.user_id = p.user_id
+     ORDER BY abs(epoch_us(r.ts) - epoch_us(p.pts)) ASC,
+              CASE WHEN r.ts <= p.pts THEN 0 ELSE 1 END ASC
+     LIMIT 1) AS r_event_id,
+    (SELECT abs(epoch_us(r.ts) - epoch_us(p.pts)) FROM rt r
+     WHERE r.user_id = p.user_id
+     ORDER BY abs(epoch_us(r.ts) - epoch_us(p.pts)) ASC,
+              CASE WHEN r.ts <= p.pts THEN 0 ELSE 1 END ASC
+     LIMIT 1) AS delta_us
+  FROM probes p
+)
+SELECT event_id, user_id, r_event_id, CAST(delta_us AS BIGINT) AS delta_us
+FROM picked WHERE r_event_id IS NOT NULL
+ORDER BY event_id
+""",
+)
