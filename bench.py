@@ -325,6 +325,8 @@ HEADLINE = [
     "orders_rfm_migration",
     "diag_benford_firstdigit",
     "join_asof_nearest",
+    "diag_functional_deps",
+    "text_bigram_surprisal",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

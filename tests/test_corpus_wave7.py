@@ -733,3 +733,80 @@ def test_benford_census_matches_python(spark, sf_dir):
         for r in diag_benford_firstdigit(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_functional_deps_match_python(spark, sf_dir):
+    # X142: recompute distinct counts per candidate pair.
+    from xero_api_etl_utilities_spark.plans.analytics_extra import (
+        _FD_CANDIDATES,
+        diag_functional_deps,
+    )
+
+    raw = _rows(
+        sf_dir,
+        "SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,"
+        " o_orderstatus FROM orders",
+    )
+    cols = {
+        "o_orderkey": 0,
+        "o_custkey": 1,
+        "o_orderpriority": 2,
+        "o_orderdate": 3,
+        "o_orderstatus": 4,
+    }
+    exp = {}
+    for lhs, rhs in _FD_CANDIDATES:
+        nl = len({r[cols[lhs]] for r in raw})
+        np_ = len({(r[cols[lhs]], r[cols[rhs]]) for r in raw})
+        exp[(lhs, rhs)] = (nl, np_, np_ - nl, np_ == nl)
+    got = {
+        (r["lhs"], r["rhs"]): (
+            r["n_lhs"],
+            r["n_lhs_rhs"],
+            r["delta"],
+            r["holds"],
+        )
+        for r in diag_functional_deps(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert got[("o_orderkey", "o_custkey")][3] is True
+    assert got[("o_custkey", "o_orderpriority")][3] is False
+
+
+def test_bigram_surprisal_matches_python(spark, sf_dir):
+    # X143: conditional ilog2 surprisal with prefix counts.
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        text_bigram_surprisal,
+    )
+
+    raw = _rows(sf_dir, "SELECT doc_id, source, text FROM documents")
+    tfs: dict[tuple[int, str], Counter] = {}
+    c12: Counter = Counter()
+    for d, src, text in raw:
+        w = text.strip().split(" ")
+        bgs = Counter(
+            w[i] + " " + w[i + 1] for i in range(len(w) - 1)
+        )
+        tfs[(d, src)] = bgs
+        c12.update(bgs)
+    c1: Counter = Counter()
+    for b, c in c12.items():
+        c1[b.split(" ")[0]] += c
+    per_src: dict[str, list[int]] = defaultdict(list)
+    for (d, src), bgs in tfs.items():
+        if not bgs:
+            continue
+        num = sum(
+            tf * ((c1[b.split(" ")[0]] // c12[b]).bit_length() - 1)
+            for b, tf in bgs.items()
+        )
+        per_src[src].append(num * 1000 // sum(bgs.values()))
+    exp = {
+        src: (len(v), sum(v) // len(v), min(v), max(v))
+        for src, v in per_src.items()
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["mean_mb"], r["min_mb"], r["max_mb"])
+        for r in text_bigram_surprisal(spark, sf_dir).collect()
+    }
+    assert got == exp

@@ -623,6 +623,19 @@ CHECKS = {
         ("union-sort-window lowering, no range/nested-loop join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
         ("both direction fills share one window", lambda p: p.count("Window") <= 2),
     ],
+    # r7: X142 — bounded report frame; the scan happened at build time
+    "diag_functional_deps": [
+        ("report shaped from a bounded driver frame", lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
+    ],
+    # r7: X143 — bigram-keyed equi-join; prefix counts derive from the
+    # bigram VOCAB (never a third scan); the two corpus scans are the
+    # doc-grain and vocab-grain branches of tf (X120's shape — Spark
+    # has no cross-branch CSE; a checkpoint of the token-grain frame
+    # would cost more than the re-scan)
+    "text_bigram_surprisal": [
+        ("two branch scans, no third for the prefix", lambda p: p.count("Location: InMemoryFileIndex") <= 2),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 

@@ -1423,3 +1423,68 @@ FROM ranked WHERE r = 1
 ORDER BY event_type
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# X142: functional-dependency profiler
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderkey", "o_orderstatus"),
+]
+
+
+def diag_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142: the data-profiling classic the FK/contract audits don't
+    cover — does column A functionally DETERMINE column B?  A -> B
+    holds iff every A value maps to exactly one B value, i.e.
+    n_distinct(A, B) == n_distinct(A); the excess (delta) counts the
+    extra (A, B) combos violating it.  Candidate list is fixed (a
+    key determining two different columns, and two
+    expected-to-fail pairs), exercising both verdicts; adding a candidate is
+    adding a tuple, never a pass.
+
+    Shape: ONE orders scan, one aggregate with two distinct counts
+    per candidate (the multi-count Expand the profile operator
+    already uses), then the bounded 4-row report shaped driver-side
+    (the diag_data_contract precedent)."""
+    od = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for i, (lhs, rhs) in enumerate(_FD_CANDIDATES):
+        aggs.append(F.countDistinct(F.col(lhs)).alias(f"_l{i}"))
+        aggs.append(
+            F.countDistinct(F.struct(F.col(lhs), F.col(rhs))).alias(f"_p{i}")
+        )
+    row = od.agg(*aggs).collect()[0]
+    out = []
+    for i, (lhs, rhs) in enumerate(_FD_CANDIDATES):
+        nl, np_ = int(row[f"_l{i}"]), int(row[f"_p{i}"])
+        out.append((lhs, rhs, nl, np_, np_ - nl, np_ == nl))
+    return spark.createDataFrame(
+        out,
+        "lhs string, rhs string, n_lhs bigint, n_lhs_rhs bigint,"
+        " delta bigint, holds boolean",
+    ).orderBy("lhs", "rhs")
+
+
+def _fd_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"""SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+  (SELECT count(DISTINCT {lhs}) FROM orders) AS n_lhs,
+  (SELECT count(*) FROM (SELECT DISTINCT {lhs}, {rhs} FROM orders)) AS n_lhs_rhs"""
+        for lhs, rhs in _FD_CANDIDATES
+    )
+    return f"""
+WITH cand AS ({rows})
+SELECT lhs, rhs, CAST(n_lhs AS BIGINT) AS n_lhs,
+  CAST(n_lhs_rhs AS BIGINT) AS n_lhs_rhs,
+  CAST(n_lhs_rhs - n_lhs AS BIGINT) AS delta,
+  n_lhs_rhs = n_lhs AS holds
+FROM cand ORDER BY lhs, rhs
+"""
+
+
+register("diag_functional_deps", diag_functional_deps, _fd_oracle)

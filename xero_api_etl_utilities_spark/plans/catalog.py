@@ -81,6 +81,8 @@ _WINDOW_PRIORITY: list[str] = [
     "orders_rfm_migration",
     "diag_benford_firstdigit",
     "join_asof_nearest",
+    "diag_functional_deps",
+    "text_bigram_surprisal",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",

@@ -1278,3 +1278,107 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 register("doc_chunk_overlap_census", doc_chunk_overlap_census, _CHUNK_OVERLAP_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X143: bigram-LM conditional surprisal census
+# ---------------------------------------------------------------------------
+
+
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143: the CONDITIONAL extension of X120 — each bigram (w1, w2)
+    costs ilog2(c(w1·) div c(w1 w2)) bits, where c(w1·) counts w1 as
+    a bigram PREFIX: low conditional surprisal means the next word is
+    predictable from the last (templates, boilerplate), high means
+    incoherent word salad — the closest float-free stand-in for a
+    real LM perplexity gate, one order up from X120's unigram view.
+    Per-source census of doc scores in milli-bits per bigram.
+
+    Same ilog2-via-bin() exactness contract as X120/X131; single-
+    space tokenization (the oracle's string_split rule).  Shape: one
+    (doc, bigram) aggregate, one bigram-vocab aggregate, one prefix
+    aggregate derived FROM the bigram vocab (never a second corpus
+    scan), a bigram-keyed equi-join back (vocab-sized build side,
+    shuffled not blind-broadcast), one doc aggregate, one source
+    census — all map-side-combinable, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    wdocs = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("_w")
+    )
+    words = F.col("_w")
+    bg = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i.cast("int")), F.element_at(words, i.cast("int") + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        wdocs.select("doc_id", "source", F.explode(bg).alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("b").agg(F.sum("tf").alias("c12"))
+    # prefix totals via a w1-PARTITIONED window over the vocab frame —
+    # a separate prefix aggregate + join would reference vocab twice
+    # and (no cross-branch CSE) re-scan the corpus a third time
+    bits = (
+        vocab.withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+        .withColumn(
+            "c1", F.sum("c12").over(Window.partitionBy("w1")).cast("bigint")
+        )
+        .select(
+            "b",
+            (F.length(F.bin(F.expr("c1 div c12"))) - 1)
+            .cast("bigint")
+            .alias("bits"),
+        )
+    )
+    doc_scores = (
+        tf.join(bits, "b")
+        .groupBy("doc_id", "source")
+        .agg(F.expr("sum(tf * bits) * 1000 div sum(tf)").alias("score_mb"))
+    )
+    return (
+        doc_scores.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(score_mb) div count(1)").alias("mean_mb"),
+            F.min("score_mb").alias("min_mb"),
+            F.max("score_mb").alias("max_mb"),
+        )
+        .orderBy("source")
+    )
+
+
+_BIGRAM_SURPRISAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, source, w[i] || ' ' || w[i + 1] AS b
+  FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+), tf AS (
+  SELECT doc_id, source, b, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3
+), vocab AS (
+  SELECT b, sum(tf)::BIGINT AS c12 FROM tf GROUP BY 1
+), prefix AS (
+  SELECT string_split(b, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
+  FROM vocab GROUP BY 1
+), bits AS (
+  SELECT v.b, (length(bin(p.c1 // v.c12)) - 1)::BIGINT AS bits
+  FROM vocab v JOIN prefix p ON string_split(v.b, ' ')[1] = p.w1
+), doc_scores AS (
+  SELECT doc_id, source, sum(tf * bits) * 1000 // sum(tf) AS score_mb
+  FROM tf JOIN bits USING (b)
+  GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+  (sum(score_mb) // count(*))::BIGINT AS mean_mb,
+  min(score_mb)::BIGINT AS min_mb,
+  max(score_mb)::BIGINT AS max_mb
+FROM doc_scores GROUP BY source ORDER BY source
+"""
+
+register("text_bigram_surprisal", text_bigram_surprisal, _BIGRAM_SURPRISAL_ORACLE)
