@@ -38,6 +38,13 @@ similarity / drift reports already in the catalog:
   source (TakeOrdered top-V, never a rank window).
 * X131 ``text_char_entropy`` — per-doc character entropy in ilog2
   milli-bits (single-char floods / base64 spills detector).
+* X133 ``text_rake_keywords`` — RAKE (Rose et al. 2010) candidate
+  phrases with integer deg/freq word scores, corpus top-20 via
+  TakeOrdered.
+* X134 ``doc_chunk_overlap_census`` — RAG sliding-window chunking
+  storage amplification per source in closed form (no explode).
+* X143 ``text_bigram_surprisal`` — conditional ilog2 surprisal per
+  bigram, the order-2 extension of X120.
 
 Every hashed output value is an integer (or exact rational published
 as num/den); every oracle replays the same algorithm in DuckDB SQL.
