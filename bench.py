@@ -327,6 +327,8 @@ HEADLINE = [
     "join_asof_nearest",
     "diag_functional_deps",
     "text_bigram_surprisal",
+    "orders_yoy_growth",
+    "text_source_tvd_matrix",
 ]
 # NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as

@@ -810,3 +810,72 @@ def test_bigram_surprisal_matches_python(spark, sf_dir):
         for r in text_bigram_surprisal(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_yoy_growth_matches_python(spark, sf_dir):
+    # X144: month rollup + adjacent-prior-year lag in python.
+    from xero_api_etl_utilities_spark.plans.analytics_extra import (
+        orders_yoy_growth,
+    )
+
+    raw = _rows(
+        sf_dir,
+        "SELECT year(CAST(o_orderdate AS DATE)), month(CAST(o_orderdate AS DATE)),"
+        " CAST(round(o_totalprice * 100) AS BIGINT) FROM orders",
+    )
+    monthly: dict[tuple[int, int], int] = defaultdict(int)
+    for y, m, c in raw:
+        monthly[(y, m)] += c
+    exp = {}
+    for (y, m), rev in monthly.items():
+        prev = monthly.get((y - 1, m))
+        delta = None if prev is None else rev - prev
+        if prev in (None, 0):
+            growth = None
+        else:
+            # both engines truncate integer division toward zero
+            q = (rev - prev) * 10000
+            growth = (abs(q) // prev) * (1 if q >= 0 else -1)
+        exp[(y, m)] = (rev, prev, delta, growth)
+    got = {
+        (r["yr"], r["mo"]): (
+            r["rev_cents"],
+            r["prev_cents"],
+            r["delta_cents"],
+            r["growth_bp"],
+        )
+        for r in orders_yoy_growth(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_source_tvd_matrix_matches_python(spark, sf_dir):
+    # X145: brute-force python TVD over full unigram distributions.
+    import re as _re
+    from fractions import Fraction
+
+    from xero_api_etl_utilities_spark.plans.corpus_wave7 import (
+        text_source_tvd_matrix,
+    )
+
+    raw = _rows(sf_dir, "SELECT source, text FROM documents")
+    dists: dict[str, Counter] = defaultdict(Counter)
+    for src, text in raw:
+        dists[src].update(_re.findall(r"[a-z0-9]+", text.lower()))
+    srcs = sorted(dists)
+    exp = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            ca, cb = dists[sa], dists[sb]
+            na, nb = sum(ca.values()), sum(cb.values())
+            num = sum(
+                abs(ca.get(t, 0) * nb - cb.get(t, 0) * na)
+                for t in set(ca) | set(cb)
+            )
+            exp[(sa, sb)] = num * 10000 // (2 * na * nb)
+    got = {
+        (r["src_a"], r["src_b"]): r["tvd_bp"]
+        for r in text_source_tvd_matrix(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert all(0 <= v <= 10000 for v in got.values())

@@ -627,6 +627,15 @@ CHECKS = {
     "diag_functional_deps": [
         ("report shaped from a bounded driver frame", lambda p: "Scan ExistingRDD" in p or "LocalTableScan" in p),
     ],
+    # r7: X144 — month-of-year-partitioned lag window, never global
+    "orders_yoy_growth": [
+        ("lag window partitioned by month", lambda p: "Exchange SinglePartition" not in p),
+    ],
+    # r7: X145 — token-keyed pair join with source-bounded fan-out;
+    # totals + pair universe are source-dimension broadcasts
+    "text_source_tvd_matrix": [
+        ("token-keyed pair join, no corpus-grain cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     # r7: X143 — bigram-keyed equi-join; prefix counts derive from the
     # bigram VOCAB (never a third scan); the two corpus scans are the
     # doc-grain and vocab-grain branches of tf (X120's shape — Spark

@@ -1488,3 +1488,87 @@ FROM cand ORDER BY lhs, rhs
 
 
 register("diag_functional_deps", diag_functional_deps, _fd_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X144: year-over-year monthly growth
+# ---------------------------------------------------------------------------
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144: the BI staple the daily/weekday diagnostics don't cover —
+    monthly revenue with its YEAR-OVER-YEAR delta: each (year, month)
+    row carries the same month's prior-year cents (lag-12 by month
+    key), the absolute delta, and growth in bp (cross-multiplied
+    integer, floor division).  Months without a prior-year partner
+    (the first year) publish NULL growth rather than a fake zero.
+
+    Shape: one orders scan -> month-grain aggregate (map-side
+    combinable), one lag window PARTITIONED BY MONTH-OF-YEAR ordered
+    by year — 12 partitions of ~years rows, never a global window;
+    integer cents end to end.  Negative growth divides a negative
+    numerator: Spark ``div`` and DuckDB ``//`` BOTH truncate toward
+    zero on integers (verified: -7/2 -> -3 on each; the sf0.01 gate
+    hash-matches over 33 real negative rows), so the bp value is
+    engine-exact on declines too."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    monthly = (
+        od.select(
+            F.year(d).alias("yr"),
+            F.month(d).alias("mo"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("yr", "mo")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prior = F.lag("rev_cents").over(w)
+    prior_yr = F.lag("yr").over(w)
+    # a gap year breaks the YoY pair: only an ADJACENT prior year counts
+    prev = F.when(prior_yr == F.col("yr") - 1, prior)
+    return (
+        monthly.withColumn("prev_cents", prev)
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mo").cast("int").alias("mo"),
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            F.col("prev_cents").cast("bigint").alias("prev_cents"),
+            (F.col("rev_cents") - F.col("prev_cents"))
+            .cast("bigint")
+            .alias("delta_cents"),
+            F.expr(
+                "CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL"
+                " ELSE (rev_cents - prev_cents) * 10000 div prev_cents END"
+            )
+            .cast("bigint")
+            .alias("growth_bp"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+         month(CAST(o_orderdate AS DATE)) AS mo,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_cents
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT yr, mo, rev_cents,
+    lag(rev_cents) OVER (PARTITION BY mo ORDER BY yr) AS prior,
+    lag(yr) OVER (PARTITION BY mo ORDER BY yr) AS prior_yr
+  FROM monthly
+)
+SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, rev_cents,
+  CASE WHEN prior_yr = yr - 1 THEN prior END::BIGINT AS prev_cents,
+  (rev_cents - CASE WHEN prior_yr = yr - 1 THEN prior END)::BIGINT
+    AS delta_cents,
+  CASE WHEN prior_yr = yr - 1 AND prior <> 0
+       THEN (rev_cents - prior) * 10000 // prior END::BIGINT AS growth_bp
+FROM lagged ORDER BY yr, mo
+"""
+
+register("orders_yoy_growth", orders_yoy_growth, _YOY_ORACLE)

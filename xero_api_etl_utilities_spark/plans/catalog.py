@@ -83,6 +83,8 @@ _WINDOW_PRIORITY: list[str] = [
     "join_asof_nearest",
     "diag_functional_deps",
     "text_bigram_surprisal",
+    "orders_yoy_growth",
+    "text_source_tvd_matrix",
     # --- regression pad: oldest r2-green classics ---
     "daily_pnl_rollup",
     "scan_project_filter",

@@ -1389,3 +1389,138 @@ FROM doc_scores GROUP BY source ORDER BY source
 """
 
 register("text_bigram_surprisal", text_bigram_surprisal, _BIGRAM_SURPRISAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# X145: source x source lexical-distribution divergence (TVD matrix)
+# ---------------------------------------------------------------------------
+
+
+def text_source_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145: pairwise LEXICAL divergence between sources — the
+    total-variation distance between each source pair's unigram
+    distributions, in bp: TVD(p, q) = 1/2 * sum_t |p_t - q_t|.  The
+    distribution-level complement to X122 (which measures shared
+    near-dup CONTENT via LSH buckets): two scrapes can share zero
+    documents yet have near-identical word mixes, or share
+    boilerplate while differing in topic mix — a mixture designer
+    wants both numbers.
+
+    Exact integer lowering: with per-source counts c1, c2 and totals
+    N1, N2, TVD_bp = num * 10000 div (2*N1*N2) where num =
+    sum_shared |c1_t*N2 - c2_t*N1| + (N1 - S1)*N2 + (N2 - S2)*N1
+    (S1/S2 = each side's mass on SHARED tokens) — the two one-sided
+    tails come from ALGEBRA on the inner join, never a full-outer on
+    the token grain.  Accumulation in decimal(38,0): c*N reaches
+    ~1e13 * 1e13 at 100 TB, past bigint (the X102 overflow rule).
+    Pairs sharing NO token (TVD exactly 10000) enter via the
+    source-dimension pair universe left-joined onto the shared
+    aggregate.
+
+    Shape: one corpus scan -> (source, token) aggregate; the pair
+    join keys on the TOKEN with fan-out bounded by sources-per-token
+    (<= n_sources, ~20 — the X122 bound), totals and the pair
+    universe are source-dimension broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                )
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = occ.groupBy("source").agg(F.sum("c").cast("bigint").alias("N"))
+    ta = totals.select(F.col("source").alias("src_a"), F.col("N").alias("Na"))
+    tb = totals.select(F.col("source").alias("src_b"), F.col("N").alias("Nb"))
+    a = occ.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("ca"))
+    b = occ.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("cb"))
+    d38 = "decimal(38,0)"
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("ca").cast(d38) * F.col("Nb")
+                    - F.col("cb").cast(d38) * F.col("Na")
+                )
+            ).alias("d_shared"),
+            F.sum("ca").cast("bigint").alias("s_a"),
+            F.sum("cb").cast("bigint").alias("s_b"),
+        )
+    )
+    universe = (
+        ta.crossJoin(tb)
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(shared), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "Na",
+            "Nb",
+            F.coalesce(F.col("d_shared"), F.lit(0).cast(d38)).alias("d_shared"),
+            F.coalesce(F.col("s_a"), F.lit(0)).alias("s_a"),
+            F.coalesce(F.col("s_b"), F.lit(0)).alias("s_b"),
+        )
+    )
+    num = (
+        F.col("d_shared")
+        + (F.col("Na") - F.col("s_a")).cast(d38) * F.col("Nb")
+        + (F.col("Nb") - F.col("s_b")).cast(d38) * F.col("Na")
+    )
+    den = F.lit(2).cast(d38) * F.col("Na") * F.col("Nb")
+    return (
+        universe.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("CAST(_num * 10000 div _den AS BIGINT)").alias("tvd_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_SOURCE_TVD_ORACLE = """
+WITH occ AS (
+  SELECT source, tok, count(*)::BIGINT AS c
+  FROM (SELECT source,
+          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+), totals AS (
+  SELECT source, sum(c)::BIGINT AS N FROM occ GROUP BY 1
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+    sum(abs(CAST(a.c AS HUGEINT) * tb.N - CAST(b.c AS HUGEINT) * ta.N))
+      AS d_shared,
+    sum(a.c)::BIGINT AS s_a, sum(b.c)::BIGINT AS s_b
+  FROM occ a
+  JOIN occ b ON a.tok = b.tok AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+  GROUP BY 1, 2
+), universe AS (
+  SELECT ta.source AS src_a, tb.source AS src_b, ta.N AS Na, tb.N AS Nb,
+    coalesce(s.d_shared, 0) AS d_shared,
+    coalesce(s.s_a, 0) AS s_a, coalesce(s.s_b, 0) AS s_b
+  FROM totals ta
+  JOIN totals tb ON ta.source < tb.source
+  LEFT JOIN shared s ON s.src_a = ta.source AND s.src_b = tb.source
+)
+SELECT src_a, src_b,
+  CAST((d_shared + CAST(Na - s_a AS HUGEINT) * Nb
+        + CAST(Nb - s_b AS HUGEINT) * Na) * 10000
+       // (CAST(2 AS HUGEINT) * Na * Nb) AS BIGINT) AS tvd_bp
+FROM universe ORDER BY src_a, src_b
+"""
+
+register("text_source_tvd_matrix", text_source_tvd_matrix, _SOURCE_TVD_ORACLE)
