@@ -1349,6 +1349,26 @@ FROM cells ORDER BY lang, source
 # ---------------------------------------------------------------------------
 
 
+# The 80-probe / k=10 brute-force shortlist feeds TWO catalog
+# consumers (X116 purity and X129 kappa) — memoized per
+# (SparkContext, sf_dir) like the dedup substrate, so the second
+# consumer's marginal cost is a broadcast join, not a second exact
+# search (~5 s at sf0.1).
+_KNN_SHORTLIST_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def probe_knn_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KNN_SHORTLIST_CACHE:
+        from xero_api_etl_utilities_spark.operators import similarity as sim
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 80)
+        nn = sim.topk_bruteforce(queries, emb, k=10, max_queries=100)
+        _KNN_SHORTLIST_CACHE[key] = nn.localCheckpoint()
+    return _KNN_SHORTLIST_CACHE[key]
+
+
 def similarity_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X116: per-label kNN agreement — for a bounded deterministic
     query set, the share (bp) of each query's 10 nearest cosine
@@ -1368,8 +1388,7 @@ def similarity_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xero_api_etl_utilities_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 80)
-    nn = sim.topk_bruteforce(queries, emb, k=10, max_queries=100)
+    nn = probe_knn_shortlist(spark, sf_dir)
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
     ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
         "label", "ql"

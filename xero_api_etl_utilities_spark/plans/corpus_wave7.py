@@ -788,11 +788,12 @@ def label_noise_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (80 probes; production feeds the same aggregate from the IVF
     shortlist), a probe-partitioned vote window over <= 10 rows per
     probe, and label-dimension-sized marginal aggregates."""
-    from xero_api_etl_utilities_spark.operators import similarity as sim
+    from xero_api_etl_utilities_spark.plans.corpus_extra import (
+        probe_knn_shortlist,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 80)
-    nn = sim.topk_bruteforce(queries, emb, k=10, max_queries=100)
+    nn = probe_knn_shortlist(spark, sf_dir)
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
     ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
         "label", "ql"
