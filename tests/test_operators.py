@@ -383,3 +383,29 @@ def test_asof_nearest_matches_bruteforce(spark):
     # lid=4 (ts7): only forward 100 -> 104
     # lid=5: no right rows -> null
     assert got == {1: 101, 2: 102, 3: 103, 4: 104, 5: None}
+
+
+def test_interval_overlap_join_hot_bucket_exactly_once(spark):
+    """Adversarial skew for the claim-bucket rule: 500 IDENTICAL
+    intervals (every pair overlapping, all landing in the same
+    buckets) — the output is quadratic by SEMANTICS (C(500,2) pairs),
+    but each pair must still appear EXACTLY once (the claim-bucket
+    dedup cannot double-emit under bucket collisions) and the
+    bucketed join must complete without a distinct pass."""
+    from xero_api_etl_utilities_spark.operators.rangejoin import (
+        interval_overlap_join_bucketed,
+    )
+
+    n = 500
+    df = spark.createDataFrame(
+        [("k", i, 100, 140) for i in range(n)], "k string, rid long, s long, e long"
+    )
+    a = df.select("k", F.col("rid").alias("ra"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = df.select("k", F.col("rid").alias("rb"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    out = interval_overlap_join_bucketed(
+        a, b, "sa", "ea", "sb", "eb", bucket=16, keys=["k"],
+        extra_cond=F.col("ra") < F.col("rb"),
+    ).select("ra", "rb")
+    rows = out.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert len({(r["ra"], r["rb"]) for r in rows}) == len(rows)

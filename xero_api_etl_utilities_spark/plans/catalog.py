@@ -35,6 +35,17 @@ _WINDOW_PRIORITY: list[str] = [
     # padded to 50 with the oldest r2-green classics for regression
     # coverage.  Unregistered names are ignored, so planned-but-unlanded
     # r7 queries can be listed before their module lands.
+    #
+    # r8 ROTATION PLAN (write it while the context is fresh): the 48
+    # first-timers below saturate the window, so r7 catalog growth
+    # stopped at 236 — an un-windowed query would recreate the
+    # "implemented but never driver-verified" weakness.  For r8: (a)
+    # move any r7 names that came back red to the TOP, (b) list the
+    # r8 wave next (sized <= 50 minus the red carryover minus ~10
+    # regression slots), (c) pad with the r3-r5 green names that have
+    # had only ONE driver row ever (rotate regression coverage through
+    # the whole catalog round-robin rather than re-pinning r2
+    # classics).
     # --- 19 never driver-checked (X101-X118 + agg_approx_distinct_ok) ---
     "dedup_semantic_clusters",
     "sample_token_budget_plan",
