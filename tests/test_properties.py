@@ -412,3 +412,41 @@ def test_decomposed_rank_and_ntile_property(spark, data):
         assert r["r"] == r["er"]
         for t in (1, 3, 10, 1000):
             assert r[f"gt{t}"] == r[f"et{t}"], (r["id"], t)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_decomposed_rank_descending_bands_property(spark, data):
+    """operators/rankdist with descending_bands=True (the zipf-slope
+    mode: rank by count DESC with band = ilog2(count)) must equal the
+    global row_number over (cnt DESC, id ASC) on random tie-heavy
+    frames."""
+    from pyspark.sql import Window as W
+
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(1, 500), st.integers(0, 10**6)),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda t: t[1],
+        )
+    )
+    df = spark.createDataFrame(rows, "cnt long, id long")
+    banded = df.withColumn("bucket", (F.length(F.bin(F.col("cnt"))) - 1))
+    ranked = global_rank_decomposed(
+        banded,
+        "bucket",
+        [F.desc("cnt"), F.asc("id")],
+        rank_name="r",
+        descending_bands=True,
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("id"))
+    expected = df.select("id", F.row_number().over(w).alias("er"))
+    j = {r["id"]: (r["r"], r["er"]) for r in ranked.join(expected, "id").collect()}
+    assert len(j) == len(rows)
+    for rid, (r, er) in j.items():
+        assert r == er, rid
