@@ -791,3 +791,111 @@ def test_stream_ingest_pipeline_composition(spark, tmp_path):
         for r in pipeline(spark.createDataFrame(rows, schema)).collect()
     }
     assert batch_accept == accepted
+
+
+def test_stream_exact_dedup_sink_unbounded_across_runs(spark, tmp_path):
+    """The checkpoint-backed dedup sink must drop duplicates across
+    SEPARATE availableNow runs (beyond any watermark horizon), keep
+    min-id within a batch, and add nothing when a fresh checkpoint
+    reprocesses the entire input against the accumulated seen set."""
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import (
+        stream_exact_dedup_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    drop = str(tmp_path / "ddrop")
+    out = str(tmp_path / "dout")
+    seen = str(tmp_path / "dseen")
+    ckpt = str(tmp_path / "dckpt")
+
+    def run():
+        q = stream_exact_dedup_sink(
+            spark.readStream.schema(schema).parquet(drop), out, seen, ckpt
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(2, "alpha"), (1, "alpha"), (3, "beta")], schema
+    ).write.mode("append").parquet(drop)
+    run()
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "alpha"), (3, "beta")}  # min-id within batch
+
+    # a LATER run (new files, same checkpoint): cross-run duplicate
+    # "alpha" is dropped even though no watermark state survives runs
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma")], schema
+    ).write.mode("append").parquet(drop)
+    run()
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "alpha"), (3, "beta"), (11, "gamma")}
+
+    # disaster-recovery replay: a FRESH checkpoint reprocesses the
+    # ENTIRE input from scratch — every row's digest is already in the
+    # accumulated seen table, so the output set must not change (the
+    # unbounded-state property no watermark variant can offer)
+    ckpt2 = str(tmp_path / "dckpt2")
+    q = stream_exact_dedup_sink(
+        spark.readStream.schema(schema).parquet(drop), out, seen, ckpt2
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    got = {(r["doc_id"], r["text"]) for r in rows}
+    assert got == {(1, "alpha"), (3, "beta"), (11, "gamma")}
+    assert len(rows) == 3  # no physical duplicates either
+
+
+def test_jsonl_and_csv_quarantine_routing(spark, tmp_path):
+    """Raw-file ingestion: malformed lines land in the quarantine
+    side-output with the ORIGINAL bytes; well-formed lines parse to
+    the explicit schema; nothing is silently dropped."""
+    from xero_api_etl_utilities_spark.sources.text_formats import (
+        read_csv_with_quarantine,
+        read_jsonl_with_quarantine,
+    )
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "{broken json line\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl_with_quarantine(spark, str(jl), schema)
+    assert {(r["doc_id"], r["text"]) for r in good.collect()} == {
+        (1, "alpha"),
+        (2, "beta"),
+    }
+    quarantined = [r["raw"] for r in bad.collect()]
+    assert quarantined == ["{broken json line"]
+    assert good.count() + bad.count() == 3
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text(
+        "doc_id,text\n"
+        "1,alpha\n"
+        "not_a_number,beta\n"
+        "2,gamma\n"
+    )
+    cschema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    cgood, cbad = read_csv_with_quarantine(spark, str(cv), cschema)
+    assert {(r["doc_id"], r["text"]) for r in cgood.collect()} == {
+        (1, "alpha"),
+        (2, "gamma"),
+    }
+    assert [r["raw"] for r in cbad.collect()] == ["not_a_number,beta"]

@@ -253,3 +253,87 @@ def apply_rollup_stream(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_exact_dedup_sink(
+    docs: DataFrame,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """UNBOUNDED cross-batch exact dedup sink — the companion to
+    ``filestream.stream_exact_text_dedup`` for the case the watermark
+    form cannot serve: ``dropDuplicatesWithinWatermark`` FORGETS a
+    digest once the horizon passes, so a duplicate arriving a week
+    later sails through.  This sink accumulates the digest set in a
+    parquet side table (``seen_dir``) and anti-joins each micro-batch
+    against it — state bounded by DISTINCT content ever accepted (32
+    bytes/doc), not by a time horizon, and resident on storage rather
+    than in the state store.
+
+    Exactly-once across crash/replay without a transaction log:
+
+    * each batch publishes BOTH outputs into per-batch subdirectories
+      ``batch=<run_id>-<batch_id>`` via tmp-dir + atomic rename —
+      a replayed batch whose dirs exist is skipped wholesale;
+    * the survivor frame is ``localCheckpoint``-pinned BEFORE either
+      write, so the accepted rows and their digests cannot diverge;
+    * recomputation on partial replay reads the seen set EXCLUDING
+      the current batch's own subdirectory, so a crash between the
+      two renames reproduces the identical survivor set and only the
+      missing rename is redone.
+
+    The anti-join is digest-keyed (sha2-256) — Spark shuffles 32-byte
+    keys, never text; at 100 TB the seen table is bucketed by digest
+    (write_bucketed_table) to make the anti-join co-located.  Within
+    a batch, min-id-per-digest survives (the batch dedup_exact
+    rule).  Readers of ``out_dir`` see the per-batch dirs as a
+    ``batch`` partition column — harmless lineage metadata."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        rid = _query_run_id(checkpoint_dir)
+        tag = f"{rid}-{batch_id}"
+        out_b = os.path.join(out_dir, f"batch={tag}")
+        seen_b = os.path.join(seen_dir, f"batch={tag}")
+        if os.path.isdir(out_b) and os.path.isdir(seen_b):
+            return  # fully applied; replay is a no-op
+        hashed = batch_df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        keep = hashed.groupBy("_h").agg(F.min(F.col(id_col)).alias(id_col))
+        batch1 = hashed.join(keep, ["_h", id_col], "left_semi")
+        prior = (
+            [
+                os.path.join(seen_dir, d)
+                for d in os.listdir(seen_dir)
+                if d.startswith("batch=") and d != f"batch={tag}"
+            ]
+            if os.path.isdir(seen_dir)
+            else []
+        )
+        if prior:
+            seen = spark.read.parquet(*prior)
+            batch1 = batch1.join(seen, "_h", "left_anti")
+        surv = batch1.localCheckpoint()
+
+        def _publish(df: DataFrame, final_dir: str) -> None:
+            if os.path.isdir(final_dir):
+                return
+            tmp = f"{final_dir}.inprogress"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            df.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, final_dir)
+
+        os.makedirs(out_dir, exist_ok=True)
+        os.makedirs(seen_dir, exist_ok=True)
+        _publish(surv.drop("_h"), out_b)
+        _publish(surv.select("_h"), seen_b)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
