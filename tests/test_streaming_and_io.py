@@ -899,3 +899,51 @@ def test_jsonl_and_csv_quarantine_routing(spark, tmp_path):
         (2, "gamma"),
     }
     assert [r["raw"] for r in cbad.collect()] == ["not_a_number,beta"]
+
+
+def test_stream_quality_metrics_sink(spark, tmp_path):
+    """Per-batch ingest metrics: counts match a batch recompute of the
+    quality gate; a second drain appends a second batch row; replays
+    do not duplicate rows."""
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import (
+        stream_quality_metrics_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good = (
+        "the quick brown fox jumps over a lazy dog and the crate of spark "
+        "executors hums along to the shuffle of parquet row groups"
+    )
+    drop = str(tmp_path / "qdrop")
+    metrics = str(tmp_path / "qmetrics")
+    ckpt = str(tmp_path / "qckpt")
+    spark.createDataFrame(
+        [(1, good), (2, "tiny"), (3, good + " again")], schema
+    ).write.mode("append").parquet(drop)
+
+    def run():
+        q = stream_quality_metrics_sink(
+            spark.readStream.schema(schema).parquet(drop), metrics, ckpt
+        )
+        q.awaitTermination()
+
+    run()
+    rows = spark.read.parquet(metrics).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rows"] == 3
+    assert r["n_len_fail"] == 1          # "tiny" < 50 chars
+    assert r["n_any_fail"] >= 1
+    assert r["fail_bp"] == r["n_any_fail"] * 10000 // 3
+
+    # second drop -> second batch row; no duplication of the first
+    spark.createDataFrame([(4, good)], schema).write.mode("append").parquet(drop)
+    run()
+    rows = spark.read.parquet(metrics).collect()
+    assert len(rows) == 2
+    assert sum(r["n_rows"] for r in rows) == 4

@@ -337,3 +337,77 @@ def stream_exact_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_metrics_sink(
+    docs: DataFrame,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Ingest OBSERVABILITY sink — per micro-batch, append one metrics
+    row (batch id, rows, quality-gate failure counts by rule, failure
+    rate in bp) to a parquet metrics table: the feed a curation
+    dashboard tails to see a bad crawl the moment it lands, without
+    materializing the documents twice (the quality census rides the
+    same batch frame the real sink consumes).
+
+    Rules are the production quality gate (``textstats.quality_flags``
+    — length / punctuation / stopword), counted as conditional sums in
+    ONE aggregate; the 1-row result is appended with the batch id.
+    Idempotent under replay via the per-batch-file publish rule (a
+    batch's metrics file is written once; a replayed batch that finds
+    its file skips)."""
+    from xero_api_etl_utilities_spark.operators.textstats import quality_flags
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        rid = _query_run_id(checkpoint_dir)
+        final_dir = os.path.join(metrics_dir, f"batch={rid}-{batch_id}")
+        if os.path.isdir(final_dir):
+            return
+        flags = quality_flags(F.col(text_col))
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(~flags["len_ok"], 1).otherwise(0)).alias("n_len_fail"),
+            F.sum(F.when(~flags["punct_ok"], 1).otherwise(0)).alias(
+                "n_punct_fail"
+            ),
+            F.sum(F.when(~flags["stopword_ok"], 1).otherwise(0)).alias(
+                "n_stopword_fail"
+            ),
+            F.sum(
+                F.when(
+                    ~(flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"]),
+                    1,
+                ).otherwise(0)
+            ).alias("n_any_fail"),
+        ).collect()[0]
+        spark = batch_df.sparkSession
+        n = int(row["n_rows"])
+        out = spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    n,
+                    int(row["n_len_fail"] or 0),
+                    int(row["n_punct_fail"] or 0),
+                    int(row["n_stopword_fail"] or 0),
+                    int(row["n_any_fail"] or 0),
+                    (int(row["n_any_fail"] or 0) * 10000 // n) if n else 0,
+                )
+            ],
+            "batch_id long, n_rows long, n_len_fail long, n_punct_fail long,"
+            " n_stopword_fail long, n_any_fail long, fail_bp long",
+        )
+        tmp = f"{final_dir}.inprogress"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
