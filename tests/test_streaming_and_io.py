@@ -947,3 +947,57 @@ def test_stream_quality_metrics_sink(spark, tmp_path):
     rows = spark.read.parquet(metrics).collect()
     assert len(rows) == 2
     assert sum(r["n_rows"] for r in rows) == 4
+
+
+def test_compact_seen_table_preserves_dedup(spark, tmp_path):
+    """Compacting the digest table must not change sink behavior: a
+    post-compaction run still drops all previously seen texts, and
+    compaction is idempotent."""
+    import os
+
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import (
+        compact_seen_table,
+        stream_exact_dedup_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    drop = str(tmp_path / "cdrop")
+    out = str(tmp_path / "cout")
+    seen = str(tmp_path / "cseen")
+    ckpt = str(tmp_path / "cckpt")
+
+    def run():
+        q = stream_exact_dedup_sink(
+            spark.readStream.schema(schema).parquet(drop), out, seen, ckpt
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, "alpha"), (2, "beta")], schema).write.mode(
+        "append"
+    ).parquet(drop)
+    run()
+    spark.createDataFrame([(3, "gamma")], schema).write.mode("append").parquet(
+        drop
+    )
+    run()
+    assert len([d for d in os.listdir(seen) if d.startswith("batch=")]) == 2
+
+    folded = compact_seen_table(spark, seen)
+    assert folded == 2
+    remaining = [d for d in os.listdir(seen) if d.startswith("batch=")]
+    assert len(remaining) == 1 and remaining[0].startswith("batch=compact-")
+    # idempotent: nothing further to fold
+    assert compact_seen_table(spark, seen) == 0
+
+    # dedup behavior unchanged after compaction
+    spark.createDataFrame(
+        [(10, "alpha"), (11, "delta")], schema
+    ).write.mode("append").parquet(drop)
+    run()
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (3, "gamma"), (11, "delta")}

@@ -411,3 +411,41 @@ def stream_quality_metrics_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_seen_table(spark: SparkSession, seen_dir: str) -> int:
+    """Maintenance companion to :func:`stream_exact_dedup_sink`: fold
+    the accumulated per-batch digest dirs into ONE compacted dir (the
+    small-files problem — a year of micro-batches is ~10^5 tiny
+    parquet files whose listing dominates the anti-join's planning
+    time).  Returns the number of batch dirs folded.
+
+    Safe against a concurrent/crashed drain: only the batch dirs
+    PRESENT AT LIST TIME are folded and removed — a batch published
+    mid-compaction keeps its own dir and is simply not compacted this
+    round; the compacted digests publish atomically (tmp + rename)
+    into a dir named like a batch dir (``batch=compact-<n>``), so the
+    sink's reader picks it up with no special casing.  Digests are
+    distinct-ed during the fold, so repeated compaction is
+    idempotent in content."""
+    if not os.path.isdir(seen_dir):
+        return 0
+    dirs = sorted(
+        d
+        for d in os.listdir(seen_dir)
+        if d.startswith("batch=") and not d.endswith(".inprogress")
+    )
+    if len(dirs) <= 1:
+        return 0
+    paths = [os.path.join(seen_dir, d) for d in dirs]
+    merged = spark.read.parquet(*paths).distinct()
+    gen = sum(1 for d in dirs if d.startswith("batch=compact-"))
+    final_dir = os.path.join(seen_dir, f"batch=compact-{gen}-{len(dirs)}")
+    tmp = f"{final_dir}.inprogress"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final_dir)
+    for p in paths:
+        shutil.rmtree(p)
+    return len(dirs)
