@@ -289,7 +289,9 @@ def stream_exact_dedup_sink(
     keys, never text; at 100 TB the seen table is bucketed by digest
     (write_bucketed_table) to make the anti-join co-located.  Within
     a batch, min-id-per-digest survives (the batch dedup_exact
-    rule).  Readers of ``out_dir`` see the per-batch dirs as a
+    rule).  Directory listing/rename use the driver's filesystem API
+    (the module's POSIX/HDFS scope note applies; on an object store
+    swap them for the Hadoop FileSystem calls).  Readers of ``out_dir`` see the per-batch dirs as a
     ``batch`` partition column — harmless lineage metadata."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
