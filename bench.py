@@ -342,7 +342,19 @@ HEADLINE = [
     "orders_yoy_growth",
     "text_source_tvd_matrix",
 ]
-# NOT benched: similarity_topk and dedup_ngram_jaccard — the guarded
+# NOT benched (machine-readable — tests/test_catalog_structure.py
+# asserts HEADLINE + NOT_BENCHED covers every catalog query, so a new
+# registration can never silently skip the bench again):
+NOT_BENCHED = {
+    # guarded exact baselines whose cartesian/all-pairs shapes exist
+    # only as oracle generators (VERDICT r1 items 2-3)
+    "similarity_topk",
+    "dedup_ngram_jaccard",
+    # prefix filter sub-quadratic on Zipfian corpora but near-dense on
+    # this synthetic 31-word vocabulary (df ~ 0.78*n_docs per token)
+    "dedup_prefix_filter_pairs",
+}
+# Prose context: similarity_topk and dedup_ngram_jaccard — the guarded
 # exact baselines whose cartesian/all-pairs shapes exist only as
 # oracle generators (see VERDICT r1 items 2-3) — and
 # dedup_prefix_filter_pairs, whose prefix filter is sub-quadratic on

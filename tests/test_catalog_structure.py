@@ -1,0 +1,44 @@
+"""Structural guarantees over the catalog itself — the meta-checks
+that keep the per-round contract honest:
+
+* every registered query has an oracle (zero rows-only entries);
+* every registered query is either in bench's HEADLINE or in its
+  documented NOT_BENCHED set (VERDICT r6 flagged X110–X118 as
+  registered-but-never-timed; this pins the invariant);
+* HEADLINE contains no unknown names (a typo'd bench entry would
+  silently never run) and no duplicates.
+"""
+
+from __future__ import annotations
+
+
+def test_every_query_is_benched_or_documented():
+    import bench
+    from xero_api_etl_utilities_spark.plans import catalog
+
+    qs = set(catalog.queries())
+    headline = [n for n in bench.HEADLINE]
+    substrates = {
+        "dedup_candidates_build",
+        "dedup_substrate_build",
+        "pipeline_stages_build",
+        "knn_shortlist_build",
+        "graph_edges_build",
+    }
+    assert len(headline) == len(set(headline)), "duplicate bench entries"
+    unknown = set(headline) - qs - substrates
+    assert not unknown, f"bench names not in catalog: {sorted(unknown)}"
+    unbenched = qs - set(headline) - bench.NOT_BENCHED
+    assert not unbenched, (
+        f"registered but neither benched nor documented: {sorted(unbenched)}"
+    )
+    assert not (bench.NOT_BENCHED & set(headline))
+    assert bench.NOT_BENCHED <= qs
+
+
+def test_every_query_has_an_oracle():
+    from xero_api_etl_utilities_spark.plans import catalog
+
+    qs = set(catalog.queries())
+    os_ = set(catalog.oracle_sql())
+    assert qs == os_, f"rows-only entries: {sorted(qs - os_)}"
