@@ -901,6 +901,118 @@ def test_jsonl_and_csv_quarantine_routing(spark, tmp_path):
     assert [r["raw"] for r in cbad.collect()] == ["not_a_number,beta"]
 
 
+def test_quarantine_readers_do_not_mutate_caller_schema(spark, tmp_path):
+    """Regression (ADVICE r8 medium #1): the readers used
+    ``StructType.add`` on the CALLER'S schema object — ``add`` mutates
+    in place, so every call permanently grew the user's schema and a
+    second call with the same object produced a duplicate
+    ``_corrupt_record`` field.  Both readers must leave the caller's
+    schema untouched and give identical results on repeated calls."""
+    import pytest
+
+    from xero_api_etl_utilities_spark.sources.text_formats import (
+        read_csv_with_quarantine,
+        read_jsonl_with_quarantine,
+    )
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text('{"doc_id": 1, "text": "alpha"}\n{broken\n')
+    cv = tmp_path / "docs.csv"
+    cv.write_text("doc_id,text\n1,alpha\nbad_id,beta\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    before = [f.name for f in schema.fields]
+
+    for reader, path in (
+        (read_jsonl_with_quarantine, str(jl)),
+        (read_csv_with_quarantine, str(cv)),
+    ):
+        good1, bad1 = reader(spark, path, schema)
+        assert [f.name for f in schema.fields] == before  # not mutated
+        good2, bad2 = reader(spark, path, schema)  # same object, 2nd call
+        assert [f.name for f in schema.fields] == before
+        assert good1.schema == good2.schema
+        assert good1.schema.fieldNames() == before  # no corrupt col leak
+        assert sorted(map(tuple, good1.collect())) == sorted(
+            map(tuple, good2.collect())
+        )
+        assert bad1.count() == bad2.count() == 1
+
+    # a schema that already carries the corrupt column is a caller bug
+    # worth failing loudly, not silently duplicating
+    tainted = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_with_quarantine(spark, str(jl), tainted)
+
+
+def test_stream_exact_dedup_sink_ignores_stale_inprogress(spark, tmp_path):
+    """Regression (ADVICE r8 medium #2): a crash between the seen-table
+    tmp write and its rename leaves ``batch=<tag>.inprogress`` in
+    ``seen_dir``; the prior-seen listing matched it via
+    ``startswith("batch=")`` and anti-joined the replayed batch against
+    its own partial digests — new docs vanished from the output.  The
+    sink must treat ``*.inprogress`` as garbage: delete it and exclude
+    it from the prior-seen read."""
+    from xero_api_etl_utilities_spark.streaming.cdc_sink import (
+        stream_exact_dedup_sink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    seen = str(tmp_path / "seen")
+
+    spark.createDataFrame([(1, "alpha")], schema).write.mode(
+        "append"
+    ).parquet(drop)
+    q = stream_exact_dedup_sink(
+        spark.readStream.schema(schema).parquet(drop),
+        out,
+        seen,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination()
+    assert {r["text"] for r in spark.read.parquet(out).collect()} == {"alpha"}
+
+    # Fabricate the crash leftover: a partial seen write holding the
+    # digest of the NEXT batch's new doc ("gamma"), never renamed.
+    stale = os.path.join(seen, "batch=deadbeef-0.inprogress")
+    spark.range(1).select(
+        F.sha2(F.lit("gamma"), 256).alias("_h")
+    ).write.parquet(stale)
+
+    spark.createDataFrame([(2, "gamma")], schema).write.mode(
+        "append"
+    ).parquet(drop)
+    q = stream_exact_dedup_sink(
+        spark.readStream.schema(schema).parquet(drop),
+        out,
+        seen,
+        str(tmp_path / "ckpt2"),  # fresh checkpoint replays everything
+    )
+    q.awaitTermination()
+
+    # with the bug, gamma's digest in the stale dir suppressed gamma
+    got = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {"alpha", "gamma"}
+    assert not os.path.isdir(stale)  # stale temp dir cleaned up
+    # and nothing .inprogress ever survives a successful drain
+    assert not any(d.endswith(".inprogress") for d in os.listdir(seen))
+
+
 def test_stream_quality_metrics_sink(spark, tmp_path):
     """Per-batch ingest metrics: counts match a batch recompute of the
     quality gate; a second drain appends a second batch row; replays

@@ -24,6 +24,23 @@ from pyspark.sql import types as T
 _CORRUPT = "_corrupt_record"
 
 
+def _with_corrupt_column(schema: T.StructType) -> T.StructType:
+    """Copy of ``schema`` with the corrupt-record column appended.
+
+    Must NOT use ``StructType.add`` on the caller's object:
+    ``add`` mutates in place and returns ``self``, so the caller's
+    schema would permanently grow a ``_corrupt_record`` field — and a
+    second read with the same schema object would carry a duplicate."""
+    if any(f.name == _CORRUPT for f in schema.fields):
+        raise ValueError(
+            f"schema already contains a {_CORRUPT!r} column; "
+            "pass the data schema without it"
+        )
+    return T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+
+
 def read_jsonl_with_quarantine(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> tuple[DataFrame, DataFrame]:
@@ -40,7 +57,7 @@ def read_jsonl_with_quarantine(
     part of the read schema, and good/bad must come from ONE read —
     filtering a cached frame — because re-reading with a filter on
     the corrupt column alone is unsupported."""
-    full = schema.add(T.StructField(_CORRUPT, T.StringType(), True))
+    full = _with_corrupt_column(schema)
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
@@ -65,7 +82,7 @@ def read_csv_with_quarantine(
     bad) contract, same PERMISSIVE + corrupt-column routing (a row
     with the wrong arity or an unparsable typed field lands in
     ``bad`` with the raw line)."""
-    full = schema.add(T.StructField(_CORRUPT, T.StringType(), True))
+    full = _with_corrupt_column(schema)
     df = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -305,11 +305,25 @@ def stream_exact_dedup_sink(
         hashed = batch_df.withColumn("_h", F.sha2(F.col(text_col), 256))
         keep = hashed.groupBy("_h").agg(F.min(F.col(id_col)).alias(id_col))
         batch1 = hashed.join(keep, ["_h", id_col], "left_semi")
+        # Prior-seen listing must see only PUBLISHED batch dirs: a
+        # crash-leftover ``batch=<x>.inprogress`` matches the prefix
+        # test but holds a partial write — reading it as prior state
+        # would anti-join a replayed batch against its own partial
+        # digests and diverge from the already-published output.
+        # Remove stale temp dirs first (any .inprogress that survived
+        # to the next _apply call is by definition a crash leftover —
+        # _publish always renames before returning).
+        if os.path.isdir(seen_dir):
+            for d in os.listdir(seen_dir):
+                if d.endswith(".inprogress"):
+                    shutil.rmtree(os.path.join(seen_dir, d))
         prior = (
             [
                 os.path.join(seen_dir, d)
                 for d in os.listdir(seen_dir)
-                if d.startswith("batch=") and d != f"batch={tag}"
+                if d.startswith("batch=")
+                and not d.endswith(".inprogress")
+                and d != f"batch={tag}"
             ]
             if os.path.isdir(seen_dir)
             else []
