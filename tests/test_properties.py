@@ -450,3 +450,65 @@ def test_decomposed_rank_descending_bands_property(spark, data):
     assert len(j) == len(rows)
     for rid, (r, er) in j.items():
         assert r == er, rid
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_decomposed2_rank_property(spark, data):
+    """operators/rankdist.global_rank_decomposed2 (two-level band/sub
+    decomposition, the r9 X93/X71/X139 lowering): the rank must equal
+    the global row_number over (score ASC, id ASC) — and, descending,
+    over (score DESC, id ASC) — on tie-HEAVY frames where the sub key
+    (id bits for tied metrics, middle score bits for spread ones)
+    splits tie runs across sub boundaries."""
+    from pyspark.sql import Window as W
+
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed2,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 10**6)),
+            min_size=1,
+            max_size=400,
+            unique_by=lambda t: t[1],
+        )
+    )
+    df = spark.createDataFrame(rows, "score long, id long")
+
+    # ascending: band = score (tied metric), sub = id >> 16 (~16 subs)
+    banded = df.withColumn("_band", F.col("score")).withColumn(
+        "_sub", F.shiftright(F.col("id"), 16)
+    )
+    ranked = global_rank_decomposed2(
+        banded, "_band", "_sub", [F.asc("score"), F.asc("id")], rank_name="r"
+    )
+    w = W.orderBy(F.asc("score"), F.asc("id"))
+    expected = df.select("id", F.row_number().over(w).alias("er"))
+    j = {r["id"]: (r["r"], r["er"]) for r in ranked.join(expected, "id").collect()}
+    assert len(j) == len(rows)
+    assert all(r == er for r, er in j.values())
+
+    # descending bands with an inverted sub (the X71 orientation):
+    # band = score >> 2 descending, sub = 3 - (score & 3); ties on the
+    # full score fall in one (band, sub) cell where id ASC decides
+    banded_d = df.withColumn(
+        "_band", F.shiftright(F.col("score"), 2)
+    ).withColumn("_sub", F.lit(3) - F.col("score").bitwiseAND(F.lit(3)))
+    ranked_d = global_rank_decomposed2(
+        banded_d,
+        "_band",
+        "_sub",
+        [F.desc("score"), F.asc("id")],
+        rank_name="r",
+        descending_bands=True,
+    )
+    wd = W.orderBy(F.desc("score"), F.asc("id"))
+    expected_d = df.select("id", F.row_number().over(wd).alias("er"))
+    jd = {
+        r["id"]: (r["r"], r["er"])
+        for r in ranked_d.join(expected_d, "id").collect()
+    }
+    assert len(jd) == len(rows)
+    assert all(r == er for r, er in jd.values())

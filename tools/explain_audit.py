@@ -319,8 +319,14 @@ CHECKS = {
     "graph_bfs_depth": [
         ("frontier semi/anti joins, lineage truncated per round", lambda p: "CartesianProduct" not in p and "Scan ExistingRDD" in p),
     ],
+    # r9: X93 — the three quartiles are band-decomposed ranks
+    # (rankdist.global_rank_decomposed2); every window partitions on
+    # the (band, sub) keys and NO single-partition exchange remains
+    # (the 1-row total merge sits behind the materialize cut)
     "orders_rfm_segments": [
-        ("NTILE windows over the customer-sized aggregate, no join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("quartile windows band-partitioned, not global", lambda p: "hashpartitioning(_band" in p),
+        ("zero single-partition exchanges", lambda p: "SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
     "window_interval_coalesce": [
         ("one supplier-keyed exchange; sweep windows partitioned, no join", lambda p: "Join" not in p and "CartesianProduct" not in p),
@@ -364,8 +370,11 @@ CHECKS = {
     "join_point_in_time": [
         ("PIT via union-sort-window asof, no range join", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p),
     ],
+    # r9: X71 — global row_number replaced by the band-decomposed rank
     "agg_revenue_concentration": [
-        ("rank window over the post-aggregate frame, materialized diamond", lambda p: "Scan ExistingRDD" in p),
+        ("rank over the materialized post-aggregate frame", lambda p: "Scan ExistingRDD" in p),
+        ("rank windows band-partitioned, not global", lambda p: "hashpartitioning(_band" in p),
+        ("only the 1-row final aggregate merges single-partition", lambda p: p.count("SinglePartition") <= 1),
     ],
     "events_stickiness": [
         ("WAU fan-out via explode + semi join, not a range NLJ", lambda p: "Generate" in p and "BroadcastNestedLoopJoin" not in p),
@@ -611,6 +620,10 @@ CHECKS = {
     "orders_rfm_migration": [
         ("half-split predicates pushed to parquet", lambda p: "PushedFilters" in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
+        # r9: quartiles band-decomposed; the only SinglePartition
+        # exchanges are the two halves' 1-row customer-count merges
+        ("quartile windows band-partitioned, not global", lambda p: "hashpartitioning(_band" in p),
+        ("only the two 1-row total merges single-partition", lambda p: p.count("SinglePartition") <= 2),
     ],
     # r7: X140 — 9-row census; the constant table is an in-row map and
     # the grand total windows over the census frame (one fact scan)
@@ -726,6 +739,7 @@ def check_headline_is_scale_safe() -> int:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name subset
     from xero_api_etl_utilities_spark.plans import catalog
     from xero_api_etl_utilities_spark.session import get_spark
 
@@ -735,9 +749,14 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = catalog.queries()
-    failures = check_headline_is_scale_safe()
-    failures += check_bucketed_snapshot_diff(spark, sf_dir)
-    for name, preds in CHECKS.items():
+    checks = (
+        {n: p for n, p in CHECKS.items() if n in only} if only else CHECKS
+    )
+    failures = 0
+    if not only:
+        failures += check_headline_is_scale_safe()
+        failures += check_bucketed_snapshot_diff(spark, sf_dir)
+    for name, preds in checks.items():
         plan = formatted_plan(qs[name](spark, sf_dir))
         for label, fn in preds:
             ok = fn(plan)

@@ -74,6 +74,82 @@ def global_rank_decomposed(
     )
 
 
+def global_rank_decomposed2(
+    df: DataFrame,
+    band_col: str,
+    sub_col: str,
+    order_cols: list,
+    rank_name: str = "r",
+    descending_bands: bool = False,
+) -> DataFrame:
+    """Two-level refinement of :func:`global_rank_decomposed` for
+    orders whose level-1 band alone leaves HEAVY bands — massively
+    tied metrics (every customer with the same order count lands in
+    one band, and that band grows linearly with the frame, recreating
+    the single-partition problem one level down).
+
+    ``sub_col`` must refine the order WITHIN a band: for rows sharing
+    a band value, ascending ``sub_col`` must coarsen ``order_cols``
+    (e.g. band = metric, sub = custkey >> k for a (metric, custkey)
+    order over a tied metric; or band = cents >> 18, sub =
+    (cents >> 8) & 1023 for a near-unique cents order).  Keep the sub
+    width bounded (~2^10): the per-band sub histogram is prefix-summed
+    by a band-partitioned window, so rows per window partition are
+    bounded by the sub width — never by the frame.
+
+    rank = band_offset (broadcast inequality join over the band
+    histogram, level-1's rule — bands stay few and broadcastable)
+    + sub_offset (per-band prefix sum, partitioned window)
+    + local rank (window partitioned by (band, sub) — fully parallel).
+    No single-partition exchange anywhere at any scale; the sub-offset
+    join back is a plain equi-join on (band, sub), shuffle-safe at
+    any histogram size."""
+    # The big frame shuffles exactly ONCE (the (band, sub) window
+    # exchange); the histograms derive from the windowed frame, so
+    # they inherit its partitioning and aggregate exchange-free —
+    # only the dimension-sized histogram frames move after that.
+    local = df.withColumn(
+        "_local_pos",
+        F.row_number().over(
+            Window.partitionBy(band_col, sub_col).orderBy(*order_cols)
+        ),
+    )
+    sh = local.groupBy(band_col, sub_col).agg(F.count(F.lit(1)).alias("_sc"))
+    w_sub = (
+        Window.partitionBy(band_col)
+        .orderBy(F.asc(sub_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sub_off = sh.select(
+        band_col,
+        sub_col,
+        F.col("_sc"),
+        F.coalesce(F.sum("_sc").over(w_sub), F.lit(0)).alias("_soff"),
+    )
+    hist = sub_off.groupBy(band_col).agg(F.sum("_sc").alias("_bcnt"))
+    other = hist.select(
+        F.col(band_col).alias("_ob"), F.col("_bcnt").alias("_oc")
+    )
+    before = (
+        F.col("_ob") > F.col(band_col)
+        if descending_bands
+        else F.col("_ob") < F.col(band_col)
+    )
+    offsets = (
+        hist.join(F.broadcast(other), before, "left")
+        .groupBy(band_col)
+        .agg(F.coalesce(F.sum("_oc"), F.lit(0)).alias("_boff"))
+    )
+    return (
+        local.join(sub_off.drop("_sc"), [band_col, sub_col])
+        .join(F.broadcast(offsets), band_col)
+        .withColumn(
+            rank_name, F.col("_boff") + F.col("_soff") + F.col("_local_pos")
+        )
+        .drop("_local_pos", "_soff", "_boff")
+    )
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer division for nonnegative operands as pure Column
     math: subtracting the remainder first makes the float division an

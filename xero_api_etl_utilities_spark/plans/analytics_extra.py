@@ -1181,20 +1181,39 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-customer revenue (one fact aggregate), rank by (revenue desc,
     custkey), top ceil(n/10) share cross-multiplied on integer cents.
     The decile boundary is a row-count rank, not a float quantile, so
-    the oracle hashes. The rank window is customer-cardinality (post-
-    aggregate), never the fact."""
+    the oracle hashes.
+
+    100 TB shape (r9): the rank was a global row_number window over
+    the customer frame — single-partition at scale.  Now the
+    band-decomposed rank (operators/rankdist: descending bands
+    cents >> 18, sub = inverted middle cents bits — both coarsenings
+    of the (cents DESC, custkey ASC) order), fully partitioned; the
+    customer aggregate is materialized once and reused by the 1-row
+    total collect and the ranked lineage."""
     od = load_table(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    ranked = per_cust.withColumn("rnk", F.row_number().over(w))
     from xero_api_etl_utilities_spark.operators.materialize import materialize
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed2,
+    )
 
-    ranked = materialize(ranked)
-    tot = ranked.agg(
+    per_cust = materialize(per_cust)
+    ranked = global_rank_decomposed2(
+        per_cust.withColumn(
+            "_band", F.shiftright(F.col("cents"), 18)
+        ).withColumn(
+            "_sub",
+            F.lit(1023) - F.shiftright(F.col("cents"), 8).bitwiseAND(F.lit(1023)),
+        ),
+        "_band",
+        "_sub",
+        [F.desc("cents"), F.asc("o_custkey")],
+        rank_name="rnk",
+        descending_bands=True,
+    )
+    tot = per_cust.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
     ).collect()[0]
     n, total = int(tot["n"]), int(tot["total"])
