@@ -336,10 +336,14 @@ def decode_audio_vad(
     ``mapInPandas`` projection of the media scan; audio bytes never
     shuffle.  The trailing partial window counts with its OWN sample
     count (cross-multiply, not padding), so short tails are judged
-    fairly."""
+    fairly.  Window energies are numpy-vectorized (int64-exact: |v|
+    <= 2^15 summed over channels × window samples stays far below
+    2^63) — per-sample Python inside the Arrow batch is the
+    row-at-a-time anti-pattern one level down (ADVICE r7)."""
     from xero_api_etl_utilities_spark.functions.audiocodec import decode_wav
 
     def _vad(batches) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -347,15 +351,22 @@ def decode_audio_vad(
             for d, c in zip(pdf["media_id"], pdf["content"]):
                 rate, n_ch, n_fr, channels = decode_wav(bytes(c))
                 win = max(rate * win_ms // 1000, 1)
-                n_windows = max((n_fr + win - 1) // win, 1) if n_fr else 0
-                n_active = 0
-                for w in range(n_windows):
-                    lo, hi = w * win, min((w + 1) * win, n_fr)
-                    e = sum(
-                        abs(ch[i]) for ch in channels for i in range(lo, hi)
+                if n_fr:
+                    # per-frame |amplitude| summed across channels,
+                    # then one reduceat per window boundary
+                    arr = np.abs(
+                        np.asarray(channels, dtype=np.int64).reshape(-1, n_fr)
                     )
-                    if e >= threshold * (hi - lo) * n_ch:
-                        n_active += 1
+                    tot = arr.sum(axis=0)
+                    starts = np.arange(0, n_fr, win)
+                    wsum = np.add.reduceat(tot, starts)
+                    sizes = np.minimum(starts + win, n_fr) - starts
+                    n_windows = int(starts.size)
+                    n_active = int(
+                        (wsum >= threshold * sizes * n_ch).sum()
+                    )
+                else:
+                    n_windows = n_active = 0
                 bp = n_active * 10000 // n_windows if n_windows else 0
                 rows.append([int(d), n_windows, n_active, bp])
             yield pd.DataFrame(
