@@ -625,6 +625,14 @@ CHECKS = {
         ("quartile windows band-partitioned, not global", lambda p: "hashpartitioning(_band" in p),
         ("only the two 1-row total merges single-partition", lambda p: p.count("SinglePartition") <= 2),
     ],
+    # r9: X146 — spans shuffle as 8-byte hashes; the interval sweep
+    # windows are doc-partitioned; the kept-text rebuild is in-row
+    # (no corpus explode past the span substrate)
+    "text_span_dedup_emit": [
+        ("span dedup keyed on the 8-byte hash", lambda p: "hashpartitioning(h" in p),
+        ("interval sweep doc-partitioned, zero single-partition exchanges", lambda p: "hashpartitioning(doc_id" in p and "SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     # r7: X140 — 9-row census; the constant table is an in-row map and
     # the grand total windows over the census frame (one fact scan)
     "diag_benford_firstdigit": [

@@ -298,6 +298,7 @@ def _load_extra_modules() -> None:
         mining_ops,
         corpus_extra,
         corpus_wave7,
+        wave9,
     )
 
 

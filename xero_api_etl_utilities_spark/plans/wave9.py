@@ -1,0 +1,214 @@
+"""Round-9 wave (SURVEY §2.12 X146+).
+
+No reference counterpart (``src/queries.ts`` is a bookkeeping ETL);
+this wave closes the last measured-but-not-actionable gap in the
+dedup family:
+
+* X146 ``text_span_dedup_emit`` — the EMIT step of Lee et al. 2022
+  exact-substring deduplication: where X110
+  (``text_dup_span_coverage``) only *measures* the token mass covered
+  by cross-document duplicated k-gram spans, this query *produces*
+  the deduplicated corpus — per document, the non-canonical
+  duplicated spans are interval-union-merged and cut, and the kept
+  text is emitted alongside the removal accounting.  First occurrence
+  wins: for each duplicated span hash, the minimum (doc_id, pos)
+  occurrence is the canonical one and survives; every other
+  occurrence is removed.  (The paper removes all-but-one occurrence
+  of >= 50-BPE-token repeats found by a suffix array, single-node;
+  the k-gram hash lowering is the same linear-shuffle profile as
+  X110 — spans move as 8-byte hashes, never text.)
+
+Every hashed output value is an integer or a deterministic string;
+the oracle replays the identical hash and interval algebra in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# X146: exact-substring span dedup — the emit step (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def text_span_dedup_emit(
+    spark: SparkSession, sf_dir: str, k: int = 6
+) -> DataFrame:
+    """X146: emit the span-deduplicated corpus.
+
+    Pipeline (all grains bounded at 100 TB):
+
+    1. word ``k``-gram spans per doc as 8-byte cross-engine md5-64
+       hashes (X110's substrate — text never shuffles);
+    2. per hash, ONE aggregate finds both the cross-document
+       duplication predicate (min(doc) <> max(doc) — within-doc
+       repetition is ``text_repetition``'s business, X110's rule) and
+       the canonical occurrence (min (doc_id, pos) struct);
+    3. every non-canonical occurrence of a duplicated hash becomes a
+       removal interval [pos, pos + k - 1], union-merged per document
+       by the ``window_interval_coalesce`` sweep (doc-partitioned
+       windows — never global);
+    4. the kept text re-assembles from the token array by filtering
+       out covered positions (in-row higher-order functions — no
+       explode of the corpus, no Python).
+
+    Output per document: token counts (total / removed / kept) and
+    the deduplicated text.  ``kept_tokens + removed_tokens ==
+    n_tokens`` by construction, and per-source ``sum(removed_tokens)``
+    is <= X110's ``covered_tokens`` (the canonical occurrences stay)
+    — both pinned by the reconciliation pytest."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h64
+    from xero_api_etl_utilities_spark.operators.dedup import token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the words array BEFORE the shingle transform
+    # (lambda-CSE trap, see text_boilerplate_shingles)
+    wdocs = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
+    )
+    spans = wdocs.select(
+        "doc_id",
+        F.posexplode(token_ngrams(F.col("_w"), k)).alias("pos", "_s"),
+    ).select("doc_id", "pos", h64(F.col("_s")).alias("h"))
+    canon = (
+        spans.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("_mn"),
+            F.max("doc_id").alias("_mx"),
+            F.min(F.struct("doc_id", "pos")).alias("_c"),
+        )
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(
+            "h",
+            F.col("_c.doc_id").alias("_cd"),
+            F.col("_c.pos").alias("_cp"),
+        )
+    )
+    removal = (
+        spans.join(canon, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("_cd"))
+                & (F.col("pos") == F.col("_cp"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + (k - 1)).alias("e"),
+        )
+    )
+    # union-merge per doc (s is unique per doc — one k-gram per pos)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = removal.withColumn(
+        "_b",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("_sid", F.sum("_b").over(w_run))
+    merged = flagged.groupBy("doc_id", "_sid").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs")
+    )
+    out = wdocs.join(ivs, "doc_id", "left")
+    # merged intervals are disjoint, so the flattened position list is
+    # duplicate-free and its size IS the removed token count
+    rem = F.coalesce(
+        F.flatten(
+            F.transform(F.col("_ivs"), lambda iv: F.sequence(iv["s"], iv["e"]))
+        ),
+        F.array().cast("array<int>"),
+    )
+    kept = F.filter(F.col("_w"), lambda tok, i: ~F.array_contains(rem, i))
+    return out.select(
+        "doc_id",
+        "source",
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        F.size(rem).cast("bigint").alias("removed_tokens"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.array_join(kept, " ").alias("kept_text"),
+    ).orderBy("doc_id")
+
+
+def _span_dedup_emit_oracle(k: int = 6) -> str:
+    from xero_api_etl_utilities_spark.functions.crosshash import (
+        h64_hi_sql,
+        h64_lo_sql,
+        signed64_sql,
+    )
+
+    h = signed64_sql(h64_hi_sql("s"), h64_lo_sql("s"))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), raw AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[i:i + {k - 1}], ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(w) - {k - 1}, 0) + 1)) AS t(i)
+), spans AS (
+  SELECT doc_id, pos, {h} AS h FROM raw
+), occ AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+    min(doc_id) OVER (PARTITION BY h) AS mn,
+    max(doc_id) OVER (PARTITION BY h) AS mx
+  FROM spans
+), removal AS (
+  SELECT doc_id, pos AS sp, pos + {k - 1} AS ep
+  FROM occ WHERE mn <> mx AND rn > 1
+), flagged AS (
+  SELECT doc_id, sp, ep,
+    CASE WHEN sp > coalesce(max(ep) OVER (PARTITION BY doc_id ORDER BY sp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS b
+  FROM removal
+), sw AS (
+  SELECT doc_id, sp, ep, sum(b) OVER (PARTITION BY doc_id ORDER BY sp
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), merged AS (
+  SELECT doc_id, min(sp) AS sp, max(ep) AS ep FROM sw GROUP BY doc_id, sid
+), removed_pos AS (
+  SELECT m.doc_id, u.p FROM merged m, unnest(range(m.sp, m.ep + 1)) AS u(p)
+), pos_all AS (
+  SELECT doc_id, i - 1 AS p, w[i] AS tok
+  FROM toks, unnest(range(1, len(w) + 1)) AS u(i)
+), keptagg AS (
+  SELECT a.doc_id,
+    count(*) FILTER (WHERE r.doc_id IS NULL) AS kept_tokens,
+    coalesce(string_agg(a.tok, ' ' ORDER BY a.p)
+             FILTER (WHERE r.doc_id IS NULL), '') AS kept_text
+  FROM pos_all a
+  LEFT JOIN removed_pos r ON a.doc_id = r.doc_id AND a.p = r.p
+  GROUP BY a.doc_id
+), remagg AS (
+  SELECT doc_id, sum(ep - sp + 1) AS removed FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id, t.source,
+  len(t.w)::BIGINT AS n_tokens,
+  coalesce(r.removed, 0)::BIGINT AS removed_tokens,
+  coalesce(ka.kept_tokens, 0)::BIGINT AS kept_tokens,
+  coalesce(ka.kept_text, '') AS kept_text
+FROM toks t
+LEFT JOIN remagg r USING (doc_id)
+LEFT JOIN keptagg ka USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+register("text_span_dedup_emit", text_span_dedup_emit, _span_dedup_emit_oracle)
