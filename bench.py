@@ -293,6 +293,8 @@ HEADLINE = [
     # pairs; similarity_ivf_cell_balance rides the IVF build) are
     # marginal-cost lines like their siblings above
     "text_dup_span_coverage",
+    # r9: the emit step rides the same span substrate shapes
+    "text_span_dedup_emit",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",
@@ -342,26 +344,29 @@ HEADLINE = [
     "orders_yoy_growth",
     "text_source_tvd_matrix",
 ]
-# NOT benched (machine-readable — tests/test_catalog_structure.py
-# asserts HEADLINE + NOT_BENCHED covers every catalog query, so a new
-# registration can never silently skip the bench again):
-NOT_BENCHED = {
-    # guarded exact baselines whose cartesian/all-pairs shapes exist
-    # only as oracle generators (VERDICT r1 items 2-3)
-    "similarity_topk",
-    "dedup_ngram_jaccard",
-    # prefix filter sub-quadratic on Zipfian corpora but near-dense on
-    # this synthetic 31-word vocabulary (df ~ 0.78*n_docs per token)
-    "dedup_prefix_filter_pairs",
+# Exactness baselines benched at a BOUNDED sf (r9, VERDICT r7/r8
+# carried item: "no catalog name absent from every bench artifact").
+# These are the guarded exact shapes that exist to pin correctness,
+# not to race the scale paths: similarity_topk is the brute-force
+# top-k oracle baseline (VERDICT r1 item 2), dedup_ngram_jaccard the
+# all-pairs Jaccard baseline (r1 item 3), and
+# dedup_prefix_filter_pairs a prefix filter that is sub-quadratic on
+# Zipfian corpora but near-dense on this synthetic 31-word vocabulary
+# (every token's df ~ 0.78·n_docs).  They are timed every full run at
+# the fixed sf below — separate from the headline sum, which stays a
+# like-for-like series over $SPARK_GRAFT_SF_DIR.  The benched scale
+# paths for the same semantics are similarity_topk_lsh/_ivf/_pandas,
+# dedup_minhash_lsh, and text_tf_cosine_pairs (relative-capped since
+# r7).
+BOUNDED_SF = {
+    "similarity_topk": "/root/testdata/sf0.01",
+    "dedup_ngram_jaccard": "/root/testdata/sf0.01",
+    "dedup_prefix_filter_pairs": "/root/testdata/sf0.01",
 }
-# Prose context: similarity_topk and dedup_ngram_jaccard — the guarded
-# exact baselines whose cartesian/all-pairs shapes exist only as
-# oracle generators (see VERDICT r1 items 2-3) — and
-# dedup_prefix_filter_pairs, whose prefix filter is sub-quadratic on
-# Zipfian corpora but measured near-dense on this synthetic
-# 31-word-vocabulary one (every token's df ~ 0.78·n_docs); the benched
-# scale path for text similarity is dedup_minhash_lsh +
-# text_tf_cosine_pairs (relative-capped since r7).
+# machine-readable (tests/test_catalog_structure.py asserts HEADLINE +
+# BOUNDED_SF + NOT_BENCHED covers every catalog query, so a new
+# registration can never silently skip the bench again):
+NOT_BENCHED: set[str] = set()
 
 
 def main() -> None:
@@ -416,9 +421,12 @@ def main() -> None:
     calib = _calibrate()
     print(f"bench calibration: {calib}", file=sys.stderr, flush=True)
 
-    # best-of-2: the box shows multi-second CPU-steal stalls that can
-    # inflate a single run 10-40x; the min of two runs measures the
-    # query, not the neighbor.
+    # median-of-3 (r9; was best-of-2): the box shows multi-second
+    # CPU-steal stalls that can inflate a single run 10-40x, and a
+    # single contended DRIVER run distorted the whole r7 round signal
+    # (313.8s vs 290.2s on byte-identical code).  The median absorbs
+    # one bad run per query in either direction without letting a
+    # lucky cache-warm outlier stand in for the typical cost.
     # optional argv subset: `python bench.py q1 q2` times just those
     # (iteration aid; BENCH_DETAIL.json is only rewritten on full runs)
     # memoized shared-substrate builds: timed ONCE as their own entry
@@ -469,9 +477,20 @@ def main() -> None:
         "graph_edges_build": _build_graph_edges,
     }
 
+    import statistics
+
     subset = [n for n in sys.argv[1:] if n in qs or n in SUBSTRATES]
+
+    def _timed(name: str, run_dir: str) -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, run_dir))
+            runs.append(time.perf_counter() - t0)
+        return round(statistics.median(runs), 3)
+
     timings: dict[str, float] = {}
-    for name in subset or HEADLINE:
+    for name in [n for n in (subset or HEADLINE) if n not in BOUNDED_SF]:
         if name in SUBSTRATES:
             # memoized: a second run would time the cache hit, so this
             # entry is single-run by construction
@@ -480,21 +499,56 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
             continue
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _timed(name, sf_dir)
         print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    # bounded-sf exactness baselines: every full run; subset runs only
+    # when asked for by name
+    bounded: dict[str, float] = {}
+    for name, bdir in BOUNDED_SF.items():
+        if subset and name not in subset:
+            continue
+        bounded[name] = _timed(name, bdir)
+        print(
+            f"bench {name} (bounded {bdir}): {bounded[name]}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH_DETAIL.json" if not subset else "BENCH_SUBSET.json",
     )
+    # stamp the code version so a detail file is always attributable
+    # to the commit it measured (ADVICE r8: the driver's regeneration
+    # used to silently overwrite the builder's like-for-like baseline)
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        commit = ""
+
     with open(detail_path, "w") as f:
         json.dump(
-            {"sf": sf, "unit": "sec", "calibration": calib, "queries": timings},
+            {
+                "sf": sf,
+                "unit": "sec",
+                "stat": "median_of_3",
+                "commit": commit,
+                "calibration": calib,
+                "queries": timings,
+                "bounded_baselines": {
+                    "sf_dirs": BOUNDED_SF,
+                    "queries": bounded,
+                },
+            },
             f,
             indent=1,
             sort_keys=True,
@@ -507,6 +561,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "n_bounded_baselines": len(bounded),
+                "stat": "median_of_3",
                 "detail": os.path.basename(detail_path),
                 **calib,
             }
