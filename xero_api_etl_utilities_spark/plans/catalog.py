@@ -27,26 +27,89 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r7 WINDOW (slots 1-50). Composition, per VERDICT r6 "Next round"
-    # item 1: the 19 names with no driver CORRECTNESS row in ANY round
-    # (X101-X118 + the long-deferred agg_approx_distinct_ok), then the
-    # new r7 registrations (behavior-changed text_tf_cosine_pairs and
-    # sample_token_budget_plan are in the 19/new groups and MUST re-check),
-    # padded to 50 with the oldest r2-green classics for regression
-    # coverage.  Unregistered names are ignored, so planned-but-unlanded
-    # r7 queries can be listed before their module lands.
+    # r9 WINDOW (slots 1-50).  Composition, per VERDICT r8 "Next
+    # round" item 4: (a) every r9 registration and r9
+    # behavior-changed query first (they MUST get a hard driver row),
+    # (b) ~5 recent-green regression spot checks spanning the waves,
+    # (c) then ALL 51 names whose newest driver row is r1/r2 (seven
+    # rounds stale), most-load-bearing first — whatever exceeds the
+    # 50-row fold falls below and rotates into r10.  Unregistered
+    # names are ignored, so planned-but-unlanded r9 queries can be
+    # listed before their module lands.
     #
-    # r8 ROTATION PLAN (write it while the context is fresh): the 48
-    # first-timers below saturate the window, so r7 catalog growth
-    # stopped at 236 — an un-windowed query would recreate the
-    # "implemented but never driver-verified" weakness.  For r8: (a)
-    # move any r7 names that came back red to the TOP, (b) list the
-    # r8 wave next (sized <= 50 minus the red carryover minus ~10
-    # regression slots), (c) pad with the r3-r5 green names that have
-    # had only ONE driver row ever (rotate regression coverage through
-    # the whole catalog round-robin rather than re-pinning r2
-    # classics).
-    # --- 19 never driver-checked (X101-X118 + agg_approx_distinct_ok) ---
+    # r10 ROTATION PLAN (write it while the context is fresh): (a)
+    # any r9 reds to the TOP, (b) the r10 wave, (c) the r1/r2-stale
+    # names that fell below this round's fold (the tail of section
+    # (c) below), (d) pad with r3-green names that have had only one
+    # driver row ever.
+    # --- (a) r9 new registrations + r9 behavior changes ---
+    "text_span_dedup_emit",
+    "orders_rfm_segments",
+    "orders_rfm_migration",
+    "agg_revenue_concentration",
+    "multimodal_audio_vad",
+    # --- (b) regression spot checks (recent-green, cross-wave) ---
+    "daily_pnl_rollup",
+    "diag_quality_deciles_dist",
+    "text_zipf_slope",
+    "feature_pit_scd2",
+    "scan_project_filter",
+    # --- (c) the 51 r1/r2-stale names, load-bearing first ---
+    "reconcile_matched",
+    "reconcile_unverified",
+    "window_segmentation",
+    "scalar_string_pack",
+    "scalar_date_pack",
+    "scalar_null_conditional_pack",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_conditional_sums",
+    "agg_string_receipts",
+    "agg_balance_check",
+    "agg_all_balanced",
+    "join_asof",
+    "join_exactly_one",
+    "join_cardinality_violations",
+    "join_range_intransit",
+    "dim_join_enrich",
+    "window_rank_topk",
+    "window_lag_lead",
+    "window_moving_frame",
+    "events_tumbling",
+    "events_sliding",
+    "events_sessionization",
+    "events_dedup_latest",
+    "sort_limit_topk",
+    "union_tagged_streams",
+    "invoice_line_assembly",
+    "filter_null_and_zero",
+    # ---- the 50-row fold lands about here; the rest of (c) rotates
+    # ---- into the r10 window
+    "filter_negation_membership_routing",
+    "pivot_event_values",
+    "set_ops_custkeys",
+    "parts_brand_margin",
+    "cluster_assign",
+    "pipeline_corpus_clean",
+    "sample_split_assign",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r7/r8 window names (all green r8; kept high for visibility)
     "dedup_semantic_clusters",
     "sample_token_budget_plan",
     "graph_cc_star",
@@ -66,14 +129,10 @@ _WINDOW_PRIORITY: list[str] = [
     "text_head_coverage",
     "sample_pack_waste",
     "agg_approx_distinct_ok",
-    # --- r7 new registrations + r7 behavior changes ---
-    "diag_quality_deciles_dist",
-    "feature_pit_scd2",
     "text_unigram_logprob",
     "text_winnow_fingerprints",
     "corpus_self_similarity",
     "split_balance_report",
-    "text_zipf_slope",
     "embedding_label_centroid_sim",
     "sample_curriculum_order",
     "text_tf_cosine_pairs",
@@ -85,37 +144,15 @@ _WINDOW_PRIORITY: list[str] = [
     "similarity_ivfpq_recall",
     "text_rake_keywords",
     "doc_chunk_overlap_census",
-    "multimodal_audio_vad",
     "similarity_range_search",
     "layout_partition_advisor",
     "diag_langid_confusion",
-    "orders_rfm_migration",
     "diag_benford_firstdigit",
     "join_asof_nearest",
     "diag_functional_deps",
     "text_bigram_surprisal",
     "orders_yoy_growth",
     "text_source_tvd_matrix",
-    # --- regression pad: oldest r2-green classics ---
-    "daily_pnl_rollup",
-    "scan_project_filter",
-    "filter_null_and_zero",
-    "dim_join_enrich",
-    "join_exactly_one",
-    "agg_conditional_sums",
-    "agg_string_receipts",
-    "agg_balance_check",
-    "agg_all_balanced",
-    "window_segmentation",
-    "sort_limit_topk",
-    "union_tagged_streams",
-    "invoice_line_assembly",
-    "reconcile_matched",
-    "reconcile_unverified",
-    "scalar_string_pack",
-    "scalar_date_pack",
-    "scalar_null_conditional_pack",
-    # ------------------- below the driver's 50-row fold -------------------
     # r6 window names (all green r6; kept high for visibility)
     "dedup_lsh_quality",
     "part_abc_classification",
