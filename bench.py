@@ -295,6 +295,8 @@ HEADLINE = [
     "text_dup_span_coverage",
     # r9: the emit step rides the same span substrate shapes
     "text_span_dedup_emit",
+    # r9: video frame-sample + real-thumb-decode chain
+    "multimodal_frame_sample",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -103,3 +103,46 @@ def test_spark_decode_stage(spark):
     assert rows[0]["n_tracks"] == 1 and rows[1]["n_tracks"] == 2
     assert rows[2]["width"] == 480 and rows[2]["timescale"] == 1200
     assert rows[3]["duration_ms"] == 3000 * 1000 // 1500
+
+
+def test_frame_sampling_grid_and_real_thumb_roundtrip(spark):
+    """sample_video_frames plans the grid from REAL container
+    metadata (frame count = ceil(duration_ms / 500) at 2 fps, ts on
+    the 500 ms stride) and the fake-decoded thumbnails round-trip
+    through the REAL image codec with the closed-form pixel rule."""
+    from xero_api_etl_utilities_spark.functions.imagecodec import decode_image
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    ids = spark.range(4).withColumnRenamed("id", "doc_id")
+    frames = mm.sample_video_frames(
+        mm.synth_mp4_media(ids, "doc_id"), fps_out=2,
+        decode_fn=mm.fake_frame_decode,
+    ).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for d, rows in by_media.items():
+        ts_scale = 600 + (d % 4) * 300
+        dur_ms = (1200 + (d % 7) * 600) * 1000 // ts_scale
+        assert len(rows) == (dur_ms + 499) // 500, d
+        rows.sort(key=lambda r: r["frame_idx"])
+        for i, r in enumerate(rows):
+            assert r["frame_idx"] == i and r["ts_ms"] == i * 500
+            assert r["width"] == 160 * (1 + d % 3)
+            w, h, _c, px = decode_image(bytes(r["frame"]))
+            assert (w, h) == (8, 6)
+            assert list(px) == [
+                (r["ts_ms"] * 7 + j) % 256 for j in range(8 * 6 * 3)
+            ]
+
+
+def test_frame_decode_default_is_documented_plugin(spark):
+    """Without a decoder the honest NotImplementedError surfaces —
+    the codec slot is a loud documented plug-in, never silent."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    ids = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(PythonException, match="external codec"):
+        mm.sample_video_frames(mm.synth_mp4_media(ids, "doc_id")).collect()

@@ -633,6 +633,12 @@ CHECKS = {
         ("interval sweep doc-partitioned, zero single-partition exchanges", lambda p: "hashpartitioning(doc_id" in p and "SinglePartition" not in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    # r9: X147 — two chained Arrow stages over the media scan; video
+    # bytes never shuffle (the only exchange is the presentation sort)
+    "multimodal_frame_sample": [
+        ("Arrow-batched frame chain, no byte shuffle", lambda p: p.count("MapInPandas") >= 2 and "hashpartitioning" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     # r7: X140 — 9-row census; the constant table is an in-row map and
     # the grand total windows over the census frame (one fact scan)
     "diag_benford_firstdigit": [

@@ -508,6 +508,101 @@ def synth_mp4_media(ids: DataFrame, id_col: str) -> DataFrame:
     return ids.mapInPandas(_gen, schema="media_id bigint, content binary")
 
 
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def external_frame_decode(
+    content: bytes, ts_ms: int, width: int, height: int
+) -> bytes:
+    """The honest plug-in point for REAL video frame extraction: a
+    pixel decode genuinely requires an external codec (ffmpeg — not
+    in this container by design, the same boundary
+    ``real_decode_features`` documents).  Production passes
+    ``decode_fn=<ffmpeg-backed extractor>`` to
+    :func:`sample_video_frames`; everything AROUND this call —
+    container parse, frame grid, batch shape, output schema — is real
+    and tested against :func:`fake_frame_decode`."""
+    raise NotImplementedError(
+        "video frame decode needs an external codec (ffmpeg); pass "
+        "decode_fn=<your extractor> to sample_video_frames — see "
+        "fake_frame_decode for the deterministic test stand-in"
+    )
+
+
+def fake_frame_decode(
+    content: bytes, ts_ms: int, width: int, height: int, thumb=(8, 6)
+) -> bytes:
+    """Deterministic closed-form stand-in for a keyframe-extract +
+    thumbnail step: a REAL P6 PPM thumbnail whose pixel byte ``i`` is
+    ``(ts_ms * 7 + i) % 256`` — downstream image operators decode it
+    with the real stdlib codec, and a SQL oracle predicts every
+    derived integer without decoding anything (the synth_ppm_media
+    rule applied to the time axis)."""
+    from xero_api_etl_utilities_spark.functions.imagecodec import encode_ppm
+
+    tw, th = thumb
+    n = tw * th * 3
+    return encode_ppm(tw, th, bytes((ts_ms * 7 + i) % 256 for i in range(n)))
+
+
+def sample_video_frames(
+    media: DataFrame,
+    fps_out: int = 2,
+    decode_fn=external_frame_decode,
+) -> DataFrame:
+    """Video frame SAMPLING plumbing (X147): plan the frame grid from
+    REAL container metadata (duration/timescale/dims via the stdlib
+    ISO-BMFF parser — the part that is honestly parseable without a
+    codec), emit one row per planned frame at ``fps_out`` frames/sec
+    (integer-ms stride), and extract each frame through the pluggable
+    ``decode_fn`` slot (default raises — see
+    :func:`external_frame_decode`).
+
+    Scale shape: Arrow-batched ``mapInPandas`` projection of the
+    media scan — video bytes never shuffle; the output fan-out
+    (frames >> videos) happens executor-side inside the batch, and
+    per-video frame counts are bounded by duration × fps, never by
+    the corpus.  Downstream ops shuffle only the (small) frame rows."""
+    from xero_api_etl_utilities_spark.functions.videometa import video_meta
+
+    step = max(1000 // max(fps_out, 1), 1)
+
+    def _sample(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, c in zip(pdf["media_id"], pdf["content"]):
+                meta = video_meta(bytes(c))
+                w = int(meta["width"] or 0)
+                h = int(meta["height"] or 0)
+                for idx, ts in enumerate(range(0, meta["duration_ms"], step)):
+                    rows.append(
+                        [
+                            int(d),
+                            idx,
+                            ts,
+                            w,
+                            h,
+                            decode_fn(bytes(c), ts, w, h),
+                        ]
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_sample, schema=VIDEO_FRAME_SCHEMA)
+
+
 def decode_video_meta(media: DataFrame) -> DataFrame:
     """Container metadata through the REAL ISO-BMFF box parser
     (functions/videometa.py): duration/timescale from mvhd, track

@@ -212,3 +212,100 @@ ORDER BY doc_id
 
 
 register("text_span_dedup_emit", text_span_dedup_emit, _span_dedup_emit_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X147: video frame-sample + thumbnail-feature chain
+# ---------------------------------------------------------------------------
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147: the video half of the multimodal pipeline made
+    END-TO-END driver-visible — deterministic ISO-BMFF bytes per doc
+    (synth_mp4_media's closed-form rule) → REAL container parse plans
+    the 2 fps frame grid (operators/multimodal.sample_video_frames) →
+    the pluggable frame-extract slot (the deterministic
+    ``fake_frame_decode`` thumbnail here; production plugs ffmpeg at
+    the same signature) → the REAL stdlib image codec decodes every
+    sampled thumbnail back to pixels for an integer gray-mass
+    feature.  Everything around the genuinely-codec-gated extract —
+    grid math, batch fan-out, schema, the decode round-trip — is
+    real, and the oracle predicts every integer from the generation
+    rules without touching a byte.
+
+    Scale shape: two chained Arrow ``mapInPandas`` projections of the
+    media scan (bytes never shuffle; frame fan-out is executor-side,
+    bounded by duration × fps per video); the only exchange is the
+    final presentation sort."""
+    import numpy as np
+
+    from xero_api_etl_utilities_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 80)
+    )
+    media = mm.synth_mp4_media(docs, "doc_id")
+    frames = mm.sample_video_frames(
+        media, fps_out=2, decode_fn=mm.fake_frame_decode
+    )
+
+    def _gray(batches):
+        from xero_api_etl_utilities_spark.functions.imagecodec import (
+            decode_image,
+        )
+
+        for pdf in batches:
+            sums = []
+            for fb in pdf["frame"]:
+                w, h, _c, px = decode_image(bytes(fb))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                sums.append(int((arr.reshape(-1, 3).sum(axis=1) // 3).sum()))
+            out = pdf[
+                ["media_id", "frame_idx", "ts_ms", "width", "height"]
+            ].copy()
+            out["thumb_gray_sum"] = sums
+            yield out
+
+    feats = frames.mapInPandas(
+        _gray,
+        schema=(
+            "media_id bigint, frame_idx bigint, ts_ms bigint,"
+            " width int, height int, thumb_gray_sum bigint"
+        ),
+    )
+    return feats.orderBy("media_id", "frame_idx")
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+    (1200 + (doc_id % 7) * 600) * 1000 // (600 + (doc_id % 4) * 300)
+      AS dur_ms,
+    160 * (1 + doc_id % 3) AS w,
+    120 * (1 + doc_id % 3) AS h
+  FROM documents WHERE doc_id < 80
+), frames AS (
+  SELECT media_id, u.i AS frame_idx, u.i * 500 AS ts_ms, w, h
+  FROM base, unnest(range(0, (dur_ms + 499) // 500)) AS u(i)
+), px AS (
+  SELECT media_id, frame_idx, ts_ms, w, h,
+    ((ts_ms * 7 + 3 * p.j) % 256
+     + (ts_ms * 7 + 3 * p.j + 1) % 256
+     + (ts_ms * 7 + 3 * p.j + 2) % 256) // 3 AS g
+  FROM frames, unnest(range(0, 48)) AS p(j)
+)
+SELECT media_id,
+  CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(ts_ms AS BIGINT) AS ts_ms,
+  CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height,
+  CAST(sum(g) AS BIGINT) AS thumb_gray_sum
+FROM px GROUP BY 1, 2, 3, 4, 5
+ORDER BY media_id, frame_idx
+"""
+
+register(
+    "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE
+)
