@@ -297,6 +297,8 @@ HEADLINE = [
     "text_span_dedup_emit",
     # r9: video frame-sample + real-thumb-decode chain
     "multimodal_frame_sample",
+    # r9: cohort LTV triangle (calendar-bounded windows)
+    "orders_cohort_ltv",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -633,6 +633,12 @@ CHECKS = {
         ("interval sweep doc-partitioned, zero single-partition exchanges", lambda p: "hashpartitioning(doc_id" in p and "SinglePartition" not in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    # r9: X148 — the LTV running sum is cohort-partitioned over the
+    # calendar-bounded triangle; cohort sizes broadcast back
+    "orders_cohort_ltv": [
+        ("cohort-partitioned running sum, no global window", lambda p: "hashpartitioning(cohort" in p and "SinglePartition" not in p),
+        ("sizes broadcast, no cartesian", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
+    ],
     # r9: X147 — two chained Arrow stages over the media scan; video
     # bytes never shuffle (the only exchange is the presentation sort)
     "multimodal_frame_sample": [

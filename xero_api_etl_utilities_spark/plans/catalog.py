@@ -45,6 +45,7 @@ _WINDOW_PRIORITY: list[str] = [
     # --- (a) r9 new registrations + r9 behavior changes ---
     "text_span_dedup_emit",
     "multimodal_frame_sample",
+    "orders_cohort_ltv",
     "orders_rfm_segments",
     "orders_rfm_migration",
     "agg_revenue_concentration",

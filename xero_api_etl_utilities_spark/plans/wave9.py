@@ -309,3 +309,108 @@ ORDER BY media_id, frame_idx
 register(
     "multimodal_frame_sample", multimodal_frame_sample, _FRAME_SAMPLE_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# X148: cohort lifetime-value matrix
+# ---------------------------------------------------------------------------
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148: the cohort LTV triangle — customers grouped by
+    first-order month, each cohort's per-month activity, revenue, and
+    CUMULATIVE revenue per founding member: the acquisition-payback
+    table every growth team reads next to the retention matrix
+    (``events_cohort_retention`` is the activity sibling; this is the
+    money one).  All integer cents; LTV = cumulative cents ``div``
+    cohort size, so the hash is exact.
+
+    Shape: one customer-grain first-order aggregate, one
+    customer-keyed equi-join back to the fact (AQE broadcasts the
+    first-order side when small; stays a shuffled equi-join at 100
+    TB), one (cohort, month) aggregate, then a cohort-partitioned
+    running sum over the cohort×month triangle — a dimension-sized
+    frame (~84×84 at any corpus size: partitions bounded by the
+    calendar, never the data)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("_m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+    )
+    first = od.groupBy("o_custkey").agg(F.min("_m").alias("cohort"))
+    monthnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    cells = (
+        od.join(first, "o_custkey")
+        .withColumn("months_since", monthnum(F.col("_m")) - monthnum(F.col("cohort")))
+        .groupBy("cohort", "months_since")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("_cents").alias("revenue_cents"),
+        )
+    )
+    sizes = cells.filter(F.col("months_since") == 0).select(
+        "cohort", F.col("n_active").alias("_csize")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("months_since").cast("int").alias("months_since"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+            F.col("cum_revenue_cents").cast("bigint").alias(
+                "cum_revenue_cents"
+            ),
+            F.expr("cum_revenue_cents div _csize")
+            .cast("bigint")
+            .alias("cum_ltv_cents"),
+        )
+        .orderBy("cohort", "months_since")
+    )
+
+
+register(
+    "orders_cohort_ltv",
+    orders_cohort_ltv,
+    """
+WITH od AS (
+  SELECT o_custkey,
+    date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(m) AS cohort FROM od GROUP BY o_custkey
+), cells AS (
+  SELECT cohort,
+    (year(m) * 12 + month(m)) - (year(cohort) * 12 + month(cohort))
+      AS months_since,
+    count(DISTINCT o_custkey) AS n_active,
+    sum(cents) AS revenue_cents
+  FROM od JOIN first USING (o_custkey)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, months_since, n_active, revenue_cents,
+    sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY months_since
+      ROWS UNBOUNDED PRECEDING) AS cum_revenue_cents
+  FROM cells
+), sizes AS (
+  SELECT cohort, n_active AS csize FROM cells WHERE months_since = 0
+)
+SELECT CAST(cohort AS DATE) AS cohort,
+  CAST(months_since AS INT) AS months_since,
+  CAST(n_active AS BIGINT) AS n_active,
+  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+  CAST(cum_revenue_cents AS BIGINT) AS cum_revenue_cents,
+  CAST(cum_revenue_cents // csize AS BIGINT) AS cum_ltv_cents
+FROM cum JOIN sizes USING (cohort)
+ORDER BY cohort, months_since
+""",
+)
