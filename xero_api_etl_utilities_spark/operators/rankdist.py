@@ -103,7 +103,12 @@ def global_rank_decomposed2(
     + local rank (window partitioned by (band, sub) — fully parallel).
     No single-partition exchange anywhere at any scale; the sub-offset
     join back is a plain equi-join on (band, sub), shuffle-safe at
-    any histogram size."""
+    any histogram size.
+
+    Precondition: ``band_col`` and ``sub_col`` must be NON-NULL on
+    every row (they are derived from the sort metrics, which a total
+    order requires non-null anyway) — the offset joins are equi-joins
+    and would silently drop null-band rows."""
     # The big frame shuffles exactly ONCE (the (band, sub) window
     # exchange); the histograms derive from the windowed frame, so
     # they inherit its partitioning and aggregate exchange-free —
