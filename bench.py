@@ -67,6 +67,10 @@ HEADLINE = [
     # below for the verify-side half of the substrate)
     "dedup_candidates_build",
     "dedup_minhash_lsh",
+    # r9: estimator-calibration census — rides the memoized candidate
+    # frame built on the line above; its exact-verify side (threshold
+    # floored to keep every pair) is its own cost
+    "dedup_minhash_calibration",
     "dedup_embedding_cosine",
     # similarity_topk (brute force) is the oracle baseline, NOT a
     # headline entry: the headline similarity routes are the two

@@ -633,6 +633,12 @@ CHECKS = {
         ("interval sweep doc-partitioned, zero single-partition exchanges", lambda p: "hashpartitioning(doc_id" in p and "SinglePartition" not in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    # r9: X149 — signatures join back doc-keyed; match count is in-row;
+    # never a nested loop over the corpus
+    "dedup_minhash_calibration": [
+        ("candidate-bounded equi-joins only", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("rides the checkpointed candidate frame", lambda p: "Scan ExistingRDD" in p),
+    ],
     # r9: X148 — the LTV running sum is cohort-partitioned over the
     # calendar-bounded triangle; cohort sizes broadcast back
     "orders_cohort_ltv": [

@@ -46,6 +46,7 @@ _WINDOW_PRIORITY: list[str] = [
     "text_span_dedup_emit",
     "multimodal_frame_sample",
     "orders_cohort_ltv",
+    "dedup_minhash_calibration",
     "orders_rfm_segments",
     "orders_rfm_migration",
     "agg_revenue_concentration",

@@ -377,6 +377,126 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X149: MinHash estimator calibration census
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149: how good is the 64-hash MinHash Jaccard ESTIMATOR on
+    this corpus?  For every LSH candidate pair: the estimate
+    (matching signature slots / 64, in bp) vs the EXACT shingle
+    Jaccard, censused by exact-similarity decile — mean absolute
+    error and signed bias per decile.  ``dedup_lsh_quality`` (X94)
+    grades the BANDING (recall/precision of candidate generation);
+    this grades the SKETCH itself — the number that tells you whether
+    64 hashes is enough before you trust estimate-ranked pruning, and
+    the standard-error sanity check (sqrt(J(1-J)/64) ~ 600 bp at
+    J=0.5) the datasheet quotes.
+
+    Lowering: rides the memoized recall-tuned candidate frame
+    (corpus_ops.lsh_candidates — built once per session); signatures
+    join back doc-keyed (doc-grain 64-int rows, 256 B/doc — the
+    signature frame joins on ids, never text); the match count is 64
+    in-row CASE terms; exact Jaccard is the shared
+    ``jaccard_verify`` with the threshold floored to keep EVERY
+    candidate pair (zero-overlap band collisions drop identically on
+    both engines — the verify join is shingle-inner by design).
+    Integer bp everywhere; signed bias uses truncate-toward-zero
+    ``div`` (proven engine-identical)."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+    from xero_api_etl_utilities_spark.plans.corpus_ops import lsh_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidates(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    sa = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(64)],
+    )
+    sb = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(64)],
+    )
+    match = None
+    for i in range(64):
+        term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        match = term if match is None else match + term
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", match.alias("_m"))
+    )
+    exact = dd.jaccard_verify(
+        cands, docs, "doc_id", "text", n=1, min_sim_num=0, min_sim_den=1
+    ).filter(
+        # zero-overlap band collisions: the array-set verify keeps
+        # them, the oracle's shingle-inner-join form drops them —
+        # exclude explicitly on BOTH engines (a pair with no shared
+        # shingle says nothing about estimator calibration anyway)
+        F.col("inter_size") > 0
+    )
+    scored = est.join(exact, ["doc_a", "doc_b"]).select(
+        F.expr("_m * 10000 div 64").alias("est_bp"),
+        F.expr("10000 * inter_size div union_size").alias("exact_bp"),
+    )
+    return (
+        scored.groupBy(F.expr("exact_bp div 1000").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.abs(F.col("est_bp") - F.col("exact_bp"))).alias("_ae"),
+            F.sum(F.col("est_bp") - F.col("exact_bp")).alias("_se"),
+        )
+        .select(
+            "decile",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.expr("_ae div n_pairs").cast("bigint").alias("mean_abs_err_bp"),
+            F.expr("_se div n_pairs").cast("bigint").alias("mean_bias_bp"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    chain = sk.minhash_cand_ctes(
+        n_hashes=64, seed=42, bands=16, rows_per_band=4, max_bucket=500,
+        source="documents",
+    )
+    terms = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+WITH {chain},
+{sk.jaccard_verify_ctes(0, 1)},
+est AS (
+  SELECT c.doc_a, c.doc_b, {terms} AS m
+  FROM cand c
+  JOIN sigs sa ON sa.doc = c.doc_a
+  JOIN sigs sb ON sb.doc = c.doc_b
+), scored AS (
+  SELECT e.m * 10000 // 64 AS est_bp,
+         10000 * v.inter_size // v.union_size AS exact_bp
+  FROM est e JOIN verified v USING (doc_a, doc_b)
+)
+SELECT CAST(exact_bp // 1000 AS INT) AS decile,
+  count(*)::BIGINT AS n_pairs,
+  CAST(sum(abs(est_bp - exact_bp)) // count(*) AS BIGINT)
+    AS mean_abs_err_bp,
+  CAST(sum(est_bp - exact_bp) // count(*) AS BIGINT) AS mean_bias_bp
+FROM scored GROUP BY 1 ORDER BY decile
+"""
+
+
+register(
+    "dedup_minhash_calibration",
+    dedup_minhash_calibration,
+    _minhash_calibration_oracle,
+)
+
+
 register(
     "orders_cohort_ltv",
     orders_cohort_ltv,
