@@ -394,21 +394,28 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard-error sanity check (sqrt(J(1-J)/64) ~ 600 bp at
     J=0.5) the datasheet quotes.
 
-    Lowering: rides the memoized recall-tuned candidate frame
-    (corpus_ops.lsh_candidates — built once per session); signatures
-    join back doc-keyed (doc-grain 64-int rows, 256 B/doc — the
-    signature frame joins on ids, never text); the match count is 64
-    in-row CASE terms; exact Jaccard is the shared
-    ``jaccard_verify`` with the threshold floored to keep EVERY
-    candidate pair (zero-overlap band collisions drop identically on
-    both engines — the verify join is shingle-inner by design).
-    Integer bp everywhere; signed bias uses truncate-toward-zero
-    ``div`` (proven engine-identical)."""
+    Lowering: a calibration census needs a SAMPLE, not the universe —
+    at 100 TB you never exact-verify every candidate pair for a
+    diagnostic — so the pairs are a deterministic 1/8 hash slice
+    (``h32(doc_a:doc_b) % 8 == 0``, the ``dedup_lsh_quality``
+    truth-slice rule; the oracle replays the identical slice) of the
+    memoized recall-tuned candidate frame (corpus_ops.lsh_candidates
+    — built once per session).  Signatures join back doc-keyed
+    (doc-grain 64-int rows, 256 B/doc — the signature frame joins on
+    ids, never text); the match count is 64 in-row CASE terms; exact
+    Jaccard is the shared ``jaccard_verify`` with the threshold
+    floored to keep every sampled pair (zero-overlap band collisions
+    drop identically on both engines — the verify join is
+    shingle-inner by design).  Integer bp everywhere; signed bias
+    uses truncate-toward-zero ``div`` (proven engine-identical)."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
     from xero_api_etl_utilities_spark.operators import dedup as dd
     from xero_api_etl_utilities_spark.plans.corpus_ops import lsh_candidates
 
     docs = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidates(spark, sf_dir)
+    cands = lsh_candidates(spark, sf_dir).filter(
+        h32(F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))) % 8 == 0
+    )
     sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
     sa = sigs.select(
         F.col("doc").alias("doc_a"),
@@ -464,16 +471,22 @@ def _minhash_calibration_oracle() -> str:
         n_hashes=64, seed=42, bands=16, rows_per_band=4, max_bucket=500,
         source="documents",
     )
+    from xero_api_etl_utilities_spark.functions.crosshash import h32_sql
+
     terms = " + ".join(
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
         for i in range(64)
     )
     return f"""
 WITH {chain},
-{sk.jaccard_verify_ctes(0, 1)},
+cand_s AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE {h32_sql("concat_ws(':', doc_a, doc_b)")} % 8 = 0
+),
+{sk.jaccard_verify_ctes(0, 1).replace('FROM cand c', 'FROM cand_s c')},
 est AS (
   SELECT c.doc_a, c.doc_b, {terms} AS m
-  FROM cand c
+  FROM cand_s c
   JOIN sigs sa ON sa.doc = c.doc_a
   JOIN sigs sb ON sb.doc = c.doc_b
 ), scored AS (
