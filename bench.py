@@ -117,6 +117,8 @@ HEADLINE = [
     "text_pii_mask",
     "text_repetition",
     "decontaminate_ngrams",
+    # r9: contamination depth (longest contiguous benchmark run)
+    "decontaminate_longest_run",
     "doc_pack_chunks",
     "sample_stratified",
     # analytics extras (plans/analytics_extra.py)

@@ -633,6 +633,13 @@ CHECKS = {
         ("interval sweep doc-partitioned, zero single-partition exchanges", lambda p: "hashpartitioning(doc_id" in p and "SinglePartition" not in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    # r9: X150 — benchmark trigrams broadcast; islands window is
+    # doc-partitioned; no global exchange
+    "decontaminate_longest_run": [
+        ("benchmark broadcast to the corpus side", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("islands window doc-partitioned, no single partition", lambda p: "hashpartitioning(doc_id" in p and "SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     # r9: X149 — signatures join back doc-keyed; match count is in-row;
     # never a nested loop over the corpus
     "dedup_minhash_calibration": [

@@ -47,6 +47,7 @@ _WINDOW_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "orders_cohort_ltv",
     "dedup_minhash_calibration",
+    "decontaminate_longest_run",
     "orders_rfm_segments",
     "orders_rfm_migration",
     "agg_revenue_concentration",

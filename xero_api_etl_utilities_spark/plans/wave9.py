@@ -378,6 +378,93 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X150: contamination DEPTH — longest contiguous benchmark run per doc
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150: benchmark-contamination DEPTH — ``decontaminate_ngrams``
+    (X3b) counts how many distinct benchmark trigrams a training doc
+    shares; this measures how LONG the verbatim overlap runs: the
+    longest contiguous run of contaminated trigram positions per doc
+    (a run of L consecutive trigram starts covers L+2 tokens).  A doc
+    sharing 30 scattered trigrams is phrase-level echo; a doc with a
+    30-gram contiguous run contains the benchmark item verbatim — the
+    distinction every decontamination policy (Lee et al. 2022; GPT-3
+    appendix) actually acts on.  Same split convention as X3b: every
+    20th doc plays the benchmark.
+
+    Lowering: benchmark trigrams broadcast (benchmark-sized — eval
+    sets are small at any corpus scale); the corpus side semi-joins
+    its positional trigrams (8-byte-ish strings here; the hash form
+    of X110 applies verbatim if vocab explodes) and the run length is
+    the classic gaps-and-islands: group = pos − row_number() over a
+    DOC-partitioned window, one aggregate per island, one per doc.
+    Nothing global; doc-bounded windows only."""
+    from xero_api_etl_utilities_spark.operators.dedup import token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    wdocs = docs.select("doc_id", toks.alias("_t"))
+    grams = wdocs.select(
+        "doc_id", F.posexplode(token_ngrams(F.col("_t"), 3)).alias("pos", "ng")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 20 == 0).select("ng").distinct()
+    )
+    hits = grams.filter(F.col("doc_id") % 20 != 0).join(
+        F.broadcast(bench), "ng", "left_semi"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("_len").cast("bigint").alias("n_hit_positions"),
+            F.max("_len").cast("bigint").alias("longest_run_ngrams"),
+            (F.max("_len") + 2).cast("bigint").alias("longest_run_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "decontaminate_longest_run",
+    decontaminate_longest_run,
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ng
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+), bench AS (
+  SELECT DISTINCT ng FROM grams WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN bench USING (ng)
+  WHERE g.doc_id % 20 <> 0
+), runs AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+), islands AS (
+  SELECT doc_id, grp, count(*) AS len FROM runs GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(sum(len) AS BIGINT) AS n_hit_positions,
+  CAST(max(len) AS BIGINT) AS longest_run_ngrams,
+  CAST(max(len) + 2 AS BIGINT) AS longest_run_tokens
+FROM islands GROUP BY doc_id ORDER BY doc_id
+""",
+)
+
+
+# ---------------------------------------------------------------------------
 # X149: MinHash estimator calibration census
 # ---------------------------------------------------------------------------
 
