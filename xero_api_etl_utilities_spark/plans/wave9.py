@@ -1,8 +1,7 @@
-"""Round-9 wave (SURVEY §2.12 X146+).
+"""Round-9 wave (SURVEY §2.12 X146–X150).
 
 No reference counterpart (``src/queries.ts`` is a bookkeeping ETL);
-this wave closes the last measured-but-not-actionable gap in the
-dedup family:
+this wave closes the last measured-but-not-actionable gaps:
 
 * X146 ``text_span_dedup_emit`` — the EMIT step of Lee et al. 2022
   exact-substring deduplication: where X110
@@ -17,9 +16,22 @@ dedup family:
   of >= 50-BPE-token repeats found by a suffix array, single-node;
   the k-gram hash lowering is the same linear-shuffle profile as
   X110 — spans move as 8-byte hashes, never text.)
+* X147 ``multimodal_frame_sample`` — the video frame-sampling chain
+  end to end: real ISO-BMFF grid planning, the pluggable (and loudly
+  NotImplementedError-by-default) frame-extract slot, and the real
+  stdlib image codec consuming the sampled thumbnails.
+* X148 ``orders_cohort_ltv`` — the cohort lifetime-value triangle
+  (calendar-bounded windows, integer-cents LTV per founding member).
+* X149 ``dedup_minhash_calibration`` — MinHash ESTIMATOR calibration
+  (estimate vs exact Jaccard by decile, deterministic pair-hash
+  slice); X94 grades the banding, this grades the sketch.
+* X150 ``decontaminate_longest_run`` — contamination DEPTH: longest
+  contiguous benchmark-trigram run per doc via doc-partitioned
+  gaps-and-islands (scattered echo vs verbatim inclusion).
 
 Every hashed output value is an integer or a deterministic string;
-the oracle replays the identical hash and interval algebra in DuckDB.
+every oracle replays the identical hash/interval/generation algebra
+in DuckDB.
 """
 
 from __future__ import annotations
