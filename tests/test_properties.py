@@ -454,6 +454,60 @@ def test_decomposed_rank_descending_bands_property(spark, data):
 
 @settings(max_examples=1, deadline=None)
 @given(st.data())
+def test_decomposed2_prefix_agg_property(spark, data):
+    """rankdist.global_prefix_agg_decomposed2 (r9): the decomposed
+    running SUM (inclusive) and running MAX (exclusive) must equal
+    the global-window forms over tie-heavy random frames — including
+    the NULL-prefix marker on the exclusive first row."""
+    from pyspark.sql import Window as W
+
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_prefix_agg_decomposed2,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 25), st.integers(0, 100), st.integers(0, 10**6)
+            ),
+            min_size=1,
+            max_size=300,
+            unique_by=lambda t: t[2],
+        )
+    )
+    df = spark.createDataFrame(rows, "score long, v long, id long")
+    banded = df.withColumn("_band", F.shiftright(F.col("score"), 2)).withColumn(
+        "_sub", F.col("score").bitwiseAND(F.lit(3))
+    )
+    order = [F.asc("score"), F.asc("id")]
+    got_sum = global_prefix_agg_decomposed2(
+        banded, "_band", "_sub", order, "v", agg="sum", out_name="p"
+    )
+    got_max = global_prefix_agg_decomposed2(
+        banded, "_band", "_sub", order, "v",
+        agg="max", out_name="p", inclusive=False,
+    )
+    w = W.orderBy(*order)
+    exp_sum = df.select(
+        "id",
+        F.sum("v")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("e"),
+    )
+    exp_max = df.select(
+        "id",
+        F.max("v").over(w.rowsBetween(W.unboundedPreceding, -1)).alias("e"),
+    )
+    for got, exp in ((got_sum, exp_sum), (got_max, exp_max)):
+        j = {r["id"]: (r["p"], r["e"]) for r in got.join(exp, "id").collect()}
+        assert len(j) == len(rows)
+        assert all(p == e for p, e in j.values()), [
+            (i, pe) for i, pe in j.items() if pe[0] != pe[1]
+        ][:5]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
 def test_decomposed2_rank_property(spark, data):
     """operators/rankdist.global_rank_decomposed2 (two-level band/sub
     decomposition, the r9 X93/X71/X139 lowering): the rank must equal

@@ -292,8 +292,11 @@ CHECKS = {
     "events_session_window": [
         ("native session window, single user-keyed exchange", lambda p: "Join" not in p and "CartesianProduct" not in p),
     ],
+    # r9: the skyline's running max is the decomposed exclusive
+    # prefix max — price-band windows, zero single-partition exchanges
     "part_pareto_frontier": [
-        ("skyline via one dim-sized ordered window, no self-join", lambda p: "Join" not in p and "CartesianProduct" not in p),
+        ("prefix max band-partitioned, not global", lambda p: "hashpartitioning(_band" in p and "SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
     "events_changepoint": [
         ("argmax via max_by aggregate, type-partitioned prefix window", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
@@ -313,8 +316,12 @@ CHECKS = {
     "dedup_lsh_quality": [
         ("verdict via tagged union + conditional sums, no 1-row cross join", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
     ],
+    # r9: the running sum is the decomposed prefix sum — band
+    # windows only; the 1-row total merge is the lone SinglePartition
     "part_abc_classification": [
-        ("running share over the part-grain aggregate, no self-join", lambda p: "Join" not in p and "CartesianProduct" not in p),
+        ("prefix sum band-partitioned, not global", lambda p: "hashpartitioning(_band" in p),
+        ("only the 1-row total merges single-partition", lambda p: p.count("SinglePartition") <= 1),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
     "graph_bfs_depth": [
         ("frontier semi/anti joins, lineage truncated per round", lambda p: "CartesianProduct" not in p and "Scan ExistingRDD" in p),
@@ -361,8 +368,12 @@ CHECKS = {
     "events_user_diversity": [
         ("two user-keyed hash aggregates, no window/join", lambda p: "Join" not in p and "Window" not in p and "CartesianProduct" not in p),
     ],
+    # r9: the name rank is band-decomposed (string-prefix bands); the
+    # only BNLJ is the broadcast band-histogram inequality join inside
+    # the decomposition (tiny × tiny by construction)
     "fuzzy_sorted_neighborhood": [
-        ("rank window over distinct dim names; probe join is equi on rank", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("name rank band-partitioned; probe join is equi on rank", lambda p: "hashpartitioning(_band" in p and "SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
     "diag_data_contract": [
         ("all rules from ONE conditional-sum scan", lambda p: "Join" not in p and "CartesianProduct" not in p),

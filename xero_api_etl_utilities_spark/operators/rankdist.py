@@ -155,6 +155,85 @@ def global_rank_decomposed2(
     )
 
 
+def global_prefix_agg_decomposed2(
+    df: DataFrame,
+    band_col: str,
+    sub_col: str,
+    order_cols: list,
+    value_col: str,
+    agg: str = "sum",
+    out_name: str = "prefix",
+    inclusive: bool = True,
+    descending_bands: bool = False,
+) -> DataFrame:
+    """Decomposed global RUNNING AGGREGATE (``sum`` or ``max``) of
+    ``value_col`` over the total order — the value twin of
+    :func:`global_rank_decomposed2` (a rank is just the prefix sum of
+    1s).  Same band/sub contract and non-null precondition; same
+    physical shape: the big frame shuffles once, histograms derive
+    from the windowed frame, band offsets ride a broadcast inequality
+    join, sub offsets a band-partitioned prefix window.
+
+    prefix = band_offset ⊕ sub_offset ⊕ local running agg, where ⊕ is
+    ``+`` (null → 0) for sum and null-skipping ``greatest`` for max.
+    With ``inclusive=False`` the local frame excludes the current row
+    — the first row of the global order then yields NULL for max (no
+    prefix exists; callers use that as the "no predecessor" marker)
+    and 0 for sum."""
+    if agg not in ("sum", "max"):
+        raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    aggf = F.sum if agg == "sum" else F.max
+    hi = Window.currentRow if inclusive else -1
+    local = df.withColumn(
+        "_lv",
+        aggf(value_col).over(
+            Window.partitionBy(band_col, sub_col)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, hi)
+        ),
+    )
+    sh = local.groupBy(band_col, sub_col).agg(aggf(value_col).alias("_sv"))
+    w_sub = (
+        Window.partitionBy(band_col)
+        .orderBy(F.asc(sub_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sub_off = sh.select(
+        band_col,
+        sub_col,
+        F.col("_sv"),
+        aggf("_sv").over(w_sub).alias("_soff"),
+    )
+    hist = sub_off.groupBy(band_col).agg(aggf("_sv").alias("_bv"))
+    other = hist.select(F.col(band_col).alias("_ob"), F.col("_bv").alias("_ov"))
+    before = (
+        F.col("_ob") > F.col(band_col)
+        if descending_bands
+        else F.col("_ob") < F.col(band_col)
+    )
+    offsets = (
+        hist.join(F.broadcast(other), before, "left")
+        .groupBy(band_col)
+        .agg(aggf("_ov").alias("_boff"))
+    )
+    if agg == "sum":
+        combined = (
+            F.coalesce(F.col("_boff"), F.lit(0))
+            + F.coalesce(F.col("_soff"), F.lit(0))
+            + F.coalesce(F.col("_lv"), F.lit(0))
+        )
+    else:
+        # greatest skips nulls; null only when EVERY level is null
+        # (the exclusive first row of the whole order)
+        combined = F.greatest(F.col("_boff"), F.col("_soff"), F.col("_lv"))
+    return (
+        local.join(sub_off.select(band_col, sub_col, "_soff"), [band_col, sub_col])
+        .join(F.broadcast(offsets), band_col)
+        .withColumn(out_name, combined)
+        .drop("_lv", "_soff", "_boff")
+    )
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer division for nonnegative operands as pure Column
     math: subtracting the remainder first makes the float division an

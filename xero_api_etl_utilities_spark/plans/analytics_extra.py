@@ -1314,23 +1314,43 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds every EARLIER point's size = running max over the ordered
     window (ties on price resolved toward the larger size; equal
     (price,size) duplicates keep the lowest partkey via the
-    three-key total order). One window over the part DIMENSION
-    (dim-cardinality, never a fact) — at larger dimensions the
-    standard trick is a coarse pre-filter on a grid then this exact
-    pass on survivors. Integer cents/sizes only."""
+    three-key total order). Integer cents/sizes only.
+
+    100 TB shape (r9): the running max was a global window over the
+    part dimension — parts scale linearly with the corpus, the same
+    single-partition class as the customer/part-grain rank windows
+    killed this round.  Now the decomposed global EXCLUSIVE prefix
+    max (rankdist.global_prefix_agg_decomposed2: band = price >> 8
+    ascending, sub = the low 8 price bits — monotone within a band —
+    with (size desc, partkey) ties handled by the (band, sub)-local
+    window); NULL prefix marks the global first row exactly as the
+    window form did."""
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_prefix_agg_decomposed2,
+    )
+
     pa = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w = (
-        Window.orderBy(
-            F.asc("price_cents"), F.desc("size"), F.asc("p_partkey")
-        ).rowsBetween(Window.unboundedPreceding, -1)
+    banded = pa.withColumn(
+        "_band", F.shiftright(F.col("price_cents"), 8)
+    ).withColumn("_sub", F.col("price_cents").bitwiseAND(F.lit(255)))
+    flagged = global_prefix_agg_decomposed2(
+        banded,
+        "_band",
+        "_sub",
+        [F.asc("price_cents"), F.desc("size"), F.asc("p_partkey")],
+        "size",
+        agg="max",
+        out_name="_prev_max",
+        inclusive=False,
     )
     return (
-        pa.withColumn("_prev_max", F.max("size").over(w))
-        .filter(F.col("_prev_max").isNull() | (F.col("size") > F.col("_prev_max")))
+        flagged.filter(
+            F.col("_prev_max").isNull() | (F.col("size") > F.col("_prev_max"))
+        )
         .select("p_partkey", "price_cents", "size")
         .orderBy("price_cents", "p_partkey")
     )

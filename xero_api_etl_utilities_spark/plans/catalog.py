@@ -51,6 +51,9 @@ _WINDOW_PRIORITY: list[str] = [
     "orders_rfm_segments",
     "orders_rfm_migration",
     "agg_revenue_concentration",
+    "part_abc_classification",
+    "part_pareto_frontier",
+    "fuzzy_sorted_neighborhood",
     "multimodal_audio_vad",
     # --- (b) regression spot checks (recent-green, cross-wave) ---
     "daily_pnl_rollup",
