@@ -27,41 +27,94 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r9 WINDOW (slots 1-50).  Composition, per VERDICT r8 "Next
-    # round" item 4: (a) every r9 registration and r9
-    # behavior-changed query first (they MUST get a hard driver row),
-    # (b) ~5 recent-green regression spot checks spanning the waves,
-    # (c) then ALL 51 names whose newest driver row is r1/r2 (seven
-    # rounds stale), most-load-bearing first — whatever exceeds the
-    # 50-row fold falls below and rotates into r10.  Unregistered
-    # names are ignored, so planned-but-unlanded r9 queries can be
+    # r10 WINDOW (slots 1-50).  Composition, per the written r10
+    # rotation plan (VERDICT r9 "Next round" item 1): (a) r9 had ZERO
+    # reds, so the r10 wave's new registrations and behavior-changed
+    # queries go first, (b) ALL 18 names whose newest driver row is
+    # still r1/r2 (they fell below the r9 fold), (c) pad the window
+    # with r3-green names that have had exactly one driver row ever —
+    # load-bearing (TPC-H, dedup, CDC, embedding) first.  Unregistered
+    # names are ignored, so planned-but-unlanded r10 queries can be
     # listed before their module lands.
     #
-    # r10 ROTATION PLAN (write it while the context is fresh): (a)
-    # any r9 reds to the TOP, (b) the r10 wave, (c) the r1/r2-stale
-    # names that fell below this round's fold (the tail of section
-    # (c) below), (d) pad with r3-green names that have had only one
-    # driver row ever.
-    # --- (a) r9 new registrations + r9 behavior changes ---
-    "text_span_dedup_emit",
-    "multimodal_frame_sample",
+    # r11 ROTATION PLAN (write it while the context is fresh): (a)
+    # any r10 reds to the TOP, (b) the r11 wave, (c) the ~27 r3-only
+    # names that fell below this round's fold (events_*, sample_*,
+    # text_normalize/pii/repetition/top_terms/doc_frequency,
+    # agg_grouping_sets, agg_winsorized_revenue, basket_part_pairs,
+    # fuzzy_name_match, join_skewed_salted, profile_orders,
+    # similarity_topk_ivfpq/_pandas, unpivot_measures,
+    # window_equidepth_bins, window_share_of_total,
+    # events_cohort_retention, events_funnel, dedup ...), (d) pad
+    # with the oldest r5 rows.
+    # --- (a) r10 new registrations + r10 behavior changes ---
+    "corr_all_quantified",
+    "corr_not_in_null_trap",
+    "corr_scalar_select_twice",
+    "corr_nested_exists_scalar",
+    "pipeline_corpus_publish",
+    "orders_rfm_migration",  # band-stats single-pass rework (r10)
+    "text_span_dedup_emit",  # kept-text rebuild rework (r10)
+    "multimodal_frame_sample",  # per-frame blob-copy hoist (r10)
+    "part_abc_classification",  # rankdist guard touch, spot check
+    # --- (b) ALL 18 r1/r2-stale names (zero the backlog) ---
+    "filter_negation_membership_routing",
+    "pivot_event_values",
+    "set_ops_custkeys",
+    "parts_brand_margin",
+    "cluster_assign",
+    "pipeline_corpus_clean",
+    "sample_split_assign",
+    "text_quality",
+    "text_token_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "events_sliding",
+    "events_sessionization",
+    "events_dedup_latest",
+    "sort_limit_topk",
+    "union_tagged_streams",
+    "invoice_line_assembly",
+    "filter_null_and_zero",
+    # --- (c) r3-single-row names, load-bearing first (23 slots) ---
+    "q4_priority_returns",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracketed_revenue",
+    "q22_dormant_customers",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_verified_pairs",
+    "dedup_cluster_sizes",
+    "merge_cdc_snapshot",
+    "snapshot_diff_summary",
+    "multimodal_decode_features",
+    "embedding_pq_codes",
+    "embedding_quantize_sq8",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r9 window names (all green r9; kept high for visibility)
     "orders_cohort_ltv",
     "dedup_minhash_calibration",
     "decontaminate_longest_run",
     "orders_rfm_segments",
-    "orders_rfm_migration",
     "agg_revenue_concentration",
-    "part_abc_classification",
     "part_pareto_frontier",
     "fuzzy_sorted_neighborhood",
     "multimodal_audio_vad",
-    # --- (b) regression spot checks (recent-green, cross-wave) ---
     "daily_pnl_rollup",
     "diag_quality_deciles_dist",
     "text_zipf_slope",
     "feature_pit_scd2",
     "scan_project_filter",
-    # --- (c) the 51 r1/r2-stale names, load-bearing first ---
     "reconcile_matched",
     "reconcile_unverified",
     "window_segmentation",
@@ -95,27 +148,6 @@ _WINDOW_PRIORITY: list[str] = [
     "window_lag_lead",
     "window_moving_frame",
     "events_tumbling",
-    "events_sliding",
-    "events_sessionization",
-    "events_dedup_latest",
-    "sort_limit_topk",
-    "union_tagged_streams",
-    "invoice_line_assembly",
-    "filter_null_and_zero",
-    # ---- the 50-row fold lands about here; the rest of (c) rotates
-    # ---- into the r10 window
-    "filter_negation_membership_routing",
-    "pivot_event_values",
-    "set_ops_custkeys",
-    "parts_brand_margin",
-    "cluster_assign",
-    "pipeline_corpus_clean",
-    "sample_split_assign",
-    "text_quality",
-    "text_token_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    # ------------------- below the driver's 50-row fold -------------------
     # r7/r8 window names (all green r8; kept high for visibility)
     "dedup_semantic_clusters",
     "sample_token_budget_plan",
