@@ -368,10 +368,25 @@ HEADLINE = [
 # paths for the same semantics are similarity_topk_lsh/_ivf/_pandas,
 # dedup_minhash_lsh, and text_tf_cosine_pairs (relative-capped since
 # r7).
+# The bounded dir derives from the SAME env root as the headline run
+# (a sibling sf0.01 of $SPARK_GRAFT_SF_DIR), overridable via
+# $SPARK_GRAFT_BOUNDED_SF_DIR — no absolute this-machine path baked in
+# (ADVICE r9).
+_BOUNDED_DIR = os.environ.get(
+    "SPARK_GRAFT_BOUNDED_SF_DIR",
+    os.path.join(
+        os.path.dirname(
+            os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            ).rstrip("/")
+        ),
+        "sf0.01",
+    ),
+)
 BOUNDED_SF = {
-    "similarity_topk": "/root/testdata/sf0.01",
-    "dedup_ngram_jaccard": "/root/testdata/sf0.01",
-    "dedup_prefix_filter_pairs": "/root/testdata/sf0.01",
+    "similarity_topk": _BOUNDED_DIR,
+    "dedup_ngram_jaccard": _BOUNDED_DIR,
+    "dedup_prefix_filter_pairs": _BOUNDED_DIR,
 }
 # machine-readable (tests/test_catalog_structure.py asserts HEADLINE +
 # BOUNDED_SF + NOT_BENCHED covers every catalog query, so a new

@@ -566,3 +566,41 @@ def test_decomposed2_rank_property(spark, data):
     }
     assert len(jd) == len(rows)
     assert all(r == er for r, er in jd.values())
+
+
+def test_rankdist_guards_fail_loudly(spark):
+    """operators/rankdist guards (ADVICE r9): a NULL band/sub key must
+    raise at run time (the offset equi-joins would otherwise silently
+    drop the row and shift every later rank), and a caller column that
+    collides with an internal temp name must raise at plan time."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed2,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, None, 0), (3, 1, 1)], "id int, b int, s int"
+    )
+    ranked = global_rank_decomposed2(df, "b", "s", [F.asc("id")], rank_name="r")
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        ranked.collect()
+    assert "non-null band/sub precondition" in str(ei.value)
+
+    clash = spark.createDataFrame([(1, 0, 0, 9)], "id int, b int, s int, _soff int")
+    with pytest.raises(ValueError, match="collide with internal temp names"):
+        global_rank_decomposed2(clash, "b", "s", [F.asc("id")])
+
+    # clean inputs are untouched: guarded rank equals the global window
+    clean = spark.createDataFrame(
+        [(i, i // 3, i % 3) for i in range(20)], "id int, b int, s int"
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in global_rank_decomposed2(
+            clean, "b", "s", [F.asc("id")], rank_name="r"
+        ).collect()
+    }
+    assert got == {i: i + 1 for i in range(20)}

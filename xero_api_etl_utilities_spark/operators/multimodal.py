@@ -582,7 +582,11 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for d, c in zip(pdf["media_id"], pdf["content"]):
-                meta = video_meta(bytes(c))
+                # one blob copy per VIDEO, not per planned frame
+                # (ADVICE r9: bytes(c) in the frame loop was
+                # O(frames x file_size) memory churn)
+                cb = bytes(c)
+                meta = video_meta(cb)
                 w = int(meta["width"] or 0)
                 h = int(meta["height"] or 0)
                 for idx, ts in enumerate(range(0, meta["duration_ms"], step)):
@@ -593,7 +597,7 @@ def sample_video_frames(
                             ts,
                             w,
                             h,
-                            decode_fn(bytes(c), ts, w, h),
+                            decode_fn(cb, ts, w, h),
                         ]
                     )
             yield pd.DataFrame(

@@ -33,6 +33,56 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: every internal temp name any function below may attach; caller columns
+#: with these names would be silently clobbered/dropped, so we refuse them.
+_TEMP_COLS = frozenset(
+    {
+        "_local_pos",
+        "_offset",
+        "_sc",
+        "_sv",
+        "_soff",
+        "_boff",
+        "_lv",
+        "_ob",
+        "_oc",
+        "_ov",
+        "_bcnt",
+        "_bv",
+    }
+)
+
+
+def _guard_inputs(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Enforce the two documented preconditions loudly (ADVICE r9):
+    temp-name collisions raise at PLAN time; a NULL band/sub key —
+    which the inner offset equi-joins would otherwise silently drop,
+    producing a wrong rank — raises at RUN time via an in-plan
+    ``assert_true`` folded into the key column itself (Catalyst
+    removes it when non-nullness is provable, so clean inputs pay
+    nothing)."""
+    clash = sorted(set(df.columns) & _TEMP_COLS)
+    if clash:
+        raise ValueError(
+            f"rankdist: input columns {clash} collide with internal "
+            f"temp names; rename them before calling"
+        )
+    for name in key_cols:
+        c = F.col(name)
+        guarded = F.when(
+            F.assert_true(
+                c.isNotNull(),
+                F.lit(
+                    f"rankdist: NULL in key column {name!r} violates the "
+                    "non-null band/sub precondition (the offset equi-joins "
+                    "would silently drop the row)"
+                ),
+            ).isNull(),
+            c,
+        )
+        df = df.withColumn(name, guarded)
+    return df
+
 
 def global_rank_decomposed(
     df: DataFrame,
@@ -49,6 +99,7 @@ def global_rank_decomposed(
     for an ascending order, or pass ``descending_bands=True`` when
     larger bands sort FIRST (e.g. rank-by-count-descending with
     ``band = ilog2(cnt)``)."""
+    df = _guard_inputs(df, [band_col])
     local = df.withColumn(
         "_local_pos",
         F.row_number().over(Window.partitionBy(band_col).orderBy(*order_cols)),
@@ -113,6 +164,7 @@ def global_rank_decomposed2(
     # exchange); the histograms derive from the windowed frame, so
     # they inherit its partitioning and aggregate exchange-free —
     # only the dimension-sized histogram frames move after that.
+    df = _guard_inputs(df, [band_col, sub_col])
     local = df.withColumn(
         "_local_pos",
         F.row_number().over(
@@ -182,6 +234,7 @@ def global_prefix_agg_decomposed2(
     and 0 for sum."""
     if agg not in ("sum", "max"):
         raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
+    df = _guard_inputs(df, [band_col, sub_col])
     aggf = F.sum if agg == "sum" else F.max
     hi = Window.currentRow if inclusive else -1
     local = df.withColumn(

@@ -137,24 +137,64 @@ def text_span_dedup_emit(
     ivs = merged.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs")
     )
-    out = wdocs.join(ivs, "doc_id", "left")
-    # merged intervals are disjoint, so the flattened position list is
-    # duplicate-free and its size IS the removed token count
-    rem = F.coalesce(
-        F.flatten(
-            F.transform(F.col("_ivs"), lambda iv: F.sequence(iv["s"], iv["e"]))
-        ),
-        F.array().cast("array<int>"),
+    out = wdocs.join(ivs, "doc_id", "left").withColumn(
+        "_iv2",
+        F.coalesce(F.col("_ivs"), F.array().cast("array<struct<s:int,e:int>>")),
     )
-    kept = F.filter(F.col("_w"), lambda tok, i: ~F.array_contains(rem, i))
-    return out.select(
-        "doc_id",
-        "source",
-        F.size("_w").cast("bigint").alias("n_tokens"),
-        F.size(rem).cast("bigint").alias("removed_tokens"),
-        F.size(kept).cast("bigint").alias("kept_tokens"),
-        F.array_join(kept, " ").alias("kept_text"),
-    ).orderBy("doc_id")
+    # kept text = the GAPS between the sorted disjoint removal
+    # intervals, sliced out of the token array — O(tokens + intervals)
+    # per row (the previous array_contains-per-token rebuild was
+    # O(tokens x removed), quadratic on heavily-duplicated docs —
+    # ADVICE r9).  Gap i runs from (interval i-1).e + 1 (or 0) up to
+    # (interval i).s - 1, plus a tail gap after the last interval.
+    gaps = F.concat(
+        F.transform(
+            F.col("_iv2"),
+            lambda iv, i: F.struct(
+                F.when(i == F.lit(0), F.lit(0))
+                .otherwise(F.element_at(F.col("_iv2"), i)["e"] + 1)
+                .alias("gs"),
+                (iv["s"] - 1).alias("ge"),
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.when(F.size("_iv2") == 0, F.lit(0))
+                .otherwise(F.element_at(F.col("_iv2"), -1)["e"] + 1)
+                .alias("gs"),
+                (F.size("_w") - 1).alias("ge"),
+            )
+        ),
+    )
+    kept = F.flatten(
+        F.transform(
+            F.filter(gaps, lambda g: g["ge"] >= g["gs"]),
+            lambda g: F.slice(F.col("_w"), g["gs"] + 1, g["ge"] - g["gs"] + 1),
+        )
+    )
+    # merged intervals are disjoint, so their width-sum IS the removed
+    # token count; kept is materialized ONCE and the two consumers
+    # (size + join) read the materialized column, not the lambda expr
+    return (
+        out.withColumn("_kept", kept)
+        .withColumn(
+            "_rem",
+            F.aggregate(
+                F.col("_iv2"),
+                F.lit(0),
+                lambda acc, iv: acc + (iv["e"] - iv["s"] + 1),
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            F.col("_rem").cast("bigint").alias("removed_tokens"),
+            F.size("_kept").cast("bigint").alias("kept_tokens"),
+            F.array_join("_kept", " ").alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _span_dedup_emit_oracle(k: int = 6) -> str:
