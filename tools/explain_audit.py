@@ -626,15 +626,13 @@ CHECKS = {
     "diag_langid_confusion": [
         ("totals broadcast, no cartesian", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),
     ],
-    # r7: X139 — date predicates push to the scans; the migration join
-    # is customer-dimension-sized
+    # r7: X139 — r10: both halves ride ONE group_cols=['_half'] rank
+    # pass (one window exchange, one histogram family); the old
+    # full-outer half-join collapsed into a customer-grain pivot
     "orders_rfm_migration": [
-        ("half-split predicates pushed to parquet", lambda p: "PushedFilters" in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
-        # r9: quartiles band-decomposed; the only SinglePartition
-        # exchanges are the two halves' 1-row customer-count merges
-        ("quartile windows band-partitioned, not global", lambda p: "hashpartitioning(_band" in p),
-        ("only the two 1-row total merges single-partition", lambda p: p.count("SinglePartition") <= 2),
+        ("quartile windows (half, band)-partitioned, not global", lambda p: "hashpartitioning(_half" in p),
+        ("zero single-partition exchanges anywhere", lambda p: "SinglePartition" not in p),
     ],
     # r9: X146 — spans shuffle as 8-byte hashes; the interval sweep
     # windows are doc-partitioned; the kept-text rebuild is in-row

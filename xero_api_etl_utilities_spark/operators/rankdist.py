@@ -53,35 +53,57 @@ _TEMP_COLS = frozenset(
 )
 
 
-def _guard_inputs(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Enforce the two documented preconditions loudly (ADVICE r9):
-    temp-name collisions raise at PLAN time; a NULL band/sub key —
-    which the inner offset equi-joins would otherwise silently drop,
-    producing a wrong rank — raises at RUN time via an in-plan
-    ``assert_true`` folded into the key column itself (Catalyst
-    removes it when non-nullness is provable, so clean inputs pay
-    nothing)."""
+def _collision_check(df: DataFrame) -> None:
+    """PLAN-time guard (ADVICE r9): caller columns named like our
+    temp columns would be silently clobbered or dropped — refuse."""
     clash = sorted(set(df.columns) & _TEMP_COLS)
     if clash:
         raise ValueError(
             f"rankdist: input columns {clash} collide with internal "
             f"temp names; rename them before calling"
         )
-    for name in key_cols:
-        c = F.col(name)
-        guarded = F.when(
-            F.assert_true(
-                c.isNotNull(),
-                F.lit(
-                    f"rankdist: NULL in key column {name!r} violates the "
-                    "non-null band/sub precondition (the offset equi-joins "
-                    "would silently drop the row)"
-                ),
-            ).isNull(),
-            c,
-        )
-        df = df.withColumn(name, guarded)
-    return df
+
+
+def _nonnull_gate(key_cols: list[str], through: Column) -> Column:
+    """RUN-time guard (ADVICE r9) for the non-null band/sub
+    precondition, placed on the HISTOGRAM grain, not the data grain:
+    a NULL key row survives the groupBy as a null group, so asserting
+    while reading the histogram's count column catches the misuse at
+    O(#bands) cost — the big frame's shuffle/window columns stay
+    untouched (wrapping them cost ~60% on the rfm family at sf0.1).
+    Without this, the offset equi-joins would silently drop null-key
+    rows and shift every later rank."""
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(c).isNotNull()
+    return F.when(
+        F.assert_true(
+            cond,
+            F.lit(
+                f"rankdist: NULL in key column(s) {key_cols} violates the "
+                "non-null band/sub precondition (the offset equi-joins "
+                "would silently drop those rows)"
+            ),
+        ).isNull(),
+        through,
+    )
+
+
+def _nsjoin(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Inner join on null-SAFE key equality (``<=>``), broadcasting the
+    (histogram-sized) right side.  Plain ``==`` keys would let Catalyst
+    infer ``IsNotNull`` constraints and push them BELOW the histogram
+    groupBy — deleting the null group before :func:`_nonnull_gate`
+    could fire, i.e. optimizing the guard itself away.  ``<=>`` is
+    still a hash-join key, so the physical shape is unchanged."""
+    renames = {k: f"_r_{k}" for k in keys}
+    r = right
+    for k, rk in renames.items():
+        r = r.withColumnRenamed(k, rk)
+    cond = F.lit(True)
+    for k, rk in renames.items():
+        cond = cond & F.col(k).eqNullSafe(F.col(rk))
+    return left.join(F.broadcast(r), cond, "inner").drop(*renames.values())
 
 
 def global_rank_decomposed(
@@ -99,7 +121,7 @@ def global_rank_decomposed(
     for an ascending order, or pass ``descending_bands=True`` when
     larger bands sort FIRST (e.g. rank-by-count-descending with
     ``band = ilog2(cnt)``)."""
-    df = _guard_inputs(df, [band_col])
+    _collision_check(df)
     local = df.withColumn(
         "_local_pos",
         F.row_number().over(Window.partitionBy(band_col).orderBy(*order_cols)),
@@ -117,9 +139,16 @@ def global_rank_decomposed(
         hist.join(F.broadcast(other), before, "left")
         .groupBy(band_col)
         .agg(F.coalesce(F.sum("_oc"), F.lit(0)).alias("_offset"))
+        # the gate rides the broadcast build of the histogram-sized
+        # offsets frame: every band row (incl. a null one — the
+        # null-safe join below stops IsNotNull inference from pruning
+        # it) evaluates here, at O(#bands) cost
+        .select(
+            band_col, _nonnull_gate([band_col], F.col("_offset")).alias("_offset")
+        )
     )
     return (
-        local.join(F.broadcast(offsets), band_col)
+        _nsjoin(local, offsets, [band_col])
         .withColumn(rank_name, F.col("_offset") + F.col("_local_pos"))
         .drop("_local_pos", "_offset")
     )
@@ -132,6 +161,7 @@ def global_rank_decomposed2(
     order_cols: list,
     rank_name: str = "r",
     descending_bands: bool = False,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-level refinement of :func:`global_rank_decomposed` for
     orders whose level-1 band alone leaves HEAVY bands — massively
@@ -159,47 +189,76 @@ def global_rank_decomposed2(
     Precondition: ``band_col`` and ``sub_col`` must be NON-NULL on
     every row (they are derived from the sort metrics, which a total
     order requires non-null anyway) — the offset joins are equi-joins
-    and would silently drop null-band rows."""
-    # The big frame shuffles exactly ONCE (the (band, sub) window
-    # exchange); the histograms derive from the windowed frame, so
-    # they inherit its partitioning and aggregate exchange-free —
+    and would silently drop null-band rows.
+
+    ``group_cols`` (r10): optional INDEPENDENT-RANKING groups — every
+    group gets its own 1-based rank over the same order, from ONE
+    shared pass (one window exchange, one histogram family) instead
+    of one pipeline per group.  Group keys must be non-null too (they
+    ride the same equi-joins) and are guarded identically."""
+    # The big frame shuffles exactly ONCE (the (group, band, sub)
+    # window exchange); the histograms derive from the windowed frame,
+    # so they inherit its partitioning and aggregate exchange-free —
     # only the dimension-sized histogram frames move after that.
-    df = _guard_inputs(df, [band_col, sub_col])
+    g = list(group_cols or [])
+    og_clash = sorted(
+        set(df.columns) & {f"_og{i}" for i in range(len(g))}
+    )
+    if og_clash:
+        raise ValueError(
+            f"rankdist: input columns {og_clash} collide with internal "
+            f"group temp names; rename them before calling"
+        )
+    _collision_check(df)
     local = df.withColumn(
         "_local_pos",
         F.row_number().over(
-            Window.partitionBy(band_col, sub_col).orderBy(*order_cols)
+            Window.partitionBy(*g, band_col, sub_col).orderBy(*order_cols)
         ),
     )
-    sh = local.groupBy(band_col, sub_col).agg(F.count(F.lit(1)).alias("_sc"))
+    sh = local.groupBy(*g, band_col, sub_col).agg(
+        F.count(F.lit(1)).alias("_sc")
+    )
     w_sub = (
-        Window.partitionBy(band_col)
+        Window.partitionBy(*g, band_col)
         .orderBy(F.asc(sub_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the gate rides _soff: every (group, band, sub) histogram row —
+    # including null-key ones, which the null-safe join-backs keep
+    # visible — evaluates it during the broadcast build, at histogram
+    # cost, leaving the big frame's shuffle columns untouched
     sub_off = sh.select(
+        *g,
         band_col,
         sub_col,
         F.col("_sc"),
-        F.coalesce(F.sum("_sc").over(w_sub), F.lit(0)).alias("_soff"),
+        _nonnull_gate(
+            g + [band_col, sub_col],
+            F.coalesce(F.sum("_sc").over(w_sub), F.lit(0)),
+        ).alias("_soff"),
     )
-    hist = sub_off.groupBy(band_col).agg(F.sum("_sc").alias("_bcnt"))
+    hist = sub_off.groupBy(*g, band_col).agg(F.sum("_sc").alias("_bcnt"))
     other = hist.select(
-        F.col(band_col).alias("_ob"), F.col("_bcnt").alias("_oc")
+        *[F.col(c).alias(f"_og{i}") for i, c in enumerate(g)],
+        F.col(band_col).alias("_ob"),
+        F.col("_bcnt").alias("_oc"),
     )
     before = (
         F.col("_ob") > F.col(band_col)
         if descending_bands
         else F.col("_ob") < F.col(band_col)
     )
+    for i, c in enumerate(g):
+        before = before & (F.col(f"_og{i}") == F.col(c))
     offsets = (
         hist.join(F.broadcast(other), before, "left")
-        .groupBy(band_col)
+        .groupBy(*g, band_col)
         .agg(F.coalesce(F.sum("_oc"), F.lit(0)).alias("_boff"))
     )
+    joined = _nsjoin(local, sub_off.drop("_sc"), g + [band_col, sub_col])
     return (
-        local.join(sub_off.drop("_sc"), [band_col, sub_col])
-        .join(F.broadcast(offsets), band_col)
+        _nsjoin(joined, offsets, g + [band_col])
         .withColumn(
             rank_name, F.col("_boff") + F.col("_soff") + F.col("_local_pos")
         )
@@ -234,7 +293,7 @@ def global_prefix_agg_decomposed2(
     and 0 for sum."""
     if agg not in ("sum", "max"):
         raise ValueError(f"agg must be 'sum' or 'max', got {agg!r}")
-    df = _guard_inputs(df, [band_col, sub_col])
+    _collision_check(df)
     aggf = F.sum if agg == "sum" else F.max
     hi = Window.currentRow if inclusive else -1
     local = df.withColumn(
@@ -251,11 +310,15 @@ def global_prefix_agg_decomposed2(
         .orderBy(F.asc(sub_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # gate on _soff: see global_rank_decomposed2 — histogram-grain
+    # null check, evaluated in the broadcast build of the join-back
     sub_off = sh.select(
         band_col,
         sub_col,
         F.col("_sv"),
-        aggf("_sv").over(w_sub).alias("_soff"),
+        _nonnull_gate(
+            [band_col, sub_col], aggf("_sv").over(w_sub)
+        ).alias("_soff"),
     )
     hist = sub_off.groupBy(band_col).agg(aggf("_sv").alias("_bv"))
     other = hist.select(F.col(band_col).alias("_ob"), F.col("_bv").alias("_ov"))
@@ -279,9 +342,11 @@ def global_prefix_agg_decomposed2(
         # greatest skips nulls; null only when EVERY level is null
         # (the exclusive first row of the whole order)
         combined = F.greatest(F.col("_boff"), F.col("_soff"), F.col("_lv"))
+    joined = _nsjoin(
+        local, sub_off.select(band_col, sub_col, "_soff"), [band_col, sub_col]
+    )
     return (
-        local.join(sub_off.select(band_col, sub_col, "_soff"), [band_col, sub_col])
-        .join(F.broadcast(offsets), band_col)
+        _nsjoin(joined, offsets, [band_col])
         .withColumn(out_name, combined)
         .drop("_lv", "_soff", "_boff")
     )
