@@ -305,6 +305,11 @@ HEADLINE = [
     "multimodal_frame_sample",
     # r9: cohort LTV triangle (calendar-bounded windows)
     "orders_cohort_ltv",
+    # r10: the decorrelation-proof wave (X151-X154) + corpus publish
+    "corr_all_quantified",
+    "corr_not_in_null_trap",
+    "corr_scalar_select_twice",
+    "corr_nested_exists_scalar",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -657,6 +657,38 @@ CHECKS = {
     ],
     # r9: X148 — the LTV running sum is cohort-partitioned over the
     # calendar-bounded triangle; cohort sizes broadcast back
+    # r10: X151 — > ALL decorrelated to customer-grain MAX + left join;
+    # probe month pushed to the scan; no single-partition anywhere
+    "corr_all_quantified": [
+        ("probe-month predicate pushed to parquet", lambda p: "PushedFilters: [" in p),
+        ("aggregate join customer-partitioned, no cartesian/nested-loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("no single-partition exchange", lambda p: "SinglePartition" not in p),
+    ],
+    # r10: X152 — NOT IN lowered to anti-join + 1-row null guards; the
+    # only SinglePartition exchanges are the two 1-row scalar merges,
+    # and the only nested-loop join is the 1-row x 1-row cross
+    "corr_not_in_null_trap": [
+        ("anti-join lowering", lambda p: "LeftAnti" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("only the two 1-row scalar merges single-partition", lambda p: p.count("SinglePartition") <= 2),
+    ],
+    # r10: X153 — the twice-used correlated scalar rides ONE
+    # customer-partitioned window; the follow-up groupBy reuses the
+    # partitioning (no join, no second exchange, no single partition)
+    "corr_scalar_select_twice": [
+        ("single window pass, no joins at all", lambda p: "Join" not in p),
+        ("customer-partitioned window", lambda p: "hashpartitioning(o_custkey" in p),
+        ("no single-partition exchange", lambda p: "SinglePartition" not in p),
+    ],
+    # r10: X154 — inner scalar decorrelated to a part-grain aggregate
+    # co-partitioned with the probe; candidates broadcast-semi onto
+    # supplier; month predicate pushed
+    "corr_nested_exists_scalar": [
+        ("part-key co-partitioned aggregate join", lambda p: "hashpartitioning(l_partkey" in p),
+        ("semi-join onto supplier", lambda p: "LeftSemi" in p),
+        ("month predicate pushed to parquet", lambda p: "PushedFilters: [" in p),
+        ("no cartesian/nested-loop, no single partition", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "SinglePartition" not in p),
+    ],
     "orders_cohort_ltv": [
         ("cohort-partitioned running sum, no global window", lambda p: "hashpartitioning(cohort" in p and "SinglePartition" not in p),
         ("sizes broadcast, no cartesian", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),

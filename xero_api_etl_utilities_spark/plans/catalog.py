@@ -375,6 +375,7 @@ def _load_extra_modules() -> None:
         corpus_extra,
         corpus_wave7,
         wave9,
+        wave10,
     )
 
 

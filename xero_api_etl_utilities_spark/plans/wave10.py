@@ -1,0 +1,309 @@
+"""Round-10 wave (SURVEY §2.12 X151–X155): subquery-decorrelation
+proofs + the curated-corpus publish capstone.
+
+The TPC-H-shaped wave (plans/tpch_like.py) already proves the common
+decorrelations (EXISTS→semi, NOT EXISTS→anti, scalar-AVG→agg-join,
+nested IN→semi-chain).  This wave adds the four classic optimizer
+patterns the catalog did NOT yet prove, each with a deliberately
+CORRELATED DuckDB oracle so the hash gate certifies the decorrelated
+Spark plan bit-for-bit against the naive nested-subquery semantics
+(the Q21/Q22 precedent):
+
+* X151 ``corr_all_quantified`` — quantified ``> ALL`` comparison with
+  the EMPTY-subquery edge (``> ALL`` of nothing is TRUE): a naive
+  inner max-join silently drops exactly those rows; the decorrelated
+  form is a LEFT join + ``IS NULL OR >``.
+* X152 ``corr_not_in_null_trap`` — three-valued-logic ``NOT IN``:
+  one NULL in the subquery empties the whole result (x <> NULL is
+  UNKNOWN for every x).  An anti-join alone is WRONG; the decorrelated
+  form is anti-join + a 1-row null-presence guard.  Both branches are
+  exercised: a poisoned key that exists in the data (result pinned to
+  0) and one that doesn't (anti-join count survives).
+* X153 ``corr_scalar_select_twice`` — a correlated scalar aggregate
+  referenced twice (per-customer order count AND above-own-average
+  count), triple-nested in the oracle; decorrelated to ONE
+  customer-partitioned window pass with the average comparison done
+  in exact integer cross-multiplication (cents*n > sum — no float
+  division crosses an engine).
+* X154 ``corr_nested_exists_scalar`` — TWO-level nesting: an EXISTS
+  correlated to the outer supplier whose inner predicate compares
+  against a scalar aggregate correlated to the MIDDLE query's row
+  (the part's corpus-wide quantity average) — and the middle query's
+  filter set (one ship-month) deliberately differs from the inner
+  aggregate's (all history).  Decorrelated: per-part aggregate
+  joined back on the part key, integer 1.9x threshold, distinct
+  supplier keys, semi-join.
+
+X155 ``pipeline_corpus_publish`` (registered from this module, built
+on sources/writer.py + operators/packing.py + wave9's X146) closes
+VERDICT r9 item 2 — see ``pipeline_corpus_publish`` below.
+
+No reference counterpart (src/queries.ts is a bookkeeping ETL); these
+are engine-capability proofs in the catalog's TPC-H dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def _cents(col: str = "o_totalprice") -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# X151: quantified > ALL with empty-subquery semantics
+# ---------------------------------------------------------------------------
+
+
+def corr_all_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151: January-1997 orders whose total (cents) beats ALL of the
+    same customer's 1996 orders.  ``> ALL (empty set)`` is TRUE, so a
+    customer with no 1996 history qualifies automatically — the edge a
+    naive inner join against the per-customer 1996 max silently drops.
+
+    Decorrelated shape: the correlated ``> ALL`` collapses to a
+    per-customer MAX aggregate (customer-grain, one shuffle) LEFT-
+    joined onto the probe month, with ``max IS NULL OR cents > max``.
+    The probe side is one pushed-down month scan; the 1996 aggregate
+    shuffles once on the customer key."""
+    od = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    cur = od.filter(
+        (d >= F.lit("1997-01-01")) & (d <= F.lit("1997-01-31"))
+    ).select("o_orderkey", "o_custkey", _cents().alias("cents"))
+    prior = (
+        od.filter((d >= F.lit("1996-01-01")) & (d <= F.lit("1996-12-31")))
+        .groupBy("o_custkey")
+        .agg(F.max(_cents()).alias("_pmax"))
+    )
+    return (
+        cur.join(prior, "o_custkey", "left")
+        .filter(F.col("_pmax").isNull() | (F.col("cents") > F.col("_pmax")))
+        .select("o_orderkey", "o_custkey", "cents")
+        .orderBy("o_orderkey")
+    )
+
+
+register(
+    "corr_all_quantified",
+    corr_all_quantified,
+    f"""
+SELECT o_orderkey, o_custkey, {_CENTS} AS cents
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-01-31'
+  AND {_CENTS} > ALL (
+      SELECT CAST(round(o2.o_totalprice * 100) AS BIGINT)
+      FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+        AND CAST(o2.o_orderdate AS DATE)
+            BETWEEN DATE '1996-01-01' AND DATE '1996-12-31')
+ORDER BY o_orderkey
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# X152: NOT IN with a NULL-poisoned subquery (three-valued logic)
+# ---------------------------------------------------------------------------
+
+
+def corr_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152: the ``NOT IN`` null trap, both branches in one row.
+
+    ``x NOT IN (S)`` is never TRUE when S contains a NULL (x <> NULL
+    is UNKNOWN), so one poisoned value empties the whole result — the
+    single most common silent-wrongness bug when engines (or humans)
+    lower NOT IN to a plain anti-join.  Columns:
+
+    * ``n_clean`` — customers with no urgent order (plain anti-join);
+    * ``n_poisoned_hit`` — same subquery with ``NULLIF(key, 42)``;
+      customer 42 HAS urgent orders at every test sf, so the subquery
+      contains NULL and the correct answer is 0;
+    * ``n_poisoned_miss`` — ``NULLIF(key, -7)`` never fires, so the
+      correct answer equals ``n_clean``.
+
+    Decorrelated shape: ONE distinct urgent-customer frame feeds a
+    LEFT-ANTI count plus two 1-row null-presence guards; the poisoned
+    counts are ``CASE WHEN null_present THEN 0 ELSE anti_count END``.
+    Everything after the distinct is dimension-grain."""
+    cust = load_table(spark, sf_dir, "customer")
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    n_clean = cust.join(
+        sub, cust.c_custkey == sub.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    guards = sub.agg(
+        F.max((F.col("o_custkey") == 42).cast("int")).alias("_hit"),
+        F.max((F.col("o_custkey") == -7).cast("int")).alias("_miss"),
+    )
+    return n_clean.crossJoin(F.broadcast(guards)).select(
+        F.col("_n").alias("n_clean"),
+        F.when(F.col("_hit") == 1, F.lit(0))
+        .otherwise(F.col("_n"))
+        .cast("bigint")
+        .alias("n_poisoned_hit"),
+        F.when(F.col("_miss") == 1, F.lit(0))
+        .otherwise(F.col("_n"))
+        .cast("bigint")
+        .alias("n_poisoned_miss"),
+    )
+
+
+register(
+    "corr_not_in_null_trap",
+    corr_not_in_null_trap,
+    """
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT'))::BIGINT
+      AS n_clean,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 42) FROM orders
+                           WHERE o_orderpriority = '1-URGENT'))::BIGINT
+      AS n_poisoned_hit,
+  (SELECT count(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, -7) FROM orders
+                           WHERE o_orderpriority = '1-URGENT'))::BIGINT
+      AS n_poisoned_miss
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# X153: correlated scalar aggregate referenced twice
+# ---------------------------------------------------------------------------
+
+
+def corr_scalar_select_twice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153: per customer-with-orders, the order count and how many of
+    their orders beat their OWN average order value — the correlated
+    scalar (count / sum over the same customer's orders) appearing in
+    both the SELECT list and a derived predicate; the oracle nests it
+    three deep.
+
+    Exactness: "above own average" as integer cross-multiplication
+    ``cents * n > sum_cents`` — no float division on either engine.
+    Decorrelated shape: ONE customer-partitioned window pass attaches
+    (n, sum) to every order row, then a same-key groupBy (no second
+    exchange — the partitioning is reused) counts the winners."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents().alias("_c")
+    )
+    w = Window.partitionBy("o_custkey")
+    x = od.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_s", F.sum("_c").over(w)
+    )
+    return (
+        x.groupBy("o_custkey")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.col("_c") * F.col("_n") > F.col("_s"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_above_own_avg"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "n_orders",
+            "n_above_own_avg",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+register(
+    "corr_scalar_select_twice",
+    corr_scalar_select_twice,
+    """
+SELECT c_custkey,
+  (SELECT count(*) FROM orders o
+   WHERE o.o_custkey = c.c_custkey)::BIGINT AS n_orders,
+  (SELECT count(*) FROM orders o
+   WHERE o.o_custkey = c.c_custkey
+     AND CAST(round(o.o_totalprice * 100) AS BIGINT)
+         * (SELECT count(*) FROM orders o3
+            WHERE o3.o_custkey = c.c_custkey)
+         > (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+            FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey))::BIGINT AS n_above_own_avg
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# X154: two-level nested correlation (EXISTS over an inner scalar)
+# ---------------------------------------------------------------------------
+
+
+def corr_nested_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154: suppliers who, in March 1996, shipped at least one line
+    whose quantity tops 1.9x the ALL-TIME average quantity of that
+    line's part — the inner scalar correlates to the MIDDLE query's
+    row (``l.l_partkey``), the EXISTS to the OUTER supplier, and the
+    middle filter set (one month) deliberately differs from the inner
+    aggregate's (all history), so a lowering that conflates the two
+    scopes fails the hash.
+
+    Exactness: 1.9x as ``10*qty*cnt > 19*sum`` in BIGINT.
+    Decorrelated shape: per-part (count, sum) aggregate joined back on
+    the part key (co-partitioned shuffle join), the month filter
+    pushed to the probe scan, distinct supplier keys (dimension-grain)
+    broadcast-semi-joined onto supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("long")
+    part_stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_pc"), F.sum(qty).alias("_ps")
+    )
+    d = F.col("l_shipdate").cast("date")
+    cand = (
+        li.filter((d >= F.lit("1996-03-01")) & (d <= F.lit("1996-03-31")))
+        .join(part_stats, "l_partkey")
+        .filter(qty * 10 * F.col("_pc") > 19 * F.col("_ps"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(
+            F.broadcast(cand), su.s_suppkey == cand.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    "corr_nested_exists_scalar",
+    corr_nested_exists_scalar,
+    """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey
+    AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-03-01'
+                                       AND DATE '1996-03-31'
+    AND CAST(l.l_quantity AS BIGINT) * 10
+        * (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+        > 19 * (SELECT CAST(sum(l3.l_quantity) AS BIGINT) FROM lineitem l3
+                WHERE l3.l_partkey = l.l_partkey))
+ORDER BY s_suppkey
+""",
+)
