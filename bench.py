@@ -310,6 +310,9 @@ HEADLINE = [
     "corr_not_in_null_trap",
     "corr_scalar_select_twice",
     "corr_nested_exists_scalar",
+    # r10: X155 — the timed line INCLUDES the emit+pack+write (the
+    # builder publishes eagerly), so this is the full publish cost
+    "pipeline_corpus_publish",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -689,6 +689,13 @@ CHECKS = {
         ("month predicate pushed to parquet", lambda p: "PushedFilters: [" in p),
         ("no cartesian/nested-loop, no single partition", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "SinglePartition" not in p),
     ],
+    # r10: X155 — the returned census derives ENTIRELY from the
+    # written artifact (one scan of the published shards; the
+    # partition column comes back from directory names)
+    "pipeline_corpus_publish": [
+        ("census reads exactly one artifact scan", lambda p: p.count("Location: InMemoryFileIndex") == 1 and "corpus_publish" in p),
+        ("no cartesian, no single-partition exchange", lambda p: "CartesianProduct" not in p and "SinglePartition" not in p),
+    ],
     "orders_cohort_ltv": [
         ("cohort-partitioned running sum, no global window", lambda p: "hashpartitioning(cohort" in p and "SinglePartition" not in p),
         ("sizes broadcast, no cartesian", lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p),

@@ -307,3 +307,125 @@ WHERE EXISTS (
 ORDER BY s_suppkey
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# X155: curated-corpus PUBLISH capstone (emit → pack → shard → read back)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096
+_HASH_P = 1_000_000_007
+
+
+def _publish_dir(sf_dir: str) -> str:
+    """Deterministic artifact location: env-overridable, defaulting to
+    the git-ignored warehouse dir inside the repo (never /root/testdata
+    or any machine-absolute data path)."""
+    import os
+
+    base = os.environ.get("XERO_SPARK_PUBLISH_DIR")
+    if base is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        )
+        base = os.path.join(repo_root, "spark-warehouse", "corpus_publish")
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(base, sf_name)
+
+
+def publish_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """X155 write half: span-dedup emit (X146) → drop fully-removed
+    docs → fixed-budget pack per source shard (X14) → source-
+    partitioned parquet shards (sources/writer.py).  Returns the
+    artifact path.
+
+    100 TB shape: the emit frame is doc-grain; packing is one
+    source-partitioned window (never global); the pack-id join back
+    is a doc-key equi-join; the write shards by source so downstream
+    training readers prune per-source.  Nothing here collects to the
+    driver."""
+    from xero_api_etl_utilities_spark.operators.packing import pack_fixed_budget
+    from xero_api_etl_utilities_spark.plans.wave9 import span_dedup_frame
+    from xero_api_etl_utilities_spark.sources.writer import write_partitioned
+
+    frame = span_dedup_frame(spark, sf_dir).filter(F.col("kept_tokens") > 0)
+    packed = pack_fixed_budget(
+        frame, "doc_id", "kept_tokens", _PACK_BUDGET, shard_col="source"
+    )
+    artifact = frame.join(
+        packed.select("doc_id", "pack_id"), "doc_id"
+    ).select("doc_id", "source", "kept_tokens", "kept_text", "pack_id")
+    path = _publish_dir(sf_dir)
+    write_partitioned(artifact, path, ["source"], mode="overwrite")
+    return path
+
+
+def pipeline_corpus_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155: the end-to-end curated-corpus PUBLISH gate (VERDICT r9
+    item 2) — the composition the pieces individually proved but the
+    catalog never gated: X146's span-deduplicated emit, packed into
+    fixed-token-budget training packs (X14's sharded next-fit), written
+    as source-partitioned parquet shards, READ BACK FROM DISK, and
+    censused per pack.  The returned frame derives entirely from the
+    on-disk artifact, so the driver's hash check certifies the full
+    write→read roundtrip (schema, partition-column restore, text
+    fidelity via the cross-engine md5 hash) against a DuckDB oracle
+    that replays emit→pack→census without any filesystem at all.
+
+    Census per (source, pack_id): doc count, token mass, doc-id sum,
+    and sum of per-doc ``h64(kept_text) mod p`` (p = 1e9+7, bounded so
+    a pack's sum stays far from BIGINT range) — the text-fidelity
+    fingerprint."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h64
+    from xero_api_etl_utilities_spark.sources.writer import read_partitioned
+
+    path = publish_corpus(spark, sf_dir)
+    rb = read_partitioned(spark, path)
+    return (
+        rb.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept_tokens").cast("bigint").alias("pack_tokens"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.pmod(h64(F.col("kept_text")), F.lit(_HASH_P)))
+            .cast("bigint")
+            .alias("text_hash_sum"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+def _corpus_publish_oracle() -> str:
+    from xero_api_etl_utilities_spark.functions.crosshash import (
+        h64_hi_sql,
+        h64_lo_sql,
+        signed64_sql,
+    )
+    from xero_api_etl_utilities_spark.plans.wave9 import _span_dedup_emit_oracle
+
+    th = signed64_sql(h64_hi_sql("kept_text"), h64_lo_sql("kept_text"))
+    return f"""
+WITH emit AS ({_span_dedup_emit_oracle()}),
+kept AS (
+  SELECT doc_id, source, kept_tokens, kept_text
+  FROM emit WHERE kept_tokens > 0
+), packed AS (
+  SELECT doc_id, source, kept_tokens, kept_text,
+    CAST(coalesce(sum(kept_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM kept
+)
+SELECT source, prev // {_PACK_BUDGET} AS pack_id,
+  count(*)::BIGINT AS n_docs,
+  sum(kept_tokens)::BIGINT AS pack_tokens,
+  sum(doc_id)::BIGINT AS sum_doc_id,
+  sum((({th} % {_HASH_P}) + {_HASH_P}) % {_HASH_P})::BIGINT AS text_hash_sum
+FROM packed
+GROUP BY source, prev // {_PACK_BUDGET}
+ORDER BY source, pack_id
+"""
+
+
+register(
+    "pipeline_corpus_publish", pipeline_corpus_publish, _corpus_publish_oracle
+)

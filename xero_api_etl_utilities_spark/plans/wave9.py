@@ -47,10 +47,10 @@ from xero_api_etl_utilities_spark.sources.parquet import load_table
 # ---------------------------------------------------------------------------
 
 
-def text_span_dedup_emit(
-    spark: SparkSession, sf_dir: str, k: int = 6
-) -> DataFrame:
-    """X146: emit the span-deduplicated corpus.
+def span_dedup_frame(spark: SparkSession, sf_dir: str, k: int = 6) -> DataFrame:
+    """X146 core, UNSORTED (the catalog query adds the presentation
+    order; composition consumers like X155's publish pipeline take the
+    frame as-is so no dead global sort sits under their shuffles).
 
     Pipeline (all grains bounded at 100 TB):
 
@@ -193,8 +193,14 @@ def text_span_dedup_emit(
             F.size("_kept").cast("bigint").alias("kept_tokens"),
             F.array_join("_kept", " ").alias("kept_text"),
         )
-        .orderBy("doc_id")
     )
+
+
+def text_span_dedup_emit(
+    spark: SparkSession, sf_dir: str, k: int = 6
+) -> DataFrame:
+    """X146 catalog entry: :func:`span_dedup_frame` in doc order."""
+    return span_dedup_frame(spark, sf_dir, k).orderBy("doc_id")
 
 
 def _span_dedup_emit_oracle(k: int = 6) -> str:
