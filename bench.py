@@ -592,6 +592,35 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
+    # append-only history (VERDICT r9 item 5, completing ADVICE r8 low
+    # #2): BENCH_DETAIL.json still holds the NEWEST full run for the
+    # driver, but every full run ALSO appends one commit-stamped line
+    # here, so a later driver re-run can never erase the builder's
+    # committed like-for-like baseline — bench_compare picks runs by
+    # commit from the journal.
+    if not subset:
+        history_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+        )
+        with open(history_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "ts": round(time.time(), 1),
+                        "commit": commit,
+                        "sf": sf,
+                        "stat": "median_of_3",
+                        "headline_total": round(sum(timings.values()), 3),
+                        "best_total": round(sum(best.values()), 3),
+                        "calibration": calib,
+                        "queries": timings,
+                        "queries_best_of_3": best,
+                        "bounded_baselines": bounded,
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
     print(
         json.dumps(
             {

@@ -45,6 +45,19 @@ def main() -> int:
         for q, sec in queries.items():
             if isinstance(sec, (int, float)):
                 history[q] = min(history.get(q, float("inf")), float(sec))
+    # the append-only commit-stamped journal (r10): every full run ever
+    # recorded, immune to in-place BENCH_DETAIL.json overwrites
+    jpath = os.path.join(repo, "BENCH_HISTORY.jsonl")
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                for q, sec in (rec.get("queries") or {}).items():
+                    if isinstance(sec, (int, float)):
+                        history[q] = min(history.get(q, float("inf")), float(sec))
 
     if not history:
         print("no BENCH_r*.json history; nothing to compare")

@@ -1,0 +1,189 @@
+"""Repeatable FULL-CATALOG oracle gate with resume (VERDICT r9 item 7).
+
+The r9 sf0.1 sweep was four hand-driven batches (one JVM died to a
+/tmp cleaner mid-run and the partial results had to be stitched by
+hand).  This tool makes the 10x-scale gate one command:
+
+  python tools/full_gate.py --sf sf0.1 --resume
+  python tools/full_gate.py --sf /root/testdata/sf0.01            # full rerun
+  python tools/full_gate.py --sf sf0.1 --resume --batch 40
+
+* every query result appends one line to FULL_GATE_<sf>.jsonl in the
+  repo root (append-only journal, commit-stamped) the moment it
+  finishes — a crash loses at most the in-flight query;
+* --resume skips names whose LATEST journal line is ok at the CURRENT
+  commit (a code change invalidates the skip);
+* every --batch names (default 60) the SparkSession is torn down and
+  rebuilt, bounding /tmp shuffle-dir growth and executor heap age over
+  a 241-query sweep.
+
+Comparison semantics are check_oracle's driver-faithful digest
+(imported, not copied).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_oracle import TABLES, frame_digest  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return ""
+
+
+def _new_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("full-gate")
+        .master("local[*]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="sf0.1", help="sf dir or sfN.N shorthand")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--batch", type=int, default=60)
+    ap.add_argument("names", nargs="*", help="optional subset")
+    args = ap.parse_args()
+
+    sf_dir = args.sf if os.sep in args.sf else f"/root/testdata/{args.sf}"
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    journal_path = os.path.join(REPO, f"FULL_GATE_{sf_name}.jsonl")
+    commit = _commit()
+
+    done_ok: set[str] = set()
+    if args.resume and os.path.exists(journal_path):
+        latest: dict[str, dict] = {}
+        with open(journal_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    latest[rec["name"]] = rec
+                except (json.JSONDecodeError, KeyError):
+                    continue
+        done_ok = {
+            n
+            for n, rec in latest.items()
+            if rec.get("status") == "ok" and rec.get("commit") == commit
+        }
+        print(f"resume: {len(done_ok)} names already ok at {commit}")
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    todo = [
+        n
+        for n in qs
+        if n not in done_ok and (not args.names or n in args.names)
+    ]
+    print(f"gate: {len(todo)} queries to run at {sf_dir} (commit {commit})")
+
+    spark = _new_spark()
+    journal = open(journal_path, "a")
+    counts = {"ok": 0, "fail": 0, "rows-only": 0}
+    since_restart = 0
+    for name in todo:
+        if since_restart >= args.batch:
+            spark.stop()
+            spark = _new_spark()
+            since_restart = 0
+        since_restart += 1
+        t0 = time.time()
+        status, detail, n_rows = "ok", "", -1
+        try:
+            spdf = qs[name](spark, sf_dir).toPandas()
+            n_rows = len(spdf)
+            if name not in oracles:
+                status = "rows-only"
+            else:
+                dpdf = con.execute(oracles[name]).df()
+                problems = []
+                if len(spdf) != len(dpdf):
+                    problems.append(
+                        f"rowcount spark={len(spdf)} duckdb={len(dpdf)}"
+                    )
+                if sorted(spdf.columns) != sorted(dpdf.columns):
+                    problems.append(
+                        f"cols spark={sorted(spdf.columns)}"
+                        f" duckdb={sorted(dpdf.columns)}"
+                    )
+                if not problems:
+                    sh, _ = frame_digest(spdf)
+                    dh, _ = frame_digest(dpdf)
+                    if sh != dh:
+                        problems.append(f"hash spark={sh} duckdb={dh}")
+                if problems:
+                    status, detail = "fail", "; ".join(problems)
+        except Exception as e:  # spark, duckdb, or digest error
+            status, detail = "fail", f"{type(e).__name__}: {e}"
+        sec = round(time.time() - t0, 1)
+        counts[status] += 1
+        journal.write(
+            json.dumps(
+                {
+                    "name": name,
+                    "status": status,
+                    "detail": detail[:500],
+                    "rows": n_rows,
+                    "sec": sec,
+                    "sf": sf_name,
+                    "commit": commit,
+                    "ts": round(time.time(), 1),
+                },
+                sort_keys=True,
+            )
+            + "\n"
+        )
+        journal.flush()
+        print(f"{status:9s} {name}: {n_rows} rows ({sec}s)", flush=True)
+
+    journal.close()
+    spark.stop()
+    total_ok = counts["ok"] + len(done_ok)
+    print(
+        f"\n{total_ok} ok ({len(done_ok)} resumed), "
+        f"{counts['rows-only']} rows-only, {counts['fail']} failed"
+        f" -> {journal_path}"
+    )
+    return 1 if counts["fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
