@@ -88,12 +88,18 @@ def test_curation_batch_parity_and_guard_containment(spark, sf_dir, tmp_path):
     )
 
     # leg 2: reference = the kept (doc_a) partner of every verified
-    # pair — the batch-pruned doc_b set must land in quarantine
+    # pair.  Since r10 the guard VERIFIES band hits with the batch
+    # 7/10 exact-Jaccard rule, so the quarantine must EQUAL the
+    # batch-computed verified-match set against that reference (not
+    # merely contain the pruned docs): every survivor that verifies
+    # against some reference member — including reference members
+    # themselves, which self-match at J=1 — and nothing else.
     sigs = dd.minhash_signatures(surv, "doc_id", "text", n=1, num_hashes=64)
     cands = dd.minhash_lsh_candidates(
         sigs, bands=16, rows_per_band=4, max_bucket=500
     )
     pairs = dd.jaccard_verify(cands, surv, "doc_id", "text", n=1)
+    ref_ids = {r["doc_a"] for r in pairs.select("doc_a").distinct().collect()}
     ref = surv.join(
         pairs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id"
     )
@@ -110,7 +116,19 @@ def test_curation_batch_parity_and_guard_containment(spark, sf_dir, tmp_path):
     }
     pruned = {r["doc_id"] for r in near_dups.collect()}
     assert pruned <= quarantined
-    # and accepted + quarantined partitions the gated set
+    # batch replica of the verified-match set: survivors with a
+    # verified pair whose partner is a reference member, plus the
+    # reference members present in the stream (self-match)
+    pair_rows = pairs.select("doc_a", "doc_b").collect()
+    expected = set(ref_ids)
+    for r in pair_rows:
+        if r["doc_a"] in ref_ids:
+            expected.add(r["doc_b"])
+        if r["doc_b"] in ref_ids:
+            expected.add(r["doc_a"])
+    assert quarantined == expected
+    # and accepted + quarantined still partitions the gated set —
+    # unverified band false-positives now flow to the corpus
     acc2 = {
         r["doc_id"]
         for r in spark.read.parquet(d2["out_dir"]).select("doc_id").collect()

@@ -32,14 +32,17 @@ checkpoint-restart test in tests/test_curation_stream.py).
 Batch parity (pinned by test): with the whole corpus dropped as one
 batch, stages raw → quality gate → exact dedup produce EXACTLY the
 counts of ``pipeline_curation_report`` rows 1–3 (identical column
-expressions, identical min-id-per-digest rule); the near-dup stage
-differs by design — the batch pipeline prunes VERIFIED (exact
-Jaccard) pairs inside the corpus, the stream guard quarantines
-unverified band suspects against the reference at the door.  Because
-every batch-verified pair shares an LSH band by construction, a
-reference containing the kept partner of each pruned doc makes the
-stream quarantine a SUPERSET of the batch prune — the containment
-the parity test asserts.
+expressions, identical min-id-per-digest rule).  The near-dup stage
+verifies since r10 (VERDICT r9 item 6): band suspects are confirmed
+with the batch verifier's EXACT 7/10 Jaccard rule in-row before
+quarantining (``verify_suspects=True``, the default), so against a
+fixed reference the stream quarantine EQUALS the batch-computed
+verified-match set — the equality the parity test asserts (band
+false positives flow on to the accepted corpus instead of
+over-quarantining).  ``verify_suspects=False`` restores the r9
+superset-containment behavior (cheaper broadcast index: keys only,
+no token sets — the right trade when the reference is corpus-sized
+and quarantine review is batch anyway).
 """
 
 from __future__ import annotations
@@ -65,6 +68,7 @@ def stream_curation_pipeline(
     centroids: list[list[float]] | None = None,
     vec_col: str = "embedding",
     tau: float = 0.85,
+    verify_suspects: bool = True,
 ) -> dict:
     """Wire the curation pipeline over a streaming document frame and
     start its queries (all ``availableNow`` — drain-and-stop; rerun
@@ -105,13 +109,16 @@ def stream_curation_pipeline(
         flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"]
     )
 
-    # band guard (stateless): clean side flows on, suspects quarantine
+    # band guard (stateless): clean side flows on, suspects quarantine;
+    # verify_suspects confirms each band hit with the batch 7/10 exact
+    # Jaccard rule in-row, so quarantine = the batch prune semantics
     band_clean = stream_neardup_guard(
-        gated, reference_docs, id_col=id_col, text_col=text_col, emit="clean"
+        gated, reference_docs, id_col=id_col, text_col=text_col,
+        emit="clean", verify_jaccard=verify_suspects,
     )
     band_susp = stream_neardup_guard(
         gated, reference_docs, id_col=id_col, text_col=text_col,
-        emit="suspects",
+        emit="suspects", verify_jaccard=verify_suspects,
     ).withColumn("reason", F.lit("band"))
 
     accepted_src = band_clean

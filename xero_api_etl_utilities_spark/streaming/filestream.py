@@ -323,6 +323,9 @@ def stream_neardup_guard(
     id_col: str = "doc_id",
     text_col: str = "text",
     emit: str = "suspects",
+    verify_jaccard: bool = False,
+    min_sim_num: int = 7,
+    min_sim_den: int = 10,
 ) -> DataFrame:
     """Streaming near-dup guard: flag (or drop) incoming documents
     that share a MinHash-LSH band with ANY document of a STATIC
@@ -355,7 +358,20 @@ def stream_neardup_guard(
 
     ``emit="suspects"`` returns flagged docs (quarantine feed);
     ``emit="clean"`` returns the complement (accept feed).  Each doc
-    appears exactly once either way."""
+    appears exactly once either way.
+
+    ``verify_jaccard=True`` (r10, VERDICT r9 item 6) upgrades a band
+    HIT to a suspect only when the EXACT Jaccard against some
+    band-matching reference document reaches ``min_sim_num /
+    min_sim_den`` — the same 7/10 rule and distinct-token sets as the
+    batch verifier (``operators/dedup.jaccard_verify`` at n=1), so the
+    stream quarantine CONVERGES to the batch prune set instead of
+    over-quarantining band false positives.  Still stateless: the
+    broadcast index additionally carries a band-key → reference-token-
+    set map (each reference set appears in its 16 buckets, so the
+    documented memory bound grows 16x set-bytes — same remedy at
+    corpus-scale references: bloom + batch re-verify), and the check
+    is an in-row ``exists`` over ``array_intersect`` sizes."""
     from xero_api_etl_utilities_spark.functions.crosshash import h32
     from xero_api_etl_utilities_spark.operators import dedup as dd
 
@@ -376,16 +392,37 @@ def stream_neardup_guard(
         )
         for b in range(16)
     ]
-    ref_index = (
-        ref_sigs.select(F.explode(F.array(*ref_keys)).alias("k"))
-        .agg(F.array_distinct(F.collect_list("k")).alias("_ref_keys"))
-    )
+    if verify_jaccard:
+        # band-key -> [reference token sets] map riding the same 1-row
+        # broadcast; token sets are the batch verifier's n=1 sets
+        rtok = reference_docs.select(
+            F.col(id_col).alias("_rid"),
+            F.array_distinct(dd.tokens(F.col(text_col))).alias("_rt"),
+        )
+        per_key = (
+            # minhash_signatures standardizes the id column to "doc"
+            ref_sigs.join(rtok, ref_sigs["doc"] == F.col("_rid"))
+            .select(F.explode(F.array(*ref_keys)).alias("k"), "_rt")
+            .groupBy("k")
+            .agg(F.collect_list("_rt").alias("_sets"))
+        )
+        ref_index = per_key.agg(
+            F.array_distinct(F.collect_list("k")).alias("_ref_keys"),
+            F.map_from_entries(
+                F.collect_list(F.struct("k", "_sets"))
+            ).alias("_ref_map"),
+        )
+    else:
+        ref_index = (
+            ref_sigs.select(F.explode(F.array(*ref_keys)).alias("k"))
+            .agg(F.array_distinct(F.collect_list("k")).alias("_ref_keys"))
+        )
 
     # stream: in-row signature (the inline_minhash_bands math, array form)
     coeffs = dd.minhash_coeffs(64, 42)
     toks = F.array_distinct(dd.tokens(F.col(text_col)))
-    hashed = stream_docs.withColumn(
-        "_hx", F.transform(toks, lambda sh: h32(sh) % dd._P)
+    hashed = stream_docs.withColumn("_tok", toks).withColumn(
+        "_hx", F.transform(F.col("_tok"), lambda sh: h32(sh) % dd._P)
     )
     def _perm(a: int, b: int):
         return lambda h: (h * a + b) % dd._P
@@ -417,6 +454,28 @@ def stream_neardup_guard(
             & F.arrays_overlap(F.col("_keys"), F.col("_ref_keys")),
         )
     )
+    if verify_jaccard:
+        # a band hit is a SUSPECT only if exact Jaccard vs some
+        # band-matching reference set clears num/den (batch rule)
+        def _j_ok(t):
+            inter = F.size(F.array_intersect(t, F.col("_tok")))
+            union = F.size(t) + F.size("_tok") - inter
+            return (union > F.lit(0)) & (
+                F.lit(min_sim_den) * inter >= F.lit(min_sim_num) * union
+            )
+
+        cand_sets = F.flatten(
+            F.transform(
+                F.col("_keys"),
+                lambda k: F.coalesce(
+                    F.element_at(F.col("_ref_map"), k),
+                    F.array().cast("array<array<string>>"),
+                ),
+            )
+        )
+        flagged = flagged.withColumn(
+            "_hit", F.col("_hit") & F.exists(cand_sets, _j_ok)
+        )
     keep = F.col("_hit") if emit == "suspects" else ~F.col("_hit")
     return flagged.filter(keep).select(*stream_docs.columns)
 
