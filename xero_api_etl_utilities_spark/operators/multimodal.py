@@ -530,7 +530,10 @@ def external_frame_decode(
     ``decode_fn=<ffmpeg-backed extractor>`` to
     :func:`sample_video_frames`; everything AROUND this call —
     container parse, frame grid, batch shape, output schema — is real
-    and tested against :func:`fake_frame_decode`."""
+    and tested against :func:`fake_frame_decode`.  A tested
+    production recipe (seek → one frame → scale → P6 PPM over pipes)
+    lives in ``tests/test_ffmpeg_seam.py::ffmpeg_frame_extract`` —
+    opt-in via ``XERO_SPARK_FFMPEG=1`` on a machine with ffmpeg."""
     raise NotImplementedError(
         "video frame decode needs an external codec (ffmpeg); pass "
         "decode_fn=<your extractor> to sample_video_frames — see "
