@@ -330,8 +330,10 @@ CHECKS = {
     # (rankdist.global_rank_decomposed2); every window partitions on
     # the (band, sub) keys and NO single-partition exchange remains
     # (the 1-row total merge sits behind the materialize cut)
+    # r10: the three quartiles fused into ONE group_cols=['_tag']
+    # rank pass over the tagged union
     "orders_rfm_segments": [
-        ("quartile windows band-partitioned, not global", lambda p: "hashpartitioning(_band" in p),
+        ("fused quartiles (tag, band)-partitioned, not global", lambda p: "hashpartitioning(_tag" in p),
         ("zero single-partition exchanges", lambda p: "SinglePartition" not in p),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
