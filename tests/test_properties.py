@@ -604,3 +604,51 @@ def test_rankdist_guards_fail_loudly(spark):
         ).collect()
     }
     assert got == {i: i + 1 for i in range(20)}
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_decomposed2_grouped_rank_property(spark, data):
+    """operators/rankdist.global_rank_decomposed2 with group_cols
+    (r10, the fused-RFM lowering): each group's rank from the ONE
+    shared pass must equal that group's own global row_number over
+    (score ASC, id ASC) — on tie-heavy frames, with group sizes
+    deliberately uneven (including singleton and empty-ish groups)."""
+    from pyspark.sql import Window as W
+
+    from xero_api_etl_utilities_spark.operators.rankdist import (
+        global_rank_decomposed2,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),  # group tag, skewed small domain
+                st.integers(0, 12),  # tie-heavy score
+                st.integers(0, 10**6),
+            ),
+            min_size=1,
+            max_size=400,
+            unique_by=lambda t: t[2],
+        )
+    )
+    df = spark.createDataFrame(rows, "g int, score long, id long")
+    banded = df.withColumn("_band", F.col("score")).withColumn(
+        "_sub", F.shiftright(F.col("id"), 16)
+    )
+    ranked = global_rank_decomposed2(
+        banded,
+        "_band",
+        "_sub",
+        [F.asc("score"), F.asc("id")],
+        rank_name="r",
+        group_cols=["g"],
+    )
+    w = W.partitionBy("g").orderBy(F.asc("score"), F.asc("id"))
+    expected = df.select("id", F.row_number().over(w).alias("er"))
+    j = {
+        r["id"]: (r["r"], r["er"])
+        for r in ranked.join(expected, "id").collect()
+    }
+    assert len(j) == len(rows)
+    assert all(r == er for r, er in j.values())
