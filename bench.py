@@ -313,6 +313,8 @@ HEADLINE = [
     # r10: X155 — the timed line INCLUDES the emit+pack+write (the
     # builder publishes eagerly), so this is the full publish cost
     "pipeline_corpus_publish",
+    # r10: X156 — benchmark-decontamination emit
+    "decontaminate_span_emit",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -691,6 +691,13 @@ CHECKS = {
         ("month predicate pushed to parquet", lambda p: "PushedFilters: [" in p),
         ("no cartesian/nested-loop, no single partition", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "SinglePartition" not in p),
     ],
+    # r10: X156 — benchmark trigrams broadcast; islands + interval
+    # sweep doc-partitioned; rebuild in-row; nothing global
+    "decontaminate_span_emit": [
+        ("benchmark broadcast to the training side", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("doc-partitioned islands/sweep, zero single-partition exchanges", lambda p: "hashpartitioning(doc_id" in p and "SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     # r10: X155 — the returned census derives ENTIRELY from the
     # written artifact (one scan of the published shards; the
     # partition column comes back from directory names)

@@ -429,3 +429,204 @@ ORDER BY source, pack_id
 register(
     "pipeline_corpus_publish", pipeline_corpus_publish, _corpus_publish_oracle
 )
+
+
+# ---------------------------------------------------------------------------
+# X156: benchmark decontamination — the EMIT step (cut verbatim runs)
+# ---------------------------------------------------------------------------
+
+_DECON_MIN_RUN = 3  # >= 3 contiguous trigram hits = >= 5 verbatim tokens
+
+
+def decontaminate_span_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156: ACT on contamination — where X150 measures how long the
+    verbatim benchmark overlap runs, this emits the decontaminated
+    training corpus: per training doc, every contaminated trigram run
+    of >= 3 contiguous positions (>= 5 verbatim tokens — the
+    scattered-echo/verbatim threshold X150's census informs) becomes
+    a removal interval, intervals union-merge per doc, and the kept
+    text is rebuilt from the gap slices (X146's machinery pointed at
+    the benchmark instead of the corpus itself); runs of >= 3 trigram
+    positions only, so phrase-level echo survives.  Same split
+    convention as X3b/X150: every 20th doc plays the benchmark and is
+    EXCLUDED from the emitted corpus.
+
+    Lowering: benchmark trigrams broadcast (eval sets stay small at
+    any corpus scale); training trigrams semi-join them; islands via
+    the doc-partitioned gaps-and-islands window; interval merge via
+    the doc-partitioned coalesce sweep; rebuild in-row — nothing
+    global, text never shuffles past the doc grain."""
+    from xero_api_etl_utilities_spark.operators.dedup import token_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    wdocs = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", "source", toks.alias("_w")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(token_ngrams(toks, 3)).alias("ng"))
+        .distinct()
+    )
+    grams = wdocs.select(
+        "doc_id", F.posexplode(token_ngrams(F.col("_w"), 3)).alias("pos", "ng")
+    )
+    hits = grams.join(F.broadcast(bench), "ng", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    removal = (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + 2).alias("e"),
+            F.count(F.lit(1)).alias("_len"),
+        )
+        .filter(F.col("_len") >= _DECON_MIN_RUN)
+        .select("doc_id", "s", "e")
+    )
+    # union-merge per doc (adjacent islands' token intervals can
+    # overlap: a 1-2 position gap still bridges via the +2 token tail)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = removal.withColumn(
+        "_b",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("_sid", F.sum("_b").over(w_run))
+    merged = flagged.groupBy("doc_id", "_sid").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs"),
+        F.count(F.lit(1)).alias("_nruns"),
+    )
+    out = wdocs.join(ivs, "doc_id", "left").withColumn(
+        "_iv2",
+        F.coalesce(F.col("_ivs"), F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    gaps = F.concat(
+        F.transform(
+            F.col("_iv2"),
+            lambda iv, i: F.struct(
+                F.when(i == F.lit(0), F.lit(0))
+                .otherwise(F.element_at(F.col("_iv2"), i)["e"] + 1)
+                .alias("gs"),
+                (iv["s"] - 1).alias("ge"),
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.when(F.size("_iv2") == 0, F.lit(0))
+                .otherwise(F.element_at(F.col("_iv2"), -1)["e"] + 1)
+                .alias("gs"),
+                (F.size("_w") - 1).alias("ge"),
+            )
+        ),
+    )
+    kept = F.flatten(
+        F.transform(
+            F.filter(gaps, lambda g: g["ge"] >= g["gs"]),
+            lambda g: F.slice(F.col("_w"), g["gs"] + 1, g["ge"] - g["gs"] + 1),
+        )
+    )
+    return (
+        out.withColumn("_kept", kept)
+        .withColumn(
+            "_rem",
+            F.aggregate(
+                F.col("_iv2"),
+                F.lit(0),
+                lambda acc, iv: acc + (iv["e"] - iv["s"] + 1),
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("_nruns"), F.lit(0))
+            .cast("bigint")
+            .alias("contaminated_runs"),
+            F.col("_rem").cast("bigint").alias("removed_tokens"),
+            F.size("_kept").cast("bigint").alias("kept_tokens"),
+            F.array_join("_kept", " ").alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_EMIT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), train AS (
+  SELECT * FROM toks WHERE doc_id % 20 <> 0
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ng
+  FROM train, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+), bench AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ng
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (ng)
+), isl AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+), removal AS (
+  SELECT doc_id, min(pos) AS sp, max(pos) + 2 AS ep
+  FROM isl GROUP BY doc_id, grp
+  HAVING count(*) >= {_DECON_MIN_RUN}
+), flagged AS (
+  SELECT doc_id, sp, ep,
+    CASE WHEN sp > coalesce(max(ep) OVER (PARTITION BY doc_id ORDER BY sp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS b
+  FROM removal
+), sw AS (
+  SELECT doc_id, sp, ep, sum(b) OVER (PARTITION BY doc_id ORDER BY sp
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), merged AS (
+  SELECT doc_id, min(sp) AS sp, max(ep) AS ep FROM sw GROUP BY doc_id, sid
+), removed_pos AS (
+  SELECT m.doc_id, u.p FROM merged m, unnest(range(m.sp, m.ep + 1)) AS u(p)
+), pos_all AS (
+  SELECT doc_id, i - 1 AS p, t[i] AS tok
+  FROM train, unnest(range(1, len(t) + 1)) AS u(i)
+), keptagg AS (
+  SELECT a.doc_id,
+    count(*) FILTER (WHERE r.doc_id IS NULL) AS kept_tokens,
+    coalesce(string_agg(a.tok, ' ' ORDER BY a.p)
+             FILTER (WHERE r.doc_id IS NULL), '') AS kept_text
+  FROM pos_all a
+  LEFT JOIN removed_pos r ON a.doc_id = r.doc_id AND a.p = r.p
+  GROUP BY a.doc_id
+), remagg AS (
+  SELECT doc_id, count(*) AS nruns, sum(ep - sp + 1) AS removed
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id, t.source,
+  len(t.t)::BIGINT AS n_tokens,
+  coalesce(r.nruns, 0)::BIGINT AS contaminated_runs,
+  coalesce(r.removed, 0)::BIGINT AS removed_tokens,
+  coalesce(ka.kept_tokens, 0)::BIGINT AS kept_tokens,
+  coalesce(ka.kept_text, '') AS kept_text
+FROM train t
+LEFT JOIN remagg r USING (doc_id)
+LEFT JOIN keptagg ka USING (doc_id)
+ORDER BY doc_id
+"""
+
+register(
+    "decontaminate_span_emit", decontaminate_span_emit, _DECON_EMIT_ORACLE
+)
