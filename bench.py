@@ -395,6 +395,7 @@ _BOUNDED_DIR = os.environ.get(
 )
 BOUNDED_SF = {
     "similarity_topk": _BOUNDED_DIR,
+    "similarity_topk_mips": _BOUNDED_DIR,  # r10: same O(QxN) exact shape
     "dedup_ngram_jaccard": _BOUNDED_DIR,
     "dedup_prefix_filter_pairs": _BOUNDED_DIR,
 }

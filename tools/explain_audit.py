@@ -691,6 +691,12 @@ CHECKS = {
         ("month predicate pushed to parquet", lambda p: "PushedFilters: [" in p),
         ("no cartesian/nested-loop, no single partition", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "SinglePartition" not in p),
     ],
+    # r10: X157 — norm augmentation adds one dim and zero shuffles;
+    # the guarded exact form broadcasts the 20-query side
+    "similarity_topk_mips": [
+        ("query side broadcast, corpus never shuffles before scoring", lambda p: "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p),
+        ("top-k window query-partitioned; only the 1-row M^2 merges single-partition", lambda p: "hashpartitioning(query_id" in p and p.count("SinglePartition") <= 2),
+    ],
     # r10: X156 — benchmark trigrams broadcast; islands + interval
     # sweep doc-partitioned; rebuild in-row; nothing global
     "decontaminate_span_emit": [

@@ -54,6 +54,7 @@ _WINDOW_PRIORITY: list[str] = [
     "corr_nested_exists_scalar",
     "pipeline_corpus_publish",
     "decontaminate_span_emit",
+    "similarity_topk_mips",
     "orders_rfm_migration",  # band-stats single-pass rework (r10)
     "orders_rfm_segments",  # quartiles fused into one tagged pass (r10)
     "text_span_dedup_emit",  # kept-text rebuild rework (r10)

@@ -630,3 +630,85 @@ ORDER BY doc_id
 register(
     "decontaminate_span_emit", decontaminate_span_emit, _DECON_EMIT_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# X157: MIPS top-k via the norm-augmentation reduction to cosine
+# ---------------------------------------------------------------------------
+
+
+def similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157: exact MAX-INNER-PRODUCT top-5 — the recommendation-scoring
+    objective the cosine family deliberately doesn't cover (a long
+    vector with mediocre angle can beat a short well-aligned one) —
+    computed through the classic NORM-AUGMENTATION reduction
+    (Bachrach et al. 2014; Neyshabur & Srebro 2015): corpus vectors
+    augment to [x, sqrt(M^2 - |x|^2)] (M = corpus max norm, so every
+    augmented vector has constant norm M), queries to [q, 0]; cosine
+    over the augmented space is then q.x / (|q| * M) — strictly
+    monotone in the inner product per query, so the UNMODIFIED cosine
+    top-k machinery (brute force here; the same augmentation feeds
+    IVF/LSH at scale) returns exact MIPS ranks.  The oracle ranks by
+    RAW ``list_dot_product`` — hash equality proves the reduction
+    exact, including ties (broken by neighbor id on both sides).
+
+    Shape: a 2-row aggregate for M^2 broadcast onto one corpus
+    projection; the reduction adds one dimension and zero shuffles."""
+    from xero_api_etl_utilities_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m2 = emb.agg(
+        F.max(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ).alias("_m2")
+    )
+    n2 = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    aug = (
+        emb.crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            F.concat(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.array(
+                    F.sqrt(F.greatest(F.col("_m2") - n2, F.lit(0.0)))
+                ),
+            ).alias("embedding"),
+        )
+    )
+    queries = aug.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.concat(
+            F.slice("embedding", 1, F.size("embedding") - 1),
+            F.array(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return sim.topk_bruteforce(queries, aug, k=5)
+
+
+register(
+    "similarity_topk_mips",
+    similarity_topk_mips,
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.embedding) AS s
+  FROM q, embeddings c
+  WHERE q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
