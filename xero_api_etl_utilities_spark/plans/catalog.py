@@ -38,12 +38,14 @@ _WINDOW_PRIORITY: list[str] = [
     # listed before their module lands.
     #
     # r11 ROTATION PLAN (write it while the context is fresh): (a)
-    # any r10 reds to the TOP, (b) the r11 wave, (c) the ~27 r3-only
-    # names that fell below this round's fold (events_*, sample_*,
-    # text_normalize/pii/repetition/top_terms/doc_frequency,
-    # agg_grouping_sets, agg_winsorized_revenue, basket_part_pairs,
-    # fuzzy_name_match, join_skewed_salted, profile_orders,
-    # similarity_topk_ivfpq/_pandas, unpivot_measures,
+    # any r10 reds to the TOP, (b) the r11 wave, (c) the ~30 r3-only
+    # names that fell below this round's fold (the three displaced by
+    # late-r10 registrations — multimodal_decode_features,
+    # embedding_quantize_sq8, embedding_pq_codes — first, then
+    # events_*, sample_*, text_normalize/pii/repetition/top_terms/
+    # doc_frequency, agg_grouping_sets, agg_winsorized_revenue,
+    # basket_part_pairs, fuzzy_name_match, join_skewed_salted,
+    # profile_orders, similarity_topk_ivfpq/_pandas, unpivot_measures,
     # window_equidepth_bins, window_share_of_total,
     # events_cohort_retention, events_funnel, dedup ...), (d) pad
     # with the oldest r5 rows.
