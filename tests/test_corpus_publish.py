@@ -76,3 +76,21 @@ def test_publish_pack_budget_contract(spark, sf_dir, tmp_path, monkeypatch):
                 # and prev == mass of packs 0..p — so the boundary
                 # really was crossed
                 assert running >= (pid + 1) * budget, (pid, running)
+
+
+def test_publish_default_dir_inside_repo(monkeypatch):
+    """ADVICE r10 regression: with no env override, the default X155
+    artifact path must resolve INSIDE the repo's git-ignored
+    spark-warehouse dir — an extra dirname once landed it at the
+    repo's PARENT (/root/spark-warehouse), colliding across checkouts."""
+    import os
+
+    import xero_api_etl_utilities_spark as pkg
+    from xero_api_etl_utilities_spark.plans.wave10 import _publish_dir
+
+    monkeypatch.delenv("XERO_SPARK_PUBLISH_DIR", raising=False)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    path = _publish_dir("/root/testdata/sf0.01")
+    assert path == os.path.join(
+        repo_root, "spark-warehouse", "corpus_publish", "sf0.01"
+    )

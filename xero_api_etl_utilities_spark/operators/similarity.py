@@ -60,12 +60,23 @@ def topk_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     max_queries: int | None = 100,
+    corpus_norm_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, rank) — rank 1 = most similar.
     Ties broken by neighbor id so results are total-order deterministic.
     Excludes self-matches when query and corpus share ids.
+
+    ``corpus_norm_col``: optional precomputed corpus-side norm column.
+    When the caller knows the norm analytically (e.g. the MIPS
+    norm-augmentation reduction makes every corpus vector's norm the
+    SAME constant M), recomputing it per vector in floating point
+    introduces ~1-ulp per-vector noise that can flip raw-dot ties
+    (ADVICE r10); supplying the exact constant keeps per-query ranking
+    exactly monotonic in the raw inner product. Also the realistic
+    100 TB shape — corpus norms are precomputed once, not re-reduced
+    per query batch.
 
     Guard: this is the EXACTNESS BASELINE — a broadcast nested-loop
     scoring every query against the whole corpus, O(Q×N). The API
@@ -86,11 +97,21 @@ def topk_bruteforce(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")]
+    if corpus_norm_col is not None:
+        c_cols.append(F.col(corpus_norm_col).alias("_cnorm"))
+    c = corpus.select(*c_cols)
+    if corpus_norm_col is not None:
+        den = _norm(F.col("qv")) * F.col("_cnorm")
+        sim = _dot(F.col("qv"), F.col("cv")) / F.when(
+            den == 0.0, F.lit(1.0)
+        ).otherwise(den)
+    else:
+        sim = cosine(F.col("qv"), F.col("cv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

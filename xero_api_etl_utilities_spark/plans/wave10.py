@@ -325,9 +325,12 @@ def _publish_dir(sf_dir: str) -> str:
 
     base = os.environ.get("XERO_SPARK_PUBLISH_DIR")
     if base is None:
-        repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-        )
+        # plans/wave10.py -> plans -> package dir -> repo root (three
+        # dirnames; a fourth would escape the repo — ADVICE r10).
+        import xero_api_etl_utilities_spark as _pkg
+
+        pkg_dir = os.path.dirname(os.path.abspath(_pkg.__file__))
+        repo_root = os.path.dirname(pkg_dir)
         base = os.path.join(repo_root, "spark-warehouse", "corpus_publish")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(base, sf_name)
@@ -651,6 +654,11 @@ def similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/LSH at scale) returns exact MIPS ranks.  The oracle ranks by
     RAW ``list_dot_product`` — hash equality proves the reduction
     exact, including ties (broken by neighbor id on both sides).
+    Tie-exactness holds because the cosine denominator uses the
+    EXACT broadcast constant M as the corpus-side norm
+    (``corpus_norm_col``), so per-query cosine order is strictly
+    monotonic in the raw inner product — a per-vector recomputed
+    norm would inject ~1-ulp noise into raw-dot ties (ADVICE r10).
 
     Shape: a 2-row aggregate for M^2 broadcast onto one corpus
     projection; the reduction adds one dimension and zero shuffles."""
@@ -679,6 +687,11 @@ def similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sqrt(F.greatest(F.col("_m2") - n2, F.lit(0.0)))
                 ),
             ).alias("embedding"),
+            # Every augmented vector's norm is EXACTLY M by
+            # construction; recomputing it per vector costs ~1 ulp of
+            # noise that can flip raw-dot ties (ADVICE r10), so the
+            # exact broadcast constant rides along as the corpus norm.
+            F.sqrt("_m2").alias("aug_norm"),
         )
     )
     queries = aug.filter(F.col("vec_id") < 20).select(
@@ -688,7 +701,7 @@ def similarity_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(0.0)),
         ).alias("embedding"),
     )
-    return sim.topk_bruteforce(queries, aug, k=5)
+    return sim.topk_bruteforce(queries, aug, k=5, corpus_norm_col="aug_norm")
 
 
 register(
