@@ -315,6 +315,10 @@ HEADLINE = [
     "pipeline_corpus_publish",
     # r10: X156 — benchmark-decontamination emit
     "decontaminate_span_emit",
+    # r11: the remaining correlated shapes (X158-X160)
+    "corr_argmin_multiway",
+    "corr_having_global_share",
+    "corr_notin_countdistinct",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -697,6 +697,30 @@ CHECKS = {
         ("query side broadcast, corpus never shuffles before scoring", lambda p: "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p),
         ("top-k window query-partitioned; only the 1-row M^2 merges single-partition", lambda p: "hashpartitioning(query_id" in p and p.count("SinglePartition") <= 2),
     ],
+    # r11: X158 — correlated argmin decorrelated to one offers
+    # aggregate + a partkey-partitioned window MIN; dims broadcast
+    "corr_argmin_multiway": [
+        ("part filter pushed to parquet", lambda p: "EqualTo(p_type,LARGE)" in p and "In(p_size" in p),
+        ("dims broadcast, no SMJ", lambda p: p.count("BroadcastHashJoin") >= 4 and "SortMergeJoin" not in p),
+        ("window partkey-partitioned, no single partition", lambda p: "hashpartitioning(l_partkey" in p and "SinglePartition" not in p),
+        ("no cartesian/nested-loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+    ],
+    # r11: X159 — the twice-referenced global scalar is a driver
+    # literal over the materialized 25-row aggregate; the output
+    # branch is a pure filter/project over the checkpoint
+    "corr_having_global_share": [
+        ("output branch reads the checkpoint", lambda p: "Scan ExistingRDD" in p),
+        ("no joins, no single-partition exchange", lambda p: "Join" not in p and "SinglePartition" not in p),
+    ],
+    # r11: X160 — NOT IN lowered to broadcast anti-join; 1996 window
+    # pushed to the orders scan as timestamp bounds; two-stage
+    # count-distinct collapses (group, custkey) pairs map-side
+    "corr_notin_countdistinct": [
+        ("year window pushed to parquet", lambda p: "GreaterThanOrEqual(o_orderdate,1996-01-01" in p),
+        ("anti-join lowering, all broadcast", lambda p: "LeftAnti" in p and "SortMergeJoin" not in p),
+        ("two-stage distinct, no single partition", lambda p: "hashpartitioning(c_mktsegment" in p and "SinglePartition" not in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     # r10: X156 — benchmark trigrams broadcast; islands + interval
     # sweep doc-partitioned; rebuild in-row; nothing global
     "decontaminate_span_emit": [

@@ -27,42 +27,97 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r10 WINDOW (slots 1-50).  Composition, per the written r10
-    # rotation plan (VERDICT r9 "Next round" item 1): (a) r9 had ZERO
-    # reds, so the r10 wave's new registrations and behavior-changed
-    # queries go first, (b) ALL 18 names whose newest driver row is
-    # still r1/r2 (they fell below the r9 fold), (c) pad the window
-    # with r3-green names that have had exactly one driver row ever —
-    # load-bearing (TPC-H, dedup, CDC, embedding) first.  Unregistered
-    # names are ignored, so planned-but-unlanded r10 queries can be
+    # r11 WINDOW (slots 1-50).  Composition, per the written r11
+    # rotation plan (VERDICT r10 "Next round" item 1): (a) r10 had
+    # ZERO reds, so the r11 wave's new registrations plus the one
+    # behavior-changed query (similarity_topk_mips — corpus-norm
+    # tie-exactness fix) go first, (b) ALL 30 names whose newest
+    # driver row is still r3 (zero the staleness backlog — every
+    # catalog name then has a driver row >= r4), leading with the
+    # three displaced by late-r10 registrations, (c) pad the window
+    # with the oldest remaining rows (newest driver row = r5),
+    # load-bearing TPC-H / graph / sketch names first.  Unregistered
+    # names are ignored, so planned-but-unlanded r11 queries can be
     # listed before their module lands.
     #
-    # r11 ROTATION PLAN (write it while the context is fresh): (a)
-    # any r10 reds to the TOP, (b) the r11 wave, (c) the ~30 r3-only
-    # names that fell below this round's fold (the three displaced by
-    # late-r10 registrations — multimodal_decode_features,
-    # embedding_quantize_sq8, embedding_pq_codes — first, then
-    # events_*, sample_*, text_normalize/pii/repetition/top_terms/
-    # doc_frequency, agg_grouping_sets, agg_winsorized_revenue,
-    # basket_part_pairs, fuzzy_name_match, join_skewed_salted,
-    # profile_orders, similarity_topk_ivfpq/_pandas, unpivot_measures,
-    # window_equidepth_bins, window_share_of_total,
-    # events_cohort_retention, events_funnel, dedup ...), (d) pad
-    # with the oldest r5 rows.
-    # --- (a) r10 new registrations + r10 behavior changes ---
+    # r12 ROTATION PLAN (write it while the context is fresh): (a)
+    # any r11 reds to the TOP, (b) the r12 wave + behavior-changed
+    # queries, (c) the ~19 remaining r5-only names that did not fit
+    # this round's fold (q12_shipmode_priority pad order continues:
+    # agg_kmv_distinct/overlap, basket_brand_rules/triples,
+    # dedup_prefix_filter_pairs, diag_join_size_estimate,
+    # diag_key_skew, events_clamped_balance, events_session_window,
+    # events_trailing_7d_distinct(+_approx), layout_shard_moves,
+    # layout_zorder_stats, multimodal_audio_features,
+    # nested_invoice_stats, pipeline_training_corpus,
+    # profile_orders_approx, sample_negative_pairs,
+    # text_bigram_novelty), (d) pad with the oldest r6 rows.
+    # --- (a) r11 new registrations + r11 behavior changes ---
+    "corr_argmin_multiway",
+    "corr_having_global_share",
+    "corr_notin_countdistinct",
+    "similarity_topk_mips",  # corpus-norm tie-exactness fix (r11)
+    # --- (b) ALL 30 r3-only names (zero the staleness backlog) ---
+    "multimodal_decode_features",
+    "embedding_quantize_sq8",
+    "embedding_pq_codes",
+    "agg_grouping_sets",
+    "agg_winsorized_revenue",
+    "basket_part_pairs",
+    "events_cohort_retention",
+    "events_daily_fill_forward",
+    "events_first_touch_attribution",
+    "events_funnel",
+    "events_interarrival",
+    "events_top_paths",
+    "events_trailing_7d",
+    "events_transition_matrix",
+    "fuzzy_name_match",
+    "join_skewed_salted",
+    "profile_orders",
+    "sample_mixture_rebalance",
+    "sample_per_source_topk",
+    "sample_weighted_by_length",
+    "similarity_topk_ivfpq",
+    "similarity_topk_pandas",
+    "text_doc_frequency",
+    "text_normalize",
+    "text_pii_mask",
+    "text_repetition",
+    "text_top_terms",
+    "unpivot_measures",
+    "window_equidepth_bins",
+    "window_share_of_total",
+    # --- (c) oldest remaining (r5) rows, load-bearing first (16) ---
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q12_shipmode_priority",
+    "q20_excess_stock_suppliers",
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_bfs_depth",
+    "events_heavy_hitters_cms",
+    "events_max_concurrency",
+    "join_asof_tolerance",
+    "join_bloom_pruned",
+    "text_bpe_merges",
+    "text_retrieve_rerank",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r10 window names (all green r10; kept high for visibility)
     "corr_all_quantified",
     "corr_not_in_null_trap",
     "corr_scalar_select_twice",
     "corr_nested_exists_scalar",
     "pipeline_corpus_publish",
     "decontaminate_span_emit",
-    "similarity_topk_mips",
-    "orders_rfm_migration",  # band-stats single-pass rework (r10)
-    "orders_rfm_segments",  # quartiles fused into one tagged pass (r10)
-    "text_span_dedup_emit",  # kept-text rebuild rework (r10)
-    "multimodal_frame_sample",  # per-frame blob-copy hoist (r10)
-    "part_abc_classification",  # rankdist guard touch, spot check
-    # --- (b) ALL 18 r1/r2-stale names (zero the backlog) ---
+    "orders_rfm_migration",
+    "orders_rfm_segments",
+    "text_span_dedup_emit",
+    "multimodal_frame_sample",
+    "part_abc_classification",
     "filter_negation_membership_routing",
     "pivot_event_values",
     "set_ops_custkeys",
@@ -81,7 +136,6 @@ _WINDOW_PRIORITY: list[str] = [
     "union_tagged_streams",
     "invoice_line_assembly",
     "filter_null_and_zero",
-    # --- (c) r3-single-row names, load-bearing first (23 slots) ---
     "q4_priority_returns",
     "q7_volume_shipping",
     "q8_market_share",
@@ -102,15 +156,10 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_cluster_sizes",
     "merge_cdc_snapshot",
     "snapshot_diff_summary",
-    "multimodal_decode_features",
-    "embedding_pq_codes",
-    "embedding_quantize_sq8",
-    # ------------------- below the driver's 50-row fold -------------------
     # r9 window names (all green r9; kept high for visibility)
     "orders_cohort_ltv",
     "dedup_minhash_calibration",
     "decontaminate_longest_run",
-    "orders_rfm_segments",
     "agg_revenue_concentration",
     "part_pareto_frontier",
     "fuzzy_sorted_neighborhood",
@@ -199,8 +248,6 @@ _WINDOW_PRIORITY: list[str] = [
     "text_source_tvd_matrix",
     # r6 window names (all green r6; kept high for visibility)
     "dedup_lsh_quality",
-    "part_abc_classification",
-    "orders_rfm_segments",
     "window_interval_coalesce",
     "events_bounce_rate",
     "agg_mad_outliers",
@@ -228,9 +275,7 @@ _WINDOW_PRIORITY: list[str] = [
     "events_time_to_convert",
     "events_position_attribution",
     "events_burstiness",
-    "agg_revenue_concentration",
     "events_stickiness",
-    "part_pareto_frontier",
     "events_changepoint",
     "similarity_topk_ivfpq_dist",
     "similarity_topk_ivfpq_rerank",
@@ -249,92 +294,29 @@ _WINDOW_PRIORITY: list[str] = [
     "sample_epoch_shuffle",
     # --- r4/r5 window (all green r4 or r5; kept high for regression
     # visibility) ---
-    "graph_bfs_depth",
     "events_clamped_balance",
     "basket_brand_rules",
-    "text_bpe_merges",
-    "graph_label_propagation",
     "dedup_prefix_filter_pairs",
-    "fuzzy_sorted_neighborhood",
     "basket_brand_triples",
     "layout_shard_moves",
-    "graph_kcore",
     "pipeline_training_corpus",
     "agg_kmv_overlap",
     "diag_join_size_estimate",
     "nested_invoice_stats",
-    "text_retrieve_rerank",
     "agg_kmv_distinct",
-    "join_asof_tolerance",
     "events_session_window",
-    "graph_pagerank",
     "events_trailing_7d_distinct_approx",
     "sample_negative_pairs",
     "events_trailing_7d_distinct",
     "diag_key_skew",
-    "join_bloom_pruned",
     "layout_zorder_stats",
     "text_bigram_novelty",
-    "graph_triangle_counts",
-    "events_max_concurrency",
-    "events_heavy_hitters_cms",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_excess_stock_suppliers",
     "multimodal_audio_features",
     "profile_orders_approx",
-    "q12_shipmode_priority",
     # --- changed in round 4 (merge.py presence-marker rework;
     # WindowExec fix) ---
-    "snapshot_diff_summary",
-    "window_share_of_total",
-    "merge_cdc_snapshot",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
     # --- round-3 additions ---
-    "events_trailing_7d",
-    "agg_winsorized_revenue",
-    "dedup_cluster_sizes",
-    "events_daily_fill_forward",
-    "events_transition_matrix",
-    "multimodal_decode_features",
-    "dedup_containment",
-    "embedding_quantize_sq8",
-    "sample_per_source_topk",
-    "sample_mixture_rebalance",
-    "events_interarrival",
-    "window_equidepth_bins",
-    "fuzzy_name_match",
-    "events_first_touch_attribution",
-    "sample_weighted_by_length",
-    "events_top_paths",
-    "profile_orders",
-    "basket_part_pairs",
-    "embedding_pq_codes",
-    "similarity_topk_ivfpq",
-    "q4_priority_returns",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_bracketed_revenue",
-    "q22_dormant_customers",
     # --- heavier / sketch queries worth keeping under the driver's eye ---
-    "pipeline_corpus_clean",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "join_skewed_salted",
-    "similarity_topk_ivf",
-    "cluster_assign",
-    "agg_percentiles",
-    "join_range_intransit",
 ]
 
 
@@ -381,6 +363,7 @@ def _load_extra_modules() -> None:
         corpus_wave7,
         wave9,
         wave10,
+        wave11,
     )
 
 
