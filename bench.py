@@ -61,6 +61,13 @@ HEADLINE = [
     "set_ops_custkeys",
     "pivot_event_values",
     "dedup_exact",
+    # r11: the full-corpus MinHash signature sketch is ITS OWN
+    # memoized substrate (corpus_ops.minhash_sigs) — before r11 the
+    # shingle-explode + 64-min pass re-ran inside candidates, the
+    # cleaning pipeline, the band census, and the calibration query;
+    # now those are semi-joins/filters of this one frame. Timed first
+    # so every downstream line is marginal cost.
+    "dedup_sigs_build",
     # Shared candidates substrate (plans/corpus_ops.lsh_candidates
     # memo) now feeds dedup_minhash_lsh TOO — timed before it so the
     # attribution stays on this line (see dedup_substrate_build note
@@ -486,6 +493,14 @@ def main() -> None:
 
         co_edges(spark, sf_dir).count()
 
+    def _build_dedup_sigs() -> None:
+        # forces the memoized full-corpus MinHash signature frame —
+        # the shared sketch under candidates, the cleaning pipeline,
+        # the band census, and the calibration query (r11)
+        from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
+
+        minhash_sigs(spark, sf_dir).count()
+
     def _build_dedup_candidates() -> None:
         # forces the memoized LSH candidate frame shared by
         # dedup_minhash_lsh and the verify substrate
@@ -510,6 +525,7 @@ def main() -> None:
         probe_knn_shortlist(spark, sf_dir)
 
     SUBSTRATES = {
+        "dedup_sigs_build": _build_dedup_sigs,
         "pipeline_stages_build": _build_pipeline_stages,
         "knn_shortlist_build": _build_knn_shortlist,
         "dedup_candidates_build": _build_dedup_candidates,

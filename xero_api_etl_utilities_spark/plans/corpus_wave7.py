@@ -295,11 +295,13 @@ def corpus_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion anywhere.  Signature params match dedup_minhash_lsh
     (64 hashes, 16x4 banding, unigram shingles) so the sketch is the
     one already computed in a real run."""
-    from xero_api_etl_utilities_spark.operators import dedup as dd
+    from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
 
     bands, rows_per_band = 16, 4
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    # the memoized once-per-session sketch (r11) — same params, zero
+    # re-shingling
+    sigs = minhash_sigs(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -521,7 +521,15 @@ def _pipeline_stages(spark: SparkSession, sf_dir: str):
         # the final anti-join): materialize once instead of re-running
         # the quality gate + digest dedup per branch
         surv = q.join(surv_ids, "doc_id").localCheckpoint()
-        sigs = dd.minhash_signatures(surv, "doc_id", "text", n=1, num_hashes=64)
+        # survivor signatures = the memoized full-corpus sketch
+        # semi-joined to survivor ids (signatures are pure per-doc
+        # functions of the text, so this is EXACTLY sigs(surv) with
+        # zero re-shingling — VERDICT r10 item 5)
+        from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
+
+        sigs = minhash_sigs(spark, sf_dir).join(
+            surv.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+        )
         cands = dd.minhash_lsh_candidates(
             sigs, bands=16, rows_per_band=4, max_bucket=500
         )

@@ -555,13 +555,17 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses truncate-toward-zero ``div`` (proven engine-identical)."""
     from xero_api_etl_utilities_spark.functions.crosshash import h32
     from xero_api_etl_utilities_spark.operators import dedup as dd
-    from xero_api_etl_utilities_spark.plans.corpus_ops import lsh_candidates
+    from xero_api_etl_utilities_spark.plans.corpus_ops import (
+        lsh_candidates,
+        minhash_sigs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidates(spark, sf_dir).filter(
         h32(F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))) % 8 == 0
     )
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    # the memoized once-per-session sketch (r11) — zero re-shingling
+    sigs = minhash_sigs(spark, sf_dir)
     sa = sigs.select(
         F.col("doc").alias("doc_a"),
         *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(64)],
