@@ -9,6 +9,20 @@ noise on a single query.
 
 Usage: python tools/bench_compare.py <new.json> [repo_dir]
        python bench.py | tail -1 > /tmp/b.json && python tools/bench_compare.py /tmp/b.json
+
+Journal mode (VERDICT r10 item 8 — the like-for-like table the
+verdicts kept recomputing by hand):
+
+       python tools/bench_compare.py --journal [new.json]
+
+reads the append-only commit-stamped ``BENCH_HISTORY.jsonl``, picks
+the baseline automatically (the newest PRIOR journal record; if the
+current run's commit already appears in the journal, the newest
+record at a DIFFERENT commit, so a re-run compares box-to-box against
+real code motion, not against itself), and prints shared-N, totals,
+the like-for-like ratio, and every >1.25x outlier with
+touching-commit attribution (``git log -S<name> base..cur``) so noise
+(no touching commits) separates from regression (a named commit).
 """
 
 from __future__ import annotations
@@ -16,13 +30,121 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 import sys
 
 THRESHOLD = 1.5
+LFL_THRESHOLD = 1.25
+
+
+def _journal_records(repo: str) -> list[dict]:
+    out = []
+    jpath = os.path.join(repo, "BENCH_HISTORY.jsonl")
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("queries"):
+                    out.append(rec)
+    return out
+
+
+def _touching_commits(repo: str, name: str, base: str, cur: str) -> list[str]:
+    """Commits between base..cur whose diff mentions ``name`` (git
+    pickaxe) — empty list reads as 'no touching commits: box noise'."""
+    if not base or not cur or base == cur:
+        return []
+    try:
+        r = subprocess.run(
+            # pathspec limits the pickaxe to SOURCE: bench/correctness
+            # artifacts contain every query name and would attribute
+            # every outlier to the round-closing artifact commit
+            ["git", "log", "--oneline", f"-S{name}", f"{base}..{cur}",
+             "--", "xero_api_etl_utilities_spark", "bench.py",
+             "__spark_entry__.py"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        )
+        return [ln for ln in r.stdout.strip().splitlines() if ln]
+    except (OSError, subprocess.SubprocessError):
+        return []
+
+
+def journal_compare(repo: str, new_path: str | None) -> int:
+    records = _journal_records(repo)
+    if new_path:
+        with open(new_path) as f:
+            raw = json.load(f)
+        cur = {
+            "queries": raw.get("queries")
+            or (raw.get("parsed") or {}).get("queries")
+            or {},
+            "commit": raw.get("commit", ""),
+            "headline_total": raw.get("headline_total")
+            or raw.get("value"),
+        }
+    elif records:
+        cur = records.pop()
+    else:
+        print("journal empty and no new.json given")
+        return 0
+    cur_commit = cur.get("commit", "")
+    # newest prior record at a different commit (same-commit re-runs
+    # prove box noise, not code motion)
+    base = None
+    for rec in reversed(records):
+        if rec.get("commit") and rec["commit"] != cur_commit:
+            base = rec
+            break
+    if base is None and records:
+        base = records[-1]
+    if base is None:
+        print("no prior journal record to compare against")
+        return 0
+
+    bq, cq = base["queries"], cur["queries"]
+    shared = sorted(set(bq) & set(cq))
+    tot_b = sum(float(bq[q]) for q in shared)
+    tot_c = sum(float(cq[q]) for q in shared)
+    print(
+        f"like-for-like vs commit {base.get('commit', '?')} "
+        f"(current {cur_commit or '?'}): shared {len(shared)} entries"
+    )
+    print(
+        f"  totals {tot_b:.1f}s -> {tot_c:.1f}s  "
+        f"ratio {tot_c / tot_b:.3f}x" if tot_b else "  empty baseline"
+    )
+    only_b = sorted(set(bq) - set(cq))
+    only_c = sorted(set(cq) - set(bq))
+    if only_c:
+        print(f"  new entries ({len(only_c)}): {', '.join(only_c)}")
+    if only_b:
+        print(f"  dropped entries ({len(only_b)}): {', '.join(only_b)}")
+
+    outliers = [
+        (q, float(bq[q]), float(cq[q]))
+        for q in shared
+        if float(bq[q]) > 0 and float(cq[q]) > LFL_THRESHOLD * float(bq[q])
+    ]
+    print(f"  >{LFL_THRESHOLD}x outliers: {len(outliers)}")
+    for q, b, c in sorted(outliers, key=lambda x: -(x[2] / x[1])):
+        touching = _touching_commits(repo, q, base.get("commit", ""), cur_commit)
+        attr = (
+            "; ".join(touching[:3])
+            if touching
+            else "no touching commits (box noise)"
+        )
+        print(f"    {q}: {b:.2f}s -> {c:.2f}s ({c / b:.2f}x) — {attr}")
+    return 0
 
 
 def main() -> int:
     repo_default = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = [a for a in sys.argv[1:] if a != "--journal"]
+    if "--journal" in sys.argv[1:]:
+        return journal_compare(repo_default, args[0] if args else None)
     new_path = (
         sys.argv[1]
         if len(sys.argv) > 1
