@@ -326,6 +326,9 @@ HEADLINE = [
     "corr_argmin_multiway",
     "corr_having_global_share",
     "corr_notin_countdistinct",
+    # r11: X161 encode census — rides the memoized merge table
+    # (trained once per session under the text_bpe_merges line)
+    "text_bpe_encode",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -697,6 +697,12 @@ CHECKS = {
         ("query side broadcast, corpus never shuffles before scoring", lambda p: "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p),
         ("top-k window query-partitioned; only the 1-row M^2 merges single-partition", lambda p: "hashpartitioning(query_id" in p and p.count("SinglePartition") <= 2),
     ],
+    # r11: X161 — encode rides the vocabulary frame (in-row folds);
+    # the corpus-sized stage is one explode + broadcast join + agg
+    "text_bpe_encode": [
+        ("encoded vocab broadcast onto the token stream", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("no cartesian, no single partition", lambda p: "CartesianProduct" not in p and "SinglePartition" not in p),
+    ],
     # r11: X158 — correlated argmin decorrelated to one offers
     # aggregate + a partkey-partitioned window MIN; dims broadcast
     "corr_argmin_multiway": [

@@ -57,6 +57,7 @@ _WINDOW_PRIORITY: list[str] = [
     "corr_having_global_share",
     "corr_notin_countdistinct",
     "similarity_topk_mips",  # corpus-norm tie-exactness fix (r11)
+    "text_bpe_encode",  # X161 encode census (r11; displaces the last r5 pad)
     # --- (b) ALL 30 r3-only names (zero the staleness backlog) ---
     "multimodal_decode_features",
     "embedding_quantize_sq8",
