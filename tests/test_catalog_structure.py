@@ -19,6 +19,7 @@ def test_every_query_is_benched_or_documented():
     qs = set(catalog.queries())
     headline = [n for n in bench.HEADLINE]
     substrates = {
+        "dedup_sigs_build",
         "dedup_candidates_build",
         "dedup_substrate_build",
         "pipeline_stages_build",

@@ -51,7 +51,9 @@ _WINDOW_PRIORITY: list[str] = [
     # layout_zorder_stats, multimodal_audio_features,
     # nested_invoice_stats, pipeline_training_corpus,
     # profile_orders_approx, sample_negative_pairs,
-    # text_bigram_novelty), (d) pad with the oldest r6 rows.
+    # text_bigram_novelty, plus text_retrieve_rerank — displaced below
+    # this round's fold by the late X161 registration), (d) pad with
+    # the oldest r6 rows.
     # --- (a) r11 new registrations + r11 behavior changes ---
     "corr_argmin_multiway",
     "corr_having_global_share",
