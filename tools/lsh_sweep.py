@@ -18,10 +18,11 @@ Usage: python tools/lsh_sweep.py [sf_dir]   (default sf0.01)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
