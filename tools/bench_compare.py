@@ -62,9 +62,14 @@ def _touching_commits(repo: str, name: str, base: str, cur: str) -> list[str]:
             # pathspec limits the pickaxe to SOURCE: bench/correctness
             # artifacts contain every query name and would attribute
             # every outlier to the round-closing artifact commit
+            # catalog.py excluded: it holds the window-priority name
+            # list, so a pure rotation commit would false-positive as
+            # "touching" every rotated query (registrations live in
+            # the plans modules themselves)
             ["git", "log", "--oneline", f"-S{name}", f"{base}..{cur}",
              "--", "xero_api_etl_utilities_spark", "bench.py",
-             "__spark_entry__.py"],
+             "__spark_entry__.py",
+             ":(exclude)xero_api_etl_utilities_spark/plans/catalog.py"],
             cwd=repo, capture_output=True, text=True, timeout=30,
         )
         return [ln for ln in r.stdout.strip().splitlines() if ln]
