@@ -57,6 +57,13 @@ def _new_spark():
     return (
         SparkSession.builder.appName("full-gate")
         .master("local[*]")
+        # local-mode executors share the driver JVM; the stock 1g heap
+        # OOM-killed the r11 run when the rotation packed the whole
+        # memoized dedup family (sigs+cands+pairs+containment local
+        # checkpoints) into one 60-name session window
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
