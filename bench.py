@@ -410,6 +410,9 @@ _BOUNDED_DIR = os.environ.get(
 BOUNDED_SF = {
     "similarity_topk": _BOUNDED_DIR,
     "similarity_topk_mips": _BOUNDED_DIR,  # r10: same O(QxN) exact shape
+    # r11: X162 — four brute-force passes by construction (the census
+    # is the exactness instrument; the scale path is IVF + sampling)
+    "similarity_truncation_recall": _BOUNDED_DIR,
     "dedup_ngram_jaccard": _BOUNDED_DIR,
     "dedup_prefix_filter_pairs": _BOUNDED_DIR,
 }

@@ -704,6 +704,13 @@ CHECKS = {
         ("encoded vocab broadcast onto the token stream", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
         ("no cartesian, no single partition", lambda p: "CartesianProduct" not in p and "SinglePartition" not in p),
     ],
+    # r11: X162 — guard-caged brute-force census (the exactness
+    # instrument): NLJ scoring expected; the per-width membership
+    # compares and the 1-row total must stay broadcast
+    "similarity_truncation_recall": [
+        ("semi-joins broadcast, never SMJ", lambda p: "SortMergeJoin" not in p),
+        ("only the 1-row total merges single-partition", lambda p: p.count("SinglePartition") <= 1 and "CartesianProduct" not in p),
+    ],
     # r11: X158 — correlated argmin decorrelated to one offers
     # aggregate + a partkey-partitioned window MIN; dims broadcast
     "corr_argmin_multiway": [

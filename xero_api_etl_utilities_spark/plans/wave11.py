@@ -265,3 +265,117 @@ GROUP BY c_mktsegment, o_orderpriority
 ORDER BY c_mktsegment, o_orderpriority
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# X162: embedding truncation-recall census (matryoshka-style)
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = (16, 32, 48, 64)
+
+
+def similarity_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162: how much nearest-neighbor fidelity survives truncating the
+    embedding to its prefix dimensions — the acceptance census behind
+    matryoshka-style dimension reduction (Kusupati et al. 2022: serve
+    the first d' coordinates, keep most of the recall at a fraction of
+    the memory/compute).  For each prefix width in ``_TRUNC_DIMS``:
+    exact top-5 cosine neighbors under the truncated vectors vs the
+    full-dimension ground truth, matched counts and recall in rounded
+    basis points (d'=64 is the self-check row — 10000 bp by
+    construction).
+
+    Lowering: the exactness-baseline brute-force machinery
+    (guard-caged — 20 query vectors, the similarity_topk convention),
+    one run per width over the SAME sliced projection for query and
+    corpus sides; membership compare is a (query, neighbor) semi-join
+    per width; totals attach as the audited 1-row broadcast.  The
+    production question this answers is sizing, so the census is
+    bounded by design: at 100 TB the same comparison runs on a sampled
+    query set against the IVF route, not brute force.
+
+    Cross-engine exactness: cosine ties broken by neighbor id on both
+    sides (the TOPK_EXACT_ORACLE convention); recall_bp is the exact
+    rounded integer division (20000*m + t) div (2t)."""
+    from xero_api_etl_utilities_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def topk_at(d: int) -> DataFrame:
+        tr = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        return sim.topk_bruteforce(tr.filter(F.col("vec_id") < 20), tr, k=5)
+
+    full = topk_at(64).select("query_id", "neighbor_id")
+    tagged = None
+    for d in _TRUNC_DIMS:
+        # d=64 is the self-check row: semi-joining full with itself is
+        # the identity, so the fourth brute-force pass never runs
+        trunc = full if d == 64 else topk_at(d).select(
+            "query_id", "neighbor_id"
+        )
+        m = (
+            full.join(
+                F.broadcast(trunc),  # k*|queries| rows — always tiny
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .select(F.lit(d).cast("int").alias("dims"))
+        )
+        tagged = m if tagged is None else tagged.unionByName(m)
+    total = full.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tagged.groupBy("dims")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("matched"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dims",
+            "matched",
+            F.col("total").cast("bigint").alias("total"),
+            F.expr(
+                "CAST((20000 * matched + total) div (2 * total) AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("dims")
+    )
+
+
+def _truncation_recall_oracle() -> str:
+    def ranked(d: int) -> str:
+        return f"""
+t{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding[1:{d}],
+                                             c.embedding[1:{d}]) DESC,
+                      c.vec_id ASC) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 20) q, embeddings c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rank <= 5
+)"""
+
+    ctes = ",".join(ranked(d) for d in _TRUNC_DIMS)
+    matched = "\nUNION ALL ".join(
+        f"SELECT {d} AS dims, CAST(COUNT(*) AS BIGINT) AS matched"
+        f" FROM t64 f JOIN t{d} t USING (query_id, neighbor_id)"
+        for d in _TRUNC_DIMS
+    )
+    return f"""
+WITH {ctes},
+m AS ({matched}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t64)
+SELECT CAST(dims AS INT) AS dims, matched, total,
+  CAST((20000 * matched + total) // (2 * total) AS BIGINT) AS recall_bp
+FROM m, tot
+ORDER BY dims
+"""
+
+
+register(
+    "similarity_truncation_recall",
+    similarity_truncation_recall,
+    _truncation_recall_oracle,
+)
