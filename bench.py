@@ -329,6 +329,8 @@ HEADLINE = [
     # r11: X161 encode census — rides the memoized merge table
     # (trained once per session under the text_bpe_merges line)
     "text_bpe_encode",
+    # r11: X163 temperature mixture design (one source window)
+    "sample_temperature_mix",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -704,6 +704,14 @@ CHECKS = {
         ("encoded vocab broadcast onto the token stream", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
         ("no cartesian, no single partition", lambda p: "CartesianProduct" not in p and "SinglePartition" not in p),
     ],
+    # r11: X163 — census/weights/quotas are source-cardinality and
+    # materialized once; the pick is ONE source-partitioned window;
+    # every join broadcasts
+    "sample_temperature_mix": [
+        ("one source-partitioned window, no global sort", lambda p: p.count("hashpartitioning(source") == 1 and "rangepartitioning" not in p.split("Sort ")[0]),
+        ("quota/report joins broadcast, quotas checkpointed", lambda p: "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p and "Scan ExistingRDD" in p),
+        ("no cartesian, no single partition", lambda p: "CartesianProduct" not in p and "SinglePartition" not in p),
+    ],
     # r11: X162 — guard-caged brute-force census (the exactness
     # instrument): NLJ scoring expected; the per-width membership
     # compares and the 1-row total must stay broadcast

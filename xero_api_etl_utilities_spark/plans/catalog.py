@@ -51,9 +51,10 @@ _WINDOW_PRIORITY: list[str] = [
     # layout_zorder_stats, multimodal_audio_features,
     # nested_invoice_stats, pipeline_training_corpus,
     # profile_orders_approx, sample_negative_pairs,
-    # text_bigram_novelty, plus text_retrieve_rerank and
-    # join_bloom_pruned — displaced below this round's fold by the
-    # late X161/X162 registrations), (d) pad with the oldest r6 rows.
+    # text_bigram_novelty, plus text_retrieve_rerank,
+    # join_bloom_pruned, and join_asof_tolerance — displaced below
+    # this round's fold by the late X161-X163 registrations), (d) pad
+    # with the oldest r6 rows.
     # --- (a) r11 new registrations + r11 behavior changes ---
     "corr_argmin_multiway",
     "corr_having_global_share",
@@ -61,6 +62,7 @@ _WINDOW_PRIORITY: list[str] = [
     "similarity_topk_mips",  # corpus-norm tie-exactness fix (r11)
     "text_bpe_encode",  # X161 encode census (r11; displaces the last r5 pad)
     "similarity_truncation_recall",  # X162 matryoshka recall census (r11)
+    "sample_temperature_mix",  # X163 temperature mixture design (r11)
     "text_bpe_merges",  # behavior-changed r11: merges memoized per session
     # --- (b) ALL 30 r3-only names (zero the staleness backlog) ---
     "multimodal_decode_features",
@@ -93,7 +95,7 @@ _WINDOW_PRIORITY: list[str] = [
     "unpivot_measures",
     "window_equidepth_bins",
     "window_share_of_total",
-    # --- (c) oldest remaining (r5) rows, load-bearing first (13) ---
+    # --- (c) oldest remaining (r5) rows, load-bearing first (12) ---
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_counts",

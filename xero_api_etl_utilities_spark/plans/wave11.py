@@ -379,3 +379,134 @@ register(
     similarity_truncation_recall,
     _truncation_recall_oracle,
 )
+
+
+# ---------------------------------------------------------------------------
+# X163: temperature-scaled source mixing (census -> weights -> quotas -> pick)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 1000  # docs in the mixed sample
+_MIX_SCALE = 1000  # weight quantization: floor(sqrt(n) * _MIX_SCALE)
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163: TEMPERATURE-SCALED mixture design — the standard recipe
+    for flattening a skewed source distribution (sampling weight
+    ∝ n_s^(1/T); T=2 here, i.e. ∝ sqrt(n_s)) before drawing a training
+    mix, as in the Gopher/LLaMA data recipes.  Where
+    ``sample_mixture_rebalance`` APPLIES given rates, this DERIVES
+    them: per-source census → quantized temperature weight →
+    exact-integer quota out of a fixed budget → deterministic
+    hash-ranked pick, reported per source (census count, weight,
+    quota, picked — picked == quota while the source can fill it).
+
+    Exactness across engines: the only non-integer step is
+    ``sqrt(n_s)``, a single correctly-rounded IEEE-754 op (identical
+    in the JVM and DuckDB for the same BIGINT input — no sums or
+    products of floats ever cross an engine); it is immediately
+    quantized by ``floor(sqrt(n)*1000)`` into BIGINT, and everything
+    after (total, quotas via ``div``, ranks) is exact integer
+    arithmetic.  The pick is the repo's deterministic-hash convention:
+    rank within source by (md5-derived h32(doc_id), doc_id), keep
+    rank <= quota — rerun-stable, no RNG.
+
+    100 TB shape: the census and the weight/quota table are
+    source-cardinality (tiny, broadcast); the pick is ONE
+    source-partitioned window over the corpus — no global sort, no
+    single partition; the report aggregates the picked frame."""
+    from xero_api_etl_utilities_spark.functions.crosshash import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    census = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    weights = census.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * _MIX_SCALE)
+        .cast("bigint")
+        .alias("weight"),
+    )
+    total = weights.agg(F.sum("weight").alias("_tw"))
+    # source-cardinality frame feeding BOTH the pick's quota join and
+    # the final report: materialize once (the aggregate diamond rule —
+    # Spark plans no ReusedExchange, so the lazy form would scan the
+    # corpus census twice and attach the 1-row total twice)
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    quotas = materialize(
+        weights.crossJoin(F.broadcast(total)).select(
+            "source",
+            "n_docs",
+            "weight",
+            F.expr(f"CAST(({_MIX_BUDGET} * weight) div _tw AS BIGINT)").alias(
+                "quota"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        h32(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    picked = (
+        docs.select("source", "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quotas.select("source", "quota")), "source")
+        .filter(F.col("_rk") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("picked"))
+    )
+    return (
+        quotas.join(F.broadcast(picked), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight",
+            "quota",
+            F.coalesce(F.col("picked"), F.lit(0)).cast("bigint").alias(
+                "picked"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "sample_temperature_mix",
+    sample_temperature_mix,
+    f"""
+WITH census AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+weights AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs) * {_MIX_SCALE}) AS BIGINT) AS weight
+  FROM census
+),
+quotas AS (
+  SELECT source, n_docs, weight,
+         CAST(({_MIX_BUDGET} * weight)
+              // (SELECT SUM(weight) FROM weights) AS BIGINT) AS quota
+  FROM weights
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS UBIGINT) ASC,
+                    doc_id ASC) AS _rk
+  FROM documents
+),
+picked AS (
+  SELECT r.source, CAST(COUNT(*) AS BIGINT) AS picked
+  FROM ranked r JOIN quotas q ON q.source = r.source
+  WHERE r._rk <= q.quota
+  GROUP BY r.source
+)
+SELECT q.source, q.n_docs, q.weight, q.quota,
+       CAST(COALESCE(p.picked, 0) AS BIGINT) AS picked
+FROM quotas q LEFT JOIN picked p ON p.source = q.source
+ORDER BY q.source
+""",
+)
