@@ -127,6 +127,18 @@ def build_probe_dir(spark, factor: int, out_dir: str) -> None:
                         F.lpad(F.col("s_suppkey").cast("string"), 9, "0"),
                     ),
                 )
+            if tbl == "events" and k > 0:
+                # co-occurrence buckets (date, type, hour) must stay
+                # copy-disjoint like the user ids sharing them: with
+                # shared timestamps every bucket held `factor`x the
+                # users and the co-occurrence GRAPH grew quadratically
+                # (graph_triangle_counts spilled the disk at 10x on
+                # the first top-40 probe). An 8-year shift per copy
+                # (the data spans 7) keeps within-copy temporal
+                # structure exact and cross-copy buckets empty.
+                df = df.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {k * 8} YEARS")
+                )
             if tbl == "documents" and k > 0:
                 # disjoint per-copy vocabulary: token t -> t<k>
                 df = df.withColumn(
@@ -149,6 +161,20 @@ def build_probe_dir(spark, factor: int, out_dir: str) -> None:
 
 _JOIN_OPS = ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
              "BroadcastHashJoin", "ShuffledHashJoin", "SinglePartition")
+
+# Joins whose BOTH sides grow with the data legitimately cross the
+# broadcast threshold as the sf rises — SMJ/shuffled-hash is the
+# CORRECT 100 TB strategy there, so the flip is expected, not a
+# degradation. Each entry documents which operator may increase and by
+# how much, and why.
+_EXPECTED_FLIPS: dict[str, dict[str, int]] = {
+    # the customer-grain quartile assembly join-backs (both sides =
+    # one row per customer): broadcast at gate sf, SMJ at 10x+ — the
+    # histogram/band join-backs inside rankdist stay broadcast and are
+    # separately audited
+    "orders_rfm_segments": {"SortMergeJoin": 2},
+    "orders_rfm_migration": {"SortMergeJoin": 2},
+}
 
 
 def _plan_profile(plan: str) -> dict[str, int]:
@@ -246,11 +272,12 @@ def main() -> int:
                 t0 = time.perf_counter()
                 n = df.count()
                 sec = round(time.perf_counter() - t0, 2)
+                allowed = _EXPECTED_FLIPS.get(name, {})
                 degraded = {
                     op: (base_plan[op], probe_plan[op])
                     for op in ("CartesianProduct", "SortMergeJoin",
                                "SinglePartition")
-                    if probe_plan[op] > base_plan[op]
+                    if probe_plan[op] > base_plan[op] + allowed.get(op, 0)
                 }
                 rec.update(
                     sec=sec, rows=n, kind="query",
