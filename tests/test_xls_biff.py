@@ -51,12 +51,19 @@ def _rk_from_int(v: int) -> int:
     return ((v & ((1 << 30) - 1)) << 2) | 2
 
 
-def xls_workbook_stream(rows: dict[int, dict[str, object]]) -> bytes:
+def xls_workbook_stream(
+    rows: dict[int, dict[str, object]],
+    extra_globals: bytes = b"",
+    extra_sheet: bytes = b"",
+) -> bytes:
     """Build a two-sheet BIFF8 Workbook stream; ``rows`` populates the
     'A4 Summary' sheet (1-based rows, letter columns — the xlsx
     fixture convention). Strings go through the SST except ones
     prefixed 'inline:' (LABEL records); ints divisible by RK limits go
-    as NUMBER doubles, 'rk:'-prefixed ints as RK records."""
+    as NUMBER doubles, 'rk:'-prefixed ints as RK records.
+    ``extra_globals``/``extra_sheet`` splice raw records into the
+    globals substream / the 'A4 Summary' substream (1904-flag and
+    FORMULA scope pins)."""
     sst: list[str] = []
     cell_recs: list[bytes] = []
     for r in sorted(rows):
@@ -92,7 +99,7 @@ def xls_workbook_stream(rows: dict[int, dict[str, object]]) -> bytes:
                 )
 
     sheet1 = _bof(0x0010) + _rec(0x000A, b"")
-    sheet2 = _bof(0x0010) + b"".join(cell_recs) + _rec(0x000A, b"")
+    sheet2 = _bof(0x0010) + extra_sheet + b"".join(cell_recs) + _rec(0x000A, b"")
 
     sst_body = struct.pack("<II", len(sst), len(sst)) + b"".join(
         _ustr(s) for s in sst
@@ -107,6 +114,7 @@ def xls_workbook_stream(rows: dict[int, dict[str, object]]) -> bytes:
     def globals_part(p1: int, p2: int) -> bytes:
         return (
             _bof(0x0005)
+            + extra_globals
             + _rec(0x00FC, sst_body)
             + bsheet(p1, "Front")
             + bsheet(p2, "A4 Summary")
@@ -341,3 +349,110 @@ def test_quarantine_routing_end_to_end(spark, tmp_path):
     assert set(q) == {"DD 03.xls", "DD 04.xls"}
     assert "OLE2" in q["DD 03.xls"] or "Workbook" in q["DD 03.xls"]
     assert "unrecognized workbook container" in q["DD 04.xls"]
+
+
+# ---------------------------------------------------------------------------
+# Out-of-scope BIFF8 features must fail LOUDLY, never decode silently
+# (VERDICT r11 "What's missing" #4)
+# ---------------------------------------------------------------------------
+
+
+def test_1904_date_mode_raises_before_any_cell():
+    """A 1904-flagged workbook must raise (its serial dates would
+    decode 1462 days shifted), while the explicit 1900 flag decodes
+    identically to no DATEMODE record at all."""
+    import pytest
+
+    rows = {3: {"B": 45292}, 21: {"C": "Amount"}}
+    flagged = ole2_bytes(
+        xls_workbook_stream(rows, extra_globals=_rec(0x0022, struct.pack("<H", 1)))
+    )
+    with pytest.raises(ValueError, match="1904"):
+        decode_xls_grid(flagged, "A4 Summary")
+
+    plain = decode_xls_grid(ole2_bytes(xls_workbook_stream(rows)), "A4 Summary")
+    mode1900 = decode_xls_grid(
+        ole2_bytes(
+            xls_workbook_stream(rows, extra_globals=_rec(0x0022, struct.pack("<H", 0)))
+        ),
+        "A4 Summary",
+    )
+    assert mode1900 == plain and plain
+
+
+def test_formula_cell_fails_the_sheet():
+    """A cached-FORMULA cell must fail the workbook instead of
+    emitting a grid with a silent hole where the formula cell was."""
+    import pytest
+
+    # FORMULA record: row 21, col C, ixfe + cached-result + grbit +
+    # chn + cce payload (content irrelevant — the opcode is the pin)
+    formula = _rec(0x0006, struct.pack("<HHH", 21, 2, 0) + bytes(16))
+    blob = ole2_bytes(
+        xls_workbook_stream({3: {"B": 45292}}, extra_sheet=formula)
+    )
+    with pytest.raises(ValueError, match="FORMULA"):
+        decode_xls_grid(blob, "A4 Summary")
+
+
+def test_1904_and_formula_route_to_quarantine(spark, tmp_path):
+    """End-to-end: the two out-of-scope workbooks land in quarantine
+    with diagnosable reasons; a plain sibling still decodes; zero
+    tasks fail."""
+    from xero_api_etl_utilities_spark.sources.excel_grid import (
+        read_workbook_grids_with_quarantine,
+    )
+
+    rows = {3: {"B": 45292}, 22: {"C": 100.5}}
+    (tmp_path / "DD 01.xls").write_bytes(ole2_bytes(xls_workbook_stream(rows)))
+    (tmp_path / "DD 02.xls").write_bytes(
+        ole2_bytes(
+            xls_workbook_stream(
+                rows, extra_globals=_rec(0x0022, struct.pack("<H", 1))
+            )
+        )
+    )
+    (tmp_path / "DD 03.xls").write_bytes(
+        ole2_bytes(
+            xls_workbook_stream(
+                rows,
+                extra_sheet=_rec(0x0006, struct.pack("<HHH", 21, 2, 0) + bytes(16)),
+            )
+        )
+    )
+
+    grid, quarantine = read_workbook_grids_with_quarantine(spark, str(tmp_path))
+    assert {r["src_file"] for r in grid.collect()} == {"DD 01.xls"}
+    q = {r["src_file"]: r["reason"] for r in quarantine.collect()}
+    assert set(q) == {"DD 02.xls", "DD 03.xls"}
+    assert "1904" in q["DD 02.xls"]
+    assert "FORMULA" in q["DD 03.xls"]
+
+
+def test_difat_self_cycle_raises_not_spins():
+    """A DIFAT sector pointing at itself with a huge declared n_difat
+    must raise promptly (ADVICE r11: the walk was bounded only by the
+    header-declared count, up to 2^32-1 iterations)."""
+    import pytest
+
+    blob = bytearray(_xls_bytes(_DD01_ROWS, pad_to_regular=True))
+    # header: declare a DIFAT chain starting at sector 0 with a huge
+    # count, and make sector 0's last slot point back at itself
+    struct.pack_into("<II", blob, 68, 0, 0xFFFFFFF0)
+    struct.pack_into("<I", blob, 512 + 512 - 4, 0)
+    with pytest.raises(ValueError):
+        ole2_stream(bytes(blob), "Workbook")
+
+
+def test_sst_odd_utf16_split_raises():
+    """A wide SST string whose first segment holds an odd byte count
+    must raise instead of misreading the leftover byte as the
+    continuation option byte (ADVICE r11)."""
+    import pytest
+
+    # cch=2 wide chars; segment 1 carries 3 bytes (one full char + one
+    # dangling byte), segment 2 would carry the rest
+    seg1 = struct.pack("<II", 1, 1) + struct.pack("<HB", 2, 1) + b"a\x00b"
+    seg2 = b"\x01" + "c".encode("utf-16-le")
+    with pytest.raises(ValueError, match="odd UTF-16"):
+        _parse_sst([seg1, seg2])
