@@ -94,3 +94,23 @@ def test_publish_default_dir_inside_repo(monkeypatch):
     assert path == os.path.join(
         repo_root, "spark-warehouse", "corpus_publish", "sf0.01"
     )
+
+
+def test_stale_run_dirs_pruned(tmp_path):
+    """Per-run artifact isolation must not accumulate one full-corpus
+    dir per session: writing this run's artifact prunes prior-run
+    siblings for the SAME sf, and leaves other-sf artifacts alone
+    (ADVICE r11)."""
+    import os
+
+    from xero_api_etl_utilities_spark.plans.wave10 import _prune_stale_runs
+
+    base = tmp_path / "corpus_publish"
+    for d in ("sf0.01-oldapp", "sf0.01-curapp", "sf0.1-otherapp", "sf0.01"):
+        (base / d).mkdir(parents=True)
+    cur = str(base / "sf0.01-curapp")
+    _prune_stale_runs(cur, "/root/testdata/sf0.01")
+    left = sorted(os.listdir(base))
+    # same-sf prior run pruned; current run, other sf, and the
+    # suffixless legacy dir (no run isolation -> not a run sibling) kept
+    assert left == ["sf0.01", "sf0.01-curapp", "sf0.1-otherapp"]

@@ -154,3 +154,22 @@ def test_crash_between_publishes_recovers(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 40  # artifact not duplicated (dir skipped)
     assert len([d for d in os.listdir(out_dir) if d.startswith("batch=")]) == 1
+
+
+def test_orphaned_inprogress_in_out_dir_is_swept(spark, tmp_path):
+    """A crash between tmp-write and rename in a PRIOR run (whose
+    checkpoint is gone, so its tag never replays) leaves a
+    ``batch=<old>.inprogress`` dir in out_dir; the next batch apply
+    must sweep it — parquet partition discovery would otherwise pick
+    it up as a partition value over half-written files (ADVICE r11)."""
+    out_dir, state_dir, ckpt, drop = _dirs(tmp_path)
+    orphan = os.path.join(out_dir, "batch=deadrun-0.inprogress")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"half-written junk")
+
+    spark.createDataFrame(_rows(0, 40), SCHEMA).write.mode("append").parquet(drop)
+    _drain(spark, drop, out_dir, state_dir, ckpt)
+
+    assert not os.path.isdir(orphan)
+    assert spark.read.parquet(out_dir).count() == 40

@@ -341,6 +341,26 @@ def _publish_dir(sf_dir: str, run_suffix: str | None = None) -> str:
     return os.path.join(base, sf_name)
 
 
+def _prune_stale_runs(path: str, sf_dir: str) -> None:
+    """Retention for the per-run artifact isolation: before writing
+    this run's artifact, delete sibling dirs for the SAME sf whose
+    run suffix differs (prior gate/bench sessions).  Without this the
+    applicationId suffix accumulates one full-corpus artifact per
+    session, unbounded (ADVICE r11).  Other-sf siblings are kept —
+    they are different datasets, not stale runs."""
+    import os
+    import shutil
+
+    base = os.path.dirname(path)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if d.startswith(f"{sf_name}-") and full != path:
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def publish_corpus(spark: SparkSession, sf_dir: str) -> str:
     """X155 write half: span-dedup emit (X146) → drop fully-removed
     docs → fixed-budget pack per source shard (X14) → source-
@@ -366,6 +386,7 @@ def publish_corpus(spark: SparkSession, sf_dir: str) -> str:
     path = _publish_dir(
         sf_dir, run_suffix=spark.sparkContext.applicationId
     )
+    _prune_stale_runs(path, sf_dir)
     write_partitioned(artifact, path, ["source"], mode="overwrite")
     return path
 

@@ -46,12 +46,24 @@ from pyspark.sql import functions as F
 from xero_api_etl_utilities_spark.streaming.cdc_sink import _query_run_id
 
 
+def _sweep_inprogress(d: str) -> None:
+    """Remove orphaned ``*.inprogress`` dirs left by a crash between
+    tmp-write and rename.  The state dir always got this sweep; the
+    OUT dir needs it too — after checkpoint recreation the old run's
+    tag never replays, and parquet partition discovery would otherwise
+    pick the half-written ``batch=<old>-N.inprogress`` dir up as a
+    partition value (ADVICE r11)."""
+    if not os.path.isdir(d):
+        return
+    for e in os.listdir(d):
+        if e.endswith(".inprogress"):
+            shutil.rmtree(os.path.join(d, e))
+
+
 def _published_batches(state_dir: str, own_tag: str) -> list[str]:
     if not os.path.isdir(state_dir):
         return []
-    for d in os.listdir(state_dir):
-        if d.endswith(".inprogress"):
-            shutil.rmtree(os.path.join(state_dir, d))
+    _sweep_inprogress(state_dir)
     return [
         os.path.join(state_dir, d)
         for d in os.listdir(state_dir)
@@ -94,6 +106,7 @@ def apply_pack_batch(
     state_b = os.path.join(state_dir, f"batch={tag}")
     if os.path.isdir(out_b) and os.path.isdir(state_b):
         return  # fully applied; replay is a no-op
+    _sweep_inprogress(out_dir)
 
     packed = pack_fixed_budget(
         batch_df, id_col, tokens_col, budget, shard_col=shard_col
