@@ -77,6 +77,53 @@ def _touching_commits(repo: str, name: str, base: str, cur: str) -> list[str]:
         return []
 
 
+def _commit_band(records: list[dict], commit: str) -> str | None:
+    """min/median/max of headline_total across ALL journal runs at one
+    commit — the measured box-noise band.  The r11 close quoted two
+    same-HEAD points (250.8s and 284.8s) that looked contradictory;
+    the band is the honest statistic (VERDICT r11 item 3): a delta is
+    a regression only when it leaves this envelope."""
+    import statistics
+
+    totals = sorted(
+        float(r["headline_total"])
+        for r in records
+        if r.get("commit") == commit
+        and isinstance(r.get("headline_total"), (int, float))
+    )
+    if not totals:
+        return None
+    med = statistics.median(totals)
+    spread = (totals[-1] - totals[0]) / med * 100 if med else 0.0
+    return (
+        f"band {commit}: n={len(totals)} min={totals[0]:.1f}s "
+        f"median={med:.1f}s max={totals[-1]:.1f}s (spread {spread:.0f}%)"
+    )
+
+
+def print_bands(repo: str, commits: list[str]) -> int:
+    """--band [commit ...]: per-commit headline bands from the journal
+    (no args: every commit with >= 2 recorded runs, newest last)."""
+    records = _journal_records(repo)
+    if not commits:
+        seen: list[str] = []
+        for rec in records:
+            c = rec.get("commit")
+            if c and c not in seen:
+                seen.append(c)
+        commits = [
+            c
+            for c in seen
+            if sum(1 for r in records if r.get("commit") == c) >= 2
+        ]
+        if not commits:
+            print("no commit has >= 2 journal runs yet")
+            return 0
+    for c in commits:
+        print(_commit_band(records, c) or f"band {c}: no journal runs")
+    return 0
+
+
 def journal_compare(repo: str, new_path: str | None) -> int:
     records = _journal_records(repo)
     if new_path:
@@ -128,6 +175,13 @@ def journal_compare(repo: str, new_path: str | None) -> int:
     if only_b:
         print(f"  dropped entries ({len(only_b)}): {', '.join(only_b)}")
 
+    # same-commit noise bands for both ends (when the journal has
+    # multiple runs): quote THESE in closing artifacts, not one point
+    for label, c in (("current", cur_commit), ("baseline", base.get("commit", ""))):
+        band = _commit_band(records + [cur], c) if c else None
+        if band:
+            print(f"  {label} {band}")
+
     outliers = [
         (q, float(bq[q]), float(cq[q]))
         for q in shared
@@ -147,7 +201,9 @@ def journal_compare(repo: str, new_path: str | None) -> int:
 
 def main() -> int:
     repo_default = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    args = [a for a in sys.argv[1:] if a != "--journal"]
+    args = [a for a in sys.argv[1:] if a not in ("--journal", "--band")]
+    if "--band" in sys.argv[1:]:
+        return print_bands(repo_default, args)
     if "--journal" in sys.argv[1:]:
         return journal_compare(repo_default, args[0] if args else None)
     new_path = (
