@@ -1,0 +1,149 @@
+"""Streaming ANN index maintenance (streaming/ann_maintenance.py —
+VERDICT r11 item 7): new vectors encoded against the FROZEN index
+geometry must be bit-identical to a one-shot batch encode (across a
+checkpoint restart), replay must be a no-op, and the drift census must
+flag retrain exactly at the X113 cell-balance rule."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators import ivf
+from xero_api_etl_utilities_spark.operators.quantize import (
+    train_pq_codebooks_from_parquet,
+)
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+from xero_api_etl_utilities_spark.streaming.ann_maintenance import (
+    encode_against_index,
+    index_drift_census,
+    stream_ann_index_sink,
+)
+
+
+def _geometry(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+    books = train_pq_codebooks_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    return emb, cents, books
+
+
+def _drain(spark, drop, schema, index_dir, drift_dir, ckpt, cents, books):
+    stream = spark.readStream.schema(schema).parquet(drop)
+    q = stream_ann_index_sink(
+        stream, index_dir, drift_dir, ckpt, cents, books
+    )
+    q.awaitTermination()
+
+
+def test_stream_encode_equals_batch_encode_across_restart(
+    spark, sf_dir, tmp_path
+):
+    emb, cents, books = _geometry(spark, sf_dir)
+    drop = str(tmp_path / "drop")
+    index_dir = str(tmp_path / "index")
+    drift_dir = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+
+    # two drops split mid-corpus; drain, stop, drop more, restart
+    emb.filter(F.col("vec_id") % 3 == 0).write.mode("append").parquet(drop)
+    _drain(spark, drop, emb.schema, index_dir, drift_dir, ckpt, cents, books)
+    emb.filter(F.col("vec_id") % 3 != 0).write.mode("append").parquet(drop)
+    _drain(spark, drop, emb.schema, index_dir, drift_dir, ckpt, cents, books)
+
+    got = {
+        r["vec_id"]: (
+            r["cell"],
+            r["code_0"],
+            r["code_1"],
+            r["code_2"],
+            r["code_3"],
+        )
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    want = {
+        r["vec_id"]: (
+            r["cell"],
+            r["code_0"],
+            r["code_1"],
+            r["code_2"],
+            r["code_3"],
+        )
+        for r in encode_against_index(emb, cents, books).collect()
+    }
+    assert got == want  # stream == one-shot batch encode, no seam
+
+    # replay with the same checkpoint and no new files: no new rows
+    n = spark.read.parquet(index_dir).count()
+    _drain(spark, drop, emb.schema, index_dir, drift_dir, ckpt, cents, books)
+    assert spark.read.parquet(index_dir).count() == n == len(want)
+
+    # each batch journaled one drift row with coherent running totals
+    drift = {
+        r["batch_id"]: r for r in spark.read.parquet(drift_dir).collect()
+    }
+    assert len(drift) == 2
+    assert drift[1]["index_rows"] == len(want)
+    assert drift[0]["index_rows"] == drift[0]["batch_rows"]
+
+
+def test_streamed_index_serves_searches(spark, sf_dir, tmp_path):
+    """The accumulated per-batch index is directly servable as
+    topk_ivf_pq's corpus_index — identical ranks to the batch index."""
+    emb, cents, books = _geometry(spark, sf_dir)
+    drop = str(tmp_path / "drop")
+    index_dir = str(tmp_path / "index")
+    emb.write.mode("append").parquet(drop)
+    _drain(
+        spark,
+        drop,
+        emb.schema,
+        index_dir,
+        str(tmp_path / "drift"),
+        str(tmp_path / "ckpt"),
+        cents,
+        books,
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    streamed = spark.read.parquet(index_dir).drop("batch")
+    got = ivf.topk_ivf_pq(
+        queries, emb, cents, books, k=3, nprobe=2, corpus_index=streamed
+    ).collect()
+    want = ivf.topk_ivf_pq(queries, emb, cents, books, k=3, nprobe=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_drift_census_threshold_pins(spark, tmp_path):
+    """The retrain rule fires exactly at the X113 thresholds: a hot
+    cell past load_warn_x100, or any empty cell."""
+    hot = str(tmp_path / "hot")
+    spark.createDataFrame(
+        [(i, 0) for i in range(30)] + [(100 + c, c) for c in range(1, 4)],
+        "vec_id long, cell int",
+    ).write.parquet(hot)
+    # 33 vecs over k=4: cell 0 holds 30 -> load 30*100*4//33 = 363
+    stats = index_drift_census(spark, hot, k_cells=4, load_warn_x100=300)
+    assert stats["retrain"] and stats["max_load_x100"] == 363
+    assert stats["n_empty_cells"] == 0
+
+    balanced = str(tmp_path / "balanced")
+    spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "vec_id long, cell int"
+    ).write.parquet(balanced)
+    stats = index_drift_census(spark, balanced, k_cells=4, load_warn_x100=300)
+    assert stats == {
+        "n_vecs": 40,
+        "max_load_x100": 100,
+        "n_empty_cells": 0,
+        "retrain": False,
+    }
+
+    dead = str(tmp_path / "dead")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "vec_id long, cell int"
+    ).write.parquet(dead)
+    stats = index_drift_census(spark, dead, k_cells=4, load_warn_x100=300)
+    assert stats["retrain"] and stats["n_empty_cells"] == 1
