@@ -331,6 +331,15 @@ HEADLINE = [
     "text_bpe_encode",
     # r11: X163 temperature mixture design (one source window)
     "sample_temperature_mix",
+    # r12 wave (X164-X166): the ANN index-lifecycle queries — the
+    # truncation-recall census prices IVF indexes at four prefix
+    # widths (trains all four inline), the drift census is the batch
+    # twin of the streaming maintenance trigger, and the residual
+    # IVF-PQ line INCLUDES its one-per-session residual encode build
+    # (the _rpq_index memo)
+    "similarity_truncation_recall_ivf",
+    "similarity_ivf_drift_census",
+    "similarity_topk_ivfpq_residual",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

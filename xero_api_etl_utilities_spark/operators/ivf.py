@@ -257,6 +257,80 @@ def _probe_tables(
     return probes, tables
 
 
+def _probe_tables_residual(
+    qv: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    ds: int,
+) -> list[tuple[int, list[list[float]]]]:
+    """Residual-encoding twin of :func:`_probe_tables` (Jégou et al.'s
+    IVFADC): the index stores codes of the RESIDUAL r = v − c(cell),
+    so the query's distance tables must be built per probed cell from
+    q − c(cell), not from q.  Returns [(cell, tables)] in probe order.
+    Same explicit left-to-right float64 sums as _probe_tables so the
+    oracle's fixed-association SQL is bit-identical; the residual
+    element is (q_d − c_d) − y_d with the same association the SQL
+    spells out."""
+    dots = []
+    for i, c in enumerate(centroids):
+        d = 0.0
+        for a, b in zip(qv, c):
+            d += a * b
+        dots.append((d, i))
+    probes = [cell for _, cell in sorted(dots)[::-1][:nprobe]]
+    out = []
+    for cell in probes:
+        cent = centroids[cell]
+        rq = [a - b for a, b in zip(qv, cent)]
+        tables = []
+        for s, book in enumerate(codebooks):
+            sub = rq[s * ds : (s + 1) * ds]
+            tab = []
+            for c in book:
+                acc = 0.0
+                for a, b in zip(sub, c):
+                    t = a - b
+                    acc += t * t
+                tab.append(acc)
+            tables.append(tab)
+        out.append((cell, tables))
+    return out
+
+
+def encode_ivfpq_residual(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-encoded IVF-PQ index rows (id, cell, code_0..m−1):
+    assign the nearest cell, subtract its centroid element-wise, and
+    PQ-encode the residual.  Residuals concentrate around the origin
+    (the centroid has absorbed the coarse structure), so the same
+    k-per-subspace codebook budget spends its resolution on a much
+    tighter distribution — the standard FAISS IVFADC accuracy upgrade
+    over raw-vector PQ at identical index bytes.  Pure column math:
+    the chosen centroid is one ``element_at`` into an inlined
+    array-of-arrays literal, the residual a ``zip_with`` — zero
+    shuffle beyond the id join of cells to codes."""
+    from xero_api_etl_utilities_spark.operators.quantize import pq_codes
+
+    assigned = assign_cells(corpus, centroids, vec_col, 1)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    rv = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cent_arr, F.col("cell") + 1),
+        lambda a, b: a - b,
+    )
+    with_res = assigned.withColumn("_rv", rv)
+    codes = pq_codes(with_res, id_col, "_rv", codebooks)
+    return with_res.select(id_col, "cell").join(codes, id_col)
+
+
 def _query_tables_distributed(
     queries: DataFrame,
     id_col: str,
@@ -264,13 +338,15 @@ def _query_tables_distributed(
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
     nprobe: int,
+    residual: bool = False,
 ) -> DataFrame:
     """Distance-table build as an executor-side stage: one output row
     per (query, probe cell) with the m ADC tables as array<double>
     columns. Centroids/codebooks ride the task closure (k·dim floats —
     kilobytes). This is the >10k-queries path: table build is
     embarrassingly parallel over the query frame, and nothing is
-    collected to the driver."""
+    collected to the driver.  ``residual`` switches to the per-cell
+    residual tables (:func:`_probe_tables_residual`)."""
     from collections.abc import Iterator
 
     from pyspark.sql import types as T
@@ -296,9 +372,17 @@ def _query_tables_distributed(
             rows = []
             for qid, vec in zip(pdf[id_col], pdf[vec_col]):
                 qv = [float(x) for x in vec]
-                probes, tables = _probe_tables(qv, centroids, codebooks, nprobe, ds)
-                for cell in probes:
-                    rows.append((qid, cell, *tables))
+                if residual:
+                    for cell, tables in _probe_tables_residual(
+                        qv, centroids, codebooks, nprobe, ds
+                    ):
+                        rows.append((qid, cell, *tables))
+                else:
+                    probes, tables = _probe_tables(
+                        qv, centroids, codebooks, nprobe, ds
+                    )
+                    for cell in probes:
+                        rows.append((qid, cell, *tables))
             yield pd.DataFrame(
                 rows, columns=["query_id", "cell", *[f"_t{s}" for s in range(m)]]
             )
@@ -319,6 +403,7 @@ def topk_ivf_pq(
     corpus_index: DataFrame | None = None,
     force_distributed: bool = False,
     rerank: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ search with asymmetric distance (ADC) — the full FAISS
     IVFPQ recipe: candidates from the query's nprobe cells, scored
@@ -351,8 +436,14 @@ def topk_ivf_pq(
     if corpus_index is not None:
         # the fully-materialized (id, cell, codes) index: searches pay
         # only query-side cost — built once, served many, the actual
-        # production deployment shape
+        # production deployment shape.  With ``residual`` the caller
+        # must hand a RESIDUAL-encoded index (encode_ivfpq_residual);
+        # codes and tables must agree on the encoding space.
         index = corpus_index.withColumnRenamed(id_col, "neighbor_id")
+    elif residual:
+        index = encode_ivfpq_residual(
+            corpus, centroids, codebooks, id_col, vec_col
+        ).withColumnRenamed(id_col, "neighbor_id")
     else:
         cells = assign_cells(corpus, centroids, vec_col, 1).select(id_col, "cell")
         codes = (
@@ -377,7 +468,7 @@ def topk_ivf_pq(
         # than the index side; the cell equi-join shuffles it instead,
         # and AQE still broadcasts when it turns out small).
         cq = _query_tables_distributed(
-            queries, id_col, vec_col, centroids, codebooks, nprobe
+            queries, id_col, vec_col, centroids, codebooks, nprobe, residual
         )
         broadcast_tables = False
     else:
@@ -385,6 +476,12 @@ def topk_ivf_pq(
         table_rows = []
         for r in qrows:
             qid, qv = r[0], [float(x) for x in r[1]]
+            if residual:
+                for cell, tables in _probe_tables_residual(
+                    qv, centroids, codebooks, nprobe, ds
+                ):
+                    table_rows.append((qid, cell, *tables))
+                continue
             probes, tables = _probe_tables(qv, centroids, codebooks, nprobe, ds)
             for cell in probes:
                 table_rows.append((qid, cell, *tables))

@@ -93,12 +93,22 @@ def train_pq_codebooks_from_parquet(
     iters: int = 4,
     sample: int = 1000,
     seed: int = 7,
+    residual_centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train ``m`` per-subspace codebooks of ``k`` centroids each from
     the first ``sample`` rows ordered by id (same determinism contract
     as ivf.train_centroids_from_parquet): codebooks are tiny
     (m·k·(dim/m) floats), training is driver-side on a bounded sample
-    — the standard PQ recipe; encoding is the distributed part."""
+    — the standard PQ recipe; encoding is the distributed part.
+
+    ``residual_centroids`` switches to RESIDUAL training (the FAISS
+    IVFADC recipe, Jégou et al.): each sampled vector is replaced by
+    v − c(cell) for its nearest IVF centroid before the per-subspace
+    k-means, so the codebooks model the residual distribution instead
+    of the raw one.  The nearest-cell rule mirrors
+    ``ivf.assign_cells`` exactly — max dot product, ties to the LARGER
+    cell id (the reverse(array_sort) order) — with the same explicit
+    left-to-right float64 dot the probe-table builders use."""
     import pyarrow.parquet as pq
 
     tb = pq.read_table(path, columns=[id_col, vec_col])
@@ -106,6 +116,21 @@ def train_pq_codebooks_from_parquet(
     raw = tb.column(vec_col).to_pylist()
     order = sorted(range(len(ids)), key=lambda i: ids[i])[:sample]
     vecs = [[float(v) for v in raw[i]] for i in order]
+    if residual_centroids is not None:
+        cents = residual_centroids
+
+        def _dot(v: list[float], c: list[float]) -> float:
+            d = 0.0
+            for a, b in zip(v, c):
+                d += a * b
+            return d
+
+        res = []
+        for v in vecs:
+            dots = [_dot(v, c) for c in cents]
+            cell = max(range(len(cents)), key=lambda i: (dots[i], i))
+            res.append([a - b for a, b in zip(v, cents[cell])])
+        vecs = res
     dim = len(vecs[0])
     ds = dim // m
     books = []

@@ -27,35 +27,89 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r11 WINDOW (slots 1-50).  Composition, per the written r11
-    # rotation plan (VERDICT r10 "Next round" item 1): (a) r10 had
-    # ZERO reds, so the r11 wave's new registrations plus the one
-    # behavior-changed query (similarity_topk_mips — corpus-norm
-    # tie-exactness fix) go first, (b) ALL 30 names whose newest
-    # driver row is still r3 (zero the staleness backlog — every
-    # catalog name then has a driver row >= r4), leading with the
-    # three displaced by late-r10 registrations, (c) pad the window
-    # with the oldest remaining rows (newest driver row = r5),
-    # load-bearing TPC-H / graph / sketch names first.  Unregistered
-    # names are ignored, so planned-but-unlanded r11 queries can be
-    # listed before their module lands.
+    # r12 WINDOW (slots 1-50).  Composition, per the written r12
+    # rotation plan (VERDICT r11 "Next round" item 2): (a) r11 had
+    # ZERO reds, so the r12 wave's new registrations (X164-X166) plus
+    # the two behavior-changed queries (pipeline_corpus_clean /
+    # pipeline_curation_report — the near-dup stage now rides the
+    # shared full-corpus _verified_pairs substrate, oracles updated to
+    # the both-survivor restriction) go first, (b) ALL 22 names whose
+    # newest driver row is still r5 (zeroes the r5 staleness tail —
+    # every catalog name then has a driver row >= r6), (c) pad to 50
+    # with 23 of the 45 r6-only names, load-bearing TPC-H / CDC /
+    # retrieval names first.  Unregistered names are ignored, so
+    # planned-but-unlanded r12 queries can be listed before their
+    # module lands.
     #
-    # r12 ROTATION PLAN (write it while the context is fresh): (a)
-    # any r11 reds to the TOP, (b) the r12 wave + behavior-changed
-    # queries, (c) the ~19 remaining r5-only names that did not fit
-    # this round's fold (q12_shipmode_priority pad order continues:
-    # agg_kmv_distinct/overlap, basket_brand_rules/triples,
-    # dedup_prefix_filter_pairs, diag_join_size_estimate,
-    # diag_key_skew, events_clamped_balance, events_session_window,
-    # events_trailing_7d_distinct(+_approx), layout_shard_moves,
-    # layout_zorder_stats, multimodal_audio_features,
-    # nested_invoice_stats, pipeline_training_corpus,
-    # profile_orders_approx, sample_negative_pairs,
-    # text_bigram_novelty, plus text_retrieve_rerank,
-    # join_bloom_pruned, and join_asof_tolerance — displaced below
-    # this round's fold by the late X161-X163 registrations), (d) pad
-    # with the oldest r6 rows.
-    # --- (a) r11 new registrations + r11 behavior changes ---
+    # r13 ROTATION PLAN (write it while the context is fresh): (a)
+    # any r12 reds to the TOP, (b) the r13 wave + behavior-changed
+    # queries, (c) the 22 remaining r6-only names that did not fit
+    # this round's fold (doc_pack_chunks, diag_distribution_drift,
+    # events_bounce_rate, events_burstiness, events_changepoint,
+    # events_daily_anomalies, events_daily_trend,
+    # events_decayed_type_scores, events_json_props,
+    # events_pivot_daily, events_position_attribution,
+    # events_seq_pairs, events_stickiness, events_time_to_convert,
+    # events_user_accumulation, events_user_diversity,
+    # events_weekday_seasonality, text_boilerplate_shingles,
+    # text_hashing_features, text_posting_lists, text_rarity,
+    # text_top_terms_per_doc), (d) pad with the oldest r8 rows.
+    # --- (a) r12 new registrations (X164-X166) ---
+    "similarity_truncation_recall_ivf",
+    "similarity_ivf_drift_census",
+    "similarity_topk_ivfpq_residual",
+    # --- (a') r12 behavior-changed (shared-substrate pipeline shave) ---
+    "pipeline_corpus_clean",
+    "pipeline_curation_report",
+    # --- (b) ALL 22 r5-only names (zero the r5 staleness tail) ---
+    "agg_kmv_distinct",
+    "agg_kmv_overlap",
+    "basket_brand_rules",
+    "basket_brand_triples",
+    "dedup_prefix_filter_pairs",
+    "diag_join_size_estimate",
+    "diag_key_skew",
+    "events_clamped_balance",
+    "events_session_window",
+    "events_trailing_7d_distinct",
+    "events_trailing_7d_distinct_approx",
+    "join_asof_tolerance",
+    "join_bloom_pruned",
+    "layout_shard_moves",
+    "layout_zorder_stats",
+    "multimodal_audio_features",
+    "nested_invoice_stats",
+    "pipeline_training_corpus",
+    "profile_orders_approx",
+    "sample_negative_pairs",
+    "text_bigram_novelty",
+    "text_retrieve_rerank",
+    # --- (c) 23 r6 pads, load-bearing TPC-H / CDC / retrieval first ---
+    "q21_suppliers_kept_waiting",
+    "merge_scd2_history",
+    "join_point_in_time",
+    "split_leakage_safe",
+    "text_bm25_topk",
+    "text_gopher_rules",
+    "similarity_topk_ivfpq_rerank",
+    "similarity_topk_ivfpq_dist",
+    "decontaminate_ngrams",
+    "dedup_lsh_quality",
+    "sample_epoch_shuffle",
+    "sample_stratified",
+    "set_customer_segments",
+    "join_above_avg",
+    "window_interval_coalesce",
+    "window_distribution_ranks",
+    "layout_zonemap_prune",
+    "replica_bucket_diff",
+    "multimodal_video_meta",
+    "agg_value_variance_exact",
+    "agg_mad_outliers",
+    "diag_referential_integrity",
+    "diag_data_contract",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r11 window names (all green r11; kept high for visibility)
     "corr_argmin_multiway",
     "corr_having_global_share",
     "corr_notin_countdistinct",
@@ -370,6 +424,7 @@ def _load_extra_modules() -> None:
         wave9,
         wave10,
         wave11,
+        wave12,
     )
 
 

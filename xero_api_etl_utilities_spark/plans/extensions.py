@@ -517,23 +517,41 @@ def _pipeline_stages(spark: SparkSession, sf_dir: str):
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
-        # surv feeds three consumers (signatures, verify shingle sets,
-        # the final anti-join): materialize once instead of re-running
-        # the quality gate + digest dedup per branch
+        # surv feeds two consumers (the pair restriction and the final
+        # anti-join): materialize once instead of re-running the
+        # quality gate + digest dedup per branch
         surv = q.join(surv_ids, "doc_id").localCheckpoint()
-        # survivor signatures = the memoized full-corpus sketch
-        # semi-joined to survivor ids (signatures are pure per-doc
-        # functions of the text, so this is EXACTLY sigs(surv) with
-        # zero re-shingling — VERDICT r10 item 5)
-        from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
+        # Near-dup pruning = the FULL-CORPUS verified-pair substrate
+        # (corpus_ops._verified_pairs — LSH candidates + exact-Jaccard
+        # verify, built ONCE per session for the whole dedup family)
+        # restricted to pairs whose both ends survived the quality
+        # gate + exact dedup.  Before r12 the pipeline re-ran its own
+        # candidates+verify over survivor signatures — a second full
+        # LSH+verify per session for a pair set that differs from the
+        # substrate's only through the stop-bucket cap (a full-corpus
+        # bucket over the cap whose survivor subset fits under it),
+        # which is the better rule anyway: the cap exists to bound
+        # degenerate buckets, and a bucket degenerate pre-dedup stays
+        # excluded rather than resurfacing post-dedup.  The oracle
+        # (sketch_oracles.corpus_clean_oracle) replays this exact
+        # composition, so the semantics stay hash-pinned.
+        from xero_api_etl_utilities_spark.plans.corpus_ops import (
+            _verified_pairs,
+        )
 
-        sigs = minhash_sigs(spark, sf_dir).join(
-            surv.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+        pairs = (
+            _verified_pairs(spark, sf_dir)
+            .join(
+                surv.select(F.col("doc_id").alias("doc_a")),
+                "doc_a",
+                "left_semi",
+            )
+            .join(
+                surv.select(F.col("doc_id").alias("doc_b")),
+                "doc_b",
+                "left_semi",
+            )
         )
-        cands = dd.minhash_lsh_candidates(
-            sigs, bands=16, rows_per_band=4, max_bucket=500
-        )
-        pairs = dd.jaccard_verify(cands, surv, "doc_id", "text", n=1)
         near_dups = (
             pairs.select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
         )
@@ -611,7 +629,9 @@ def pipeline_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_report_oracle() -> str:
-    chain = sk.minhash_cand_ctes(source="surv", bands=16, rows_per_band=4)
+    # full-corpus candidate chain + both-survivor restriction — the
+    # r12 shared-substrate composition (see corpus_clean_oracle)
+    chain = sk.minhash_cand_ctes(bands=16, rows_per_band=4)
     return f"""
 WITH qdocs AS (
   SELECT doc_id, text, lang,
@@ -631,12 +651,17 @@ WITH qdocs AS (
 ), surv AS (
   SELECT q.doc_id, q.text, q.lang FROM q JOIN surv_ids USING (doc_id)
 ), {chain},
-{sk.jaccard_verify_ctes()}, counts AS (
+{sk.jaccard_verify_ctes()},
+survpairs AS (
+  SELECT v.doc_b FROM verified v
+  JOIN surv sa ON sa.doc_id = v.doc_a
+  JOIN surv sb ON sb.doc_id = v.doc_b
+), counts AS (
   SELECT (SELECT count(*) FROM documents) AS n_raw,
     (SELECT count(*) FROM q) AS n_q,
     (SELECT count(*) FROM surv) AS n_exact,
     (SELECT count(*) FROM surv s
-      LEFT JOIN (SELECT DISTINCT doc_b FROM verified) d ON s.doc_id = d.doc_b
+      LEFT JOIN (SELECT DISTINCT doc_b FROM survpairs) d ON s.doc_id = d.doc_b
       WHERE d.doc_b IS NULL) AS n_final
 ), funnel AS (
   SELECT 1 AS stage_no, 'raw' AS stage, n_raw AS n_docs,

@@ -419,8 +419,14 @@ def corpus_clean_oracle() -> str:
     one SQL statement. Near-dup pruning acts on VERIFIED pairs
     (exact Jaccard ≥ 0.7 within the recall-tuned candidate set), not
     raw candidates — pruning on candidates would drop ~45% false
-    positives' worth of good documents."""
-    chain = minhash_cand_ctes(source="surv", bands=16, rows_per_band=4)
+    positives' worth of good documents.
+
+    r12: the pair set is the FULL-CORPUS verified-pair chain
+    restricted to both-survivor pairs — the exact composition the
+    Spark side runs now that the pipeline rides the shared
+    _verified_pairs substrate (one LSH+verify per session) instead of
+    rebuilding candidates over survivor signatures."""
+    chain = minhash_cand_ctes(bands=16, rows_per_band=4)
     return f"""
 WITH qdocs AS (
   SELECT doc_id, text, lang,
@@ -440,10 +446,15 @@ WITH qdocs AS (
 ), surv AS (
   SELECT q.doc_id, q.text, q.lang FROM q JOIN surv_ids USING (doc_id)
 ), {chain},
-{jaccard_verify_ctes()}
+{jaccard_verify_ctes()},
+survpairs AS (
+  SELECT v.doc_b FROM verified v
+  JOIN surv sa ON sa.doc_id = v.doc_a
+  JOIN surv sb ON sb.doc_id = v.doc_b
+)
 SELECT s.doc_id, s.lang
 FROM surv s
-LEFT JOIN (SELECT DISTINCT doc_b FROM verified) d ON s.doc_id = d.doc_b
+LEFT JOIN (SELECT DISTINCT doc_b FROM survpairs) d ON s.doc_id = d.doc_b
 WHERE d.doc_b IS NULL
 """
 
