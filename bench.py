@@ -340,6 +340,11 @@ HEADLINE = [
     "similarity_truncation_recall_ivf",
     "similarity_ivf_drift_census",
     "similarity_topk_ivfpq_residual",
+    # r12 mid-round (X167-X168): the retrain-delta census (trains the
+    # old corpus-only + new full geometries inline) and the negated
+    # funnel pattern (one user-keyed fold, no join)
+    "similarity_ivf_retrain_delta",
+    "events_funnel_exclusion",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

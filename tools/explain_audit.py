@@ -800,6 +800,44 @@ CHECKS = {
         ("two branch scans, no third for the prefix", lambda p: p.count("Location: InMemoryFileIndex") <= 2),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    # r12: X164 — per-width IVF search over truncated vectors; the
+    # ground-truth pass is the 20-query guard-caged brute force (BNLJ
+    # expected there, as in X162); everything index-side must stay
+    # equi-join and only the 1-row total may merge single-partition
+    "similarity_truncation_recall_ivf": [
+        ("index candidates via equi-join, never SMJ", lambda p: "SortMergeJoin" not in p),
+        ("only the 1-row total merges single-partition", lambda p: p.count("SinglePartition") <= 1 and "CartesianProduct" not in p),
+        ("no Python evaluator", lambda p: "EvalPython" not in p),
+    ],
+    # r12: X165 — two zero-shuffle assignment projections + 16-cell
+    # aggregates; the only nested-loops are the two 1-row broadcast
+    # totals, the only single-partition merges their 1-row aggs
+    "similarity_ivf_drift_census": [
+        ("assignment never joins (inlined literals)", lambda p: "SortMergeJoin" not in p and "CartesianProduct" not in p),
+        ("only the two 1-row totals merge single-partition", lambda p: p.count("SinglePartition") <= 2),
+        ("no Python evaluator", lambda p: "EvalPython" not in p),
+    ],
+    # r12: X166 — residual ADC search: candidates from ONE cell
+    # equi-join over the checkpointed code index; corpus float vectors
+    # never reach the scoring join
+    "similarity_topk_ivfpq_residual": [
+        ("code-only scoring, no nested loop", lambda p: "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p and "EvalPython" not in p),
+        ("searches the checkpointed code index", lambda p: "Scan ExistingRDD" in p),
+        ("no SMJ, no single partition", lambda p: "SortMergeJoin" not in p and "SinglePartition" not in p),
+    ],
+    # r12: X167 — both geometries ride inlined-literal argmax
+    # projections; the 16-row join-backs broadcast; nothing global
+    "similarity_ivf_retrain_delta": [
+        ("census join-backs broadcast", lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("no cartesian/nested-loop/single-partition", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "SinglePartition" not in p),
+        ("no Python evaluator", lambda p: "EvalPython" not in p),
+    ],
+    # r12: X168 — ONE user-keyed shuffle + an in-row ordered fold; the
+    # negated middle term never becomes a join or a second window
+    "events_funnel_exclusion": [
+        ("one user-keyed aggregation, no join anywhere", lambda p: "hashpartitioning(user_id" in p and "Join" not in p),
+        ("no single partition, no Python evaluator", lambda p: "SinglePartition" not in p and "EvalPython" not in p),
+    ],
 }
 
 

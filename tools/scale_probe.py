@@ -185,6 +185,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument(
+        "--limit", type=int, default=0,
+        help="run at most N not-yet-journaled entries this invocation "
+        "(0 = no limit); lets a wrapper loop recycle the JVM across a "
+        "full-catalog sweep the way full_gate --batch does",
+    )
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--dir", default=os.path.join(
         REPO, "spark-warehouse", "sf_probe_x10"))
@@ -218,6 +224,15 @@ def main() -> int:
         n for n, _ in sorted(detail.items(), key=lambda x: -x[1])
         if n not in bounded
     ]
+    # catalog entries BENCH_DETAIL has never timed (fresh this-round
+    # registrations) still belong in a FULL-catalog probe — append
+    # them after the ranked cost head so --top 9999 covers everything
+    ranked += [n for n in qs if n not in detail and n not in bounded]
+    skipped_bounded = sorted(n for n in qs if n in bounded)
+    if skipped_bounded:
+        print(f"bounded-sf exactness baselines skipped by design "
+              f"({len(skipped_bounded)}): {', '.join(skipped_bounded)}",
+              flush=True)
     targets = ranked[: args.top]
 
     # substrate builds execute eagerly through their memo functions
@@ -253,10 +268,19 @@ def main() -> int:
                     done_at_commit.add(rec["name"])
 
     failures = 0
+    ran = 0
     for name in ordered:
         if name in done_at_commit:
             print(f"skip {name} (journaled at {cur_commit})", flush=True)
             continue
+        if args.limit and ran >= args.limit:
+            remaining = sum(
+                1 for n in ordered if n not in done_at_commit
+            ) - ran
+            print(f"--limit {args.limit} reached; {remaining} entries "
+                  f"left for the next invocation", flush=True)
+            break
+        ran += 1
         rec = {"name": name, "commit": cur_commit, "factor": args.factor}
         sub = _substrate(name)
         try:

@@ -54,10 +54,13 @@ _WINDOW_PRIORITY: list[str] = [
     # events_weekday_seasonality, text_boilerplate_shingles,
     # text_hashing_features, text_posting_lists, text_rarity,
     # text_top_terms_per_doc), (d) pad with the oldest r8 rows.
-    # --- (a) r12 new registrations (X164-X166) ---
+    # --- (a) r12 new registrations (X164-X168; X167/X168 landed
+    # mid-round, displacing the last two r6 pads below the fold) ---
     "similarity_truncation_recall_ivf",
     "similarity_ivf_drift_census",
     "similarity_topk_ivfpq_residual",
+    "similarity_ivf_retrain_delta",
+    "events_funnel_exclusion",
     # --- (a') r12 behavior-changed (shared-substrate pipeline shave) ---
     "pipeline_corpus_clean",
     "pipeline_curation_report",

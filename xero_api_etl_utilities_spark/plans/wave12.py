@@ -509,3 +509,275 @@ register(
     similarity_topk_ivfpq_residual,
     _ivfpq_residual_oracle,
 )
+
+
+# ---------------------------------------------------------------------------
+# X167: retrain delta census — the "what does acting on the drift flag buy"
+# ---------------------------------------------------------------------------
+
+
+def _split_cents_from_parquet(sf_dir: str, corpus_only: bool) -> list[list[float]]:
+    """Pyarrow twin of the X167 trainings: the first _IVF_SAMPLE rows
+    by vec_id — over the indexed corpus (vec_id % 5 != 4) for the OLD
+    geometry, over the full table for the NEW one — through the shared
+    k-means core, bit-identical to train_centroids over the same
+    DataFrame filter."""
+    import pyarrow.parquet as pq
+
+    from xero_api_etl_utilities_spark.operators.ivf import _kmeans_unit
+
+    tb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = tb.column("vec_id").to_pylist()
+    raw = tb.column("embedding").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    if corpus_only:
+        order = [i for i in order if ids[i] % 5 != 4]
+    vecs = [[float(v) for v in raw[i]] for i in order[:_IVF_SAMPLE]]
+    return _kmeans_unit(vecs, _K_CELLS, _IVF_ITERS, 11)
+
+
+def similarity_ivf_retrain_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167: the retrain DELTA census — the third act of the ANN
+    lifecycle wave.  X165 flags drift under the frozen geometry; this
+    query prices the retrain the flag asks for: centroids re-trained
+    on the full table (indexed corpus + arrivals, same sample recipe)
+    against the OLD corpus-only geometry, and per OLD cell: how many
+    vectors it held (n_before), how many the retrained geometry puts
+    in the same cell id (n_after), how many of its members MOVED to a
+    different cell (moved_out), and the churn rate in rounded bp.
+    Reassignment churn is the real cost of acting on the drift flag —
+    every moved vector is an index-build write at 100 TB — so the
+    scheduler weighs churn_bp against the hot-cell imbalance X165
+    reported.
+
+    Shape: both assignments ride ONE zero-shuffle scan projection
+    (two inlined-literal argmax expressions per row, no join between
+    geometries), then two 16-row aggregates and a k-row range
+    completion.  Corpus-linear, no window, no data collect; at 100 TB
+    the projection is the same map-only pass the index rebuild itself
+    performs.  Integer bp division is the repo's exact
+    round-half-up convention (cross-engine safe)."""
+    from xero_api_etl_utilities_spark.operators import ivf
+    from xero_api_etl_utilities_spark.operators.ivf import _centroid_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    old = ivf.train_centroids(
+        corpus, k=_K_CELLS, iters=_IVF_ITERS, sample=_IVF_SAMPLE
+    )
+    new = ivf.train_centroids(
+        emb, k=_K_CELLS, iters=_IVF_ITERS, sample=_IVF_SAMPLE
+    )
+
+    def top1(cents):
+        scored = F.reverse(F.array_sort(_centroid_scores(F.col("embedding"), cents)))
+        return scored[0]["cell"]
+
+    both = emb.select(
+        top1(old).alias("old_cell"), top1(new).alias("new_cell")
+    )
+    before = both.groupBy("old_cell").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(
+            F.when(F.col("new_cell") != F.col("old_cell"), 1).otherwise(0)
+        ).alias("moved_out"),
+    )
+    after = both.groupBy("new_cell").agg(F.count(F.lit(1)).alias("n_after"))
+    cells = spark.range(_K_CELLS).select(F.col("id").cast("int").alias("cell"))
+    return (
+        cells.join(F.broadcast(before), cells.cell == before.old_cell, "left")
+        .join(F.broadcast(after), cells.cell == after.new_cell, "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_before"), F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce(F.col("moved_out"), F.lit(0)).cast("bigint").alias("moved_out"),
+            F.expr(
+                "CASE WHEN coalesce(n_before, 0) = 0 THEN 0 ELSE "
+                "(20000 * moved_out + n_before) div (2 * n_before) END"
+            ).cast("bigint").alias("churn_bp"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _retrain_delta_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans.sketch_oracles import _vec_lit
+
+    sf_dir = _oracle_sf_dir()
+
+    def cell1(cents) -> str:
+        structs = ", ".join(
+            f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+            for i, c in enumerate(cents)
+        )
+        return (
+            f"(list_transform(list_reverse(list_sort([{structs}])),"
+            f" s -> s.cell))[1]"
+        )
+
+    old1 = cell1(_split_cents_from_parquet(sf_dir, corpus_only=True))
+    new1 = cell1(_split_cents_from_parquet(sf_dir, corpus_only=False))
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a AS (
+  SELECT {old1} AS old_cell, {new1} AS new_cell FROM e
+), b AS (
+  SELECT old_cell AS cell, count(*)::BIGINT AS n_before,
+         sum(CASE WHEN new_cell <> old_cell THEN 1 ELSE 0 END)::BIGINT
+           AS moved_out
+  FROM a GROUP BY 1
+), c AS (
+  SELECT new_cell AS cell, count(*)::BIGINT AS n_after FROM a GROUP BY 1
+)
+SELECT CAST(r.range AS INT) AS cell,
+  coalesce(b.n_before, 0)::BIGINT AS n_before,
+  coalesce(c.n_after, 0)::BIGINT AS n_after,
+  coalesce(b.moved_out, 0)::BIGINT AS moved_out,
+  CAST(CASE WHEN coalesce(b.n_before, 0) = 0 THEN 0 ELSE
+    (20000 * b.moved_out + b.n_before) // (2 * b.n_before) END AS BIGINT)
+    AS churn_bp
+FROM range({_K_CELLS}) r
+LEFT JOIN b ON b.cell = r.range
+LEFT JOIN c ON c.cell = r.range
+ORDER BY cell
+"""
+
+
+register(
+    "similarity_ivf_retrain_delta",
+    similarity_ivf_retrain_delta,
+    _retrain_delta_oracle,
+)
+
+
+# ---------------------------------------------------------------------------
+# X168: funnel with NEGATION — view→purchase within 7 days, no error between
+# ---------------------------------------------------------------------------
+
+
+def events_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168: MATCH_RECOGNIZE-style sequence pattern with an EXCLUSION
+    term — per user, a purchase CONVERTS when (a) a view precedes it,
+    (b) the purchase lands within 7 days of the LATEST such view, and
+    (c) no error event falls strictly between that view and the
+    purchase.  The existing funnel family (events_funnel,
+    events_top_paths) covers positive progressions; the negated
+    middle term is the shape ANSI row-pattern matching exists for
+    (A B* C with B excluded), re-expressed here without any engine
+    extension.
+
+    Spark-first shape: ONE shuffle (groupBy user) + an ordered
+    linear-time fold over each user's event array tracking the last
+    view and last error as (ts, event_id) structs — the exclusion test
+    is one lexicographic struct compare (last_error < last_view), so
+    ties at identical timestamps resolve identically in both engines
+    via the event_id tiebreak.  The oracle runs the window-function
+    formulation (row_number sequencing + two running maxes + a
+    join-back for the view timestamp); both provably classify each
+    purchase identically.  Per-user event counts are bounded
+    (sessionized upstream), so the collected arrays stay small; at
+    100 TB this is the same one-pass-per-user shape the stateful
+    streaming sessionizer runs incrementally."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    pair_t = "struct<ts:timestamp_ntz,id:bigint>"
+
+    def mark(e):
+        return F.struct(e["ts"].alias("ts"), e["event_id"].alias("id"))
+
+    def repack(acc, lv=None, le=None, np=None, nc=None, fc=None):
+        return F.struct(
+            (lv if lv is not None else acc["lv"]).alias("lv"),
+            (le if le is not None else acc["le"]).alias("le"),
+            (np if np is not None else acc["np"]).alias("np"),
+            (nc if nc is not None else acc["nc"]).alias("nc"),
+            (fc if fc is not None else acc["fc"]).alias("fc"),
+        )
+
+    def step(acc, e):
+        converts = (
+            acc["lv"].isNotNull()
+            & (e["ts"] <= acc["lv"]["ts"] + F.expr("INTERVAL 7 DAYS"))
+            & (acc["le"].isNull() | (acc["le"] < acc["lv"]))
+        )
+        return (
+            F.when(e["event_type"] == "view", repack(acc, lv=mark(e)))
+            .when(e["event_type"] == "error", repack(acc, le=mark(e)))
+            .when(
+                e["event_type"] == "purchase",
+                repack(
+                    acc,
+                    np=acc["np"] + F.lit(1).cast("bigint"),
+                    nc=acc["nc"]
+                    + F.when(converts, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+                    fc=F.when(
+                        converts & acc["fc"].isNull(), e["ts"]
+                    ).otherwise(acc["fc"]),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    init = F.struct(
+        F.lit(None).cast(pair_t).alias("lv"),
+        F.lit(None).cast(pair_t).alias("le"),
+        F.lit(0).cast("bigint").alias("np"),
+        F.lit(0).cast("bigint").alias("nc"),
+        F.lit(None).cast("timestamp_ntz").alias("fc"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.aggregate(arr, init, step).alias("f"))
+        .filter(F.col("f.np") > 0)
+        .select(
+            "user_id",
+            F.col("f.np").alias("n_purchases"),
+            F.col("f.nc").alias("n_converted"),
+            F.col("f.fc").alias("first_conversion_ts"),
+        )
+    )
+
+
+_FUNNEL_EXCLUSION_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), o AS (
+  SELECT user_id, ts, event_type, rn,
+         max(CASE WHEN event_type = 'view' THEN rn END) OVER w AS lv_rn,
+         max(CASE WHEN event_type = 'error' THEN rn END) OVER w AS le_rn
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), p AS (
+  SELECT o.user_id, o.ts,
+         (o.lv_rn IS NOT NULL
+          AND o.ts <= v.ts + INTERVAL 7 DAY
+          AND (o.le_rn IS NULL OR o.le_rn < o.lv_rn)) AS conv
+  FROM o
+  LEFT JOIN s v ON v.user_id = o.user_id AND v.rn = o.lv_rn
+  WHERE o.event_type = 'purchase'
+)
+SELECT user_id,
+  count(*)::BIGINT AS n_purchases,
+  sum(CASE WHEN conv THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+  min(CASE WHEN conv THEN ts END) AS first_conversion_ts
+FROM p
+GROUP BY user_id
+"""
+
+
+register(
+    "events_funnel_exclusion",
+    events_funnel_exclusion,
+    _FUNNEL_EXCLUSION_ORACLE,
+)
