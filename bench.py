@@ -345,6 +345,9 @@ HEADLINE = [
     # funnel pattern (one user-keyed fold, no join)
     "similarity_ivf_retrain_delta",
     "events_funnel_exclusion",
+    # r12 (X169): recall under frozen vs retrained geometry — trains
+    # both geometries + one 20-query truth pass inline
+    "similarity_ivf_retrain_recall",
     "embedding_dim_health",
     "dedup_pair_provenance",
     "similarity_ivf_cell_balance",

@@ -832,6 +832,14 @@ CHECKS = {
         ("no cartesian/nested-loop/single-partition", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p and "SinglePartition" not in p),
         ("no Python evaluator", lambda p: "EvalPython" not in p),
     ],
+    # r12: X169 — per-geometry IVF search (equi-join candidates); the
+    # truth pass is the 20-query guard-caged brute force as in X164;
+    # only the 1-row total merges single-partition
+    "similarity_ivf_retrain_recall": [
+        ("index candidates via equi-join, never SMJ", lambda p: "SortMergeJoin" not in p),
+        ("only the 1-row total merges single-partition", lambda p: p.count("SinglePartition") <= 1 and "CartesianProduct" not in p),
+        ("no Python evaluator", lambda p: "EvalPython" not in p),
+    ],
     # r12: X168 — ONE user-keyed shuffle + an in-row ordered fold; the
     # negated middle term never becomes a join or a second window
     "events_funnel_exclusion": [

@@ -194,6 +194,11 @@ def main() -> int:
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--dir", default=os.path.join(
         REPO, "spark-warehouse", "sf_probe_x10"))
+    ap.add_argument(
+        "names", nargs="*",
+        help="optional subset (late registrations probed individually, "
+        "the full_gate convention)",
+    )
     args = ap.parse_args()
 
     from xero_api_etl_utilities_spark.session import get_spark
@@ -254,6 +259,8 @@ def main() -> int:
     # substrates feed the targets — force the shared builds first so
     # attribution matches bench's accounting
     ordered = [n for n in ("dedup_sigs_build",) if n not in targets] + targets
+    if args.names:
+        ordered = [n for n in ordered if n in set(args.names)]
 
     done_at_commit = set()
     cur_commit = _commit()

@@ -61,6 +61,7 @@ _WINDOW_PRIORITY: list[str] = [
     "similarity_topk_ivfpq_residual",
     "similarity_ivf_retrain_delta",
     "events_funnel_exclusion",
+    "similarity_ivf_retrain_recall",
     # --- (a') r12 behavior-changed (shared-substrate pipeline shave) ---
     "pipeline_corpus_clean",
     "pipeline_curation_report",

@@ -781,3 +781,145 @@ register(
     events_funnel_exclusion,
     _FUNNEL_EXCLUSION_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# X169: retrain recall delta — the benefit side of the X167 churn cost
+# ---------------------------------------------------------------------------
+
+_RETRAIN_NPROBE = 2
+
+
+def similarity_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169: what the retrain BUYS — top-5 recall of the deployed IVF
+    index under the FROZEN corpus-only geometry vs the RETRAINED
+    full-table geometry, both searching the full vector set (arrivals
+    included, as the maintenance sink leaves it), both scored against
+    the same 20-query full-dimension exact truth.  Together with X165
+    (the drift flag) and X167 (the reassignment churn the retrain
+    costs), this closes the index-lifecycle decision table: retrain
+    when recall_bp(retrained) − recall_bp(frozen) justifies churn_bp.
+
+    Shape: X164's per-geometry search loop at full width — ONE
+    guard-caged brute-force truth pass, one ``ivf.topk_ivf`` per
+    geometry (broadcast probe frame → cell equi-join, never
+    all-pairs), membership semi-joins, the audited 1-row broadcast
+    total.  At 100 TB the census runs on a sampled query set
+    unchanged; the only corpus-sized work is each geometry's
+    zero-shuffle cell assignment."""
+    from xero_api_etl_utilities_spark.operators import ivf
+    from xero_api_etl_utilities_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    geoms = [
+        ("frozen", ivf.train_centroids(
+            corpus, k=_K_CELLS, iters=_IVF_ITERS, sample=_IVF_SAMPLE)),
+        ("retrained", ivf.train_centroids(
+            emb, k=_K_CELLS, iters=_IVF_ITERS, sample=_IVF_SAMPLE)),
+    ]
+    truth = sim.topk_bruteforce(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
+    ).select("query_id", "neighbor_id")
+
+    tagged = None
+    for gname, cents in geoms:
+        approx = ivf.topk_ivf(
+            emb.filter(F.col("vec_id") < 20),
+            emb,
+            cents,
+            k=5,
+            nprobe=_RETRAIN_NPROBE,
+        ).select("query_id", "neighbor_id")
+        m = truth.join(
+            F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi"
+        ).select(F.lit(gname).alias("geometry"))
+        tagged = m if tagged is None else tagged.unionByName(m)
+
+    total = truth.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tagged.groupBy("geometry")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("matched"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "geometry",
+            "matched",
+            F.col("total").cast("bigint").alias("total"),
+            F.expr(
+                "CAST((20000 * matched + total) div (2 * total) AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+        .orderBy("geometry")
+    )
+
+
+def _retrain_recall_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans.sketch_oracles import _vec_lit
+
+    sf_dir = _oracle_sf_dir()
+
+    def ivf_for(tag: str, cents) -> str:
+        structs = ", ".join(
+            f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+            for i, c in enumerate(cents)
+        )
+        cells = (
+            f"list_transform(list_reverse(list_sort([{structs}])), s -> s.cell)"
+        )
+        return f"""
+corpus_{tag} AS (
+  SELECT vec_id, v, ({cells})[1] AS cell FROM e
+), probes_{tag} AS (
+  SELECT vec_id, UNNEST(({cells})[1:{_RETRAIN_NPROBE}]) AS cell
+  FROM e WHERE vec_id < 20
+), a_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, neighbor_id ASC) AS rank
+    FROM (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(eq.v, c.v) AS s
+      FROM probes_{tag} p
+      JOIN corpus_{tag} c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+      JOIN e eq ON eq.vec_id = p.vec_id
+    )
+  ) WHERE rank <= 5
+)"""
+
+    old = ivf_for("frozen", _split_cents_from_parquet(sf_dir, corpus_only=True))
+    new = ivf_for(
+        "retrained", _split_cents_from_parquet(sf_dir, corpus_only=False)
+    )
+    matched = "\nUNION ALL ".join(
+        f"SELECT '{tag}' AS geometry, CAST(COUNT(*) AS BIGINT) AS matched"
+        f" FROM truth t JOIN a_{tag} a USING (query_id, neighbor_id)"
+        for tag in ("frozen", "retrained")
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                      c.vec_id ASC) AS rank
+    FROM (SELECT * FROM e WHERE vec_id < 20) q, e c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rank <= 5
+), {old}, {new},
+m AS ({matched}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM truth)
+SELECT geometry, matched, total,
+  CAST((20000 * matched + total) // (2 * total) AS BIGINT) AS recall_bp
+FROM m, tot
+ORDER BY geometry
+"""
+
+
+register(
+    "similarity_ivf_retrain_recall",
+    similarity_ivf_retrain_recall,
+    _retrain_recall_oracle,
+)
