@@ -266,3 +266,116 @@ def sessionize_stream_finalizing(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# negated-funnel stream: the X168 pattern with per-user state
+# ---------------------------------------------------------------------------
+
+FUNNEL_EXCL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("at_us", LongType(), False),
+        StructField("converted", LongType(), False),  # 0/1 (Arrow-stable)
+        StructField("n_purchases", LongType(), False),
+        StructField("n_converted", LongType(), False),
+        StructField("first_conversion_us", LongType(), False),  # -1 = none
+    ]
+)
+
+# per-user pattern state: last view / last error as (epoch-micros, id)
+# pairs (-1 sentinels = never seen) + the running purchase totals
+FUNNEL_EXCL_STATE = StructType(
+    [
+        StructField("lv_us", LongType(), False),
+        StructField("lv_id", LongType(), False),
+        StructField("le_us", LongType(), False),
+        StructField("le_id", LongType(), False),
+        StructField("np", LongType(), False),
+        StructField("nc", LongType(), False),
+        StructField("fc_us", LongType(), False),
+    ]
+)
+
+_EXCL_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _funnel_exclusion_fn():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        lv_us, lv_id, le_us, le_id, np_, nc, fc_us = (
+            state.get if state.exists else (-1, -1, -1, -1, 0, 0, -1)
+        )
+        out: list[tuple[int, ...]] = []
+        chunks = [pdf[["event_id", "ts", "event_type"]] for pdf in pdfs]
+        if chunks:
+            ev = pd.concat(chunks)
+            ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+            # (ts, event_id) order — the batch fold's struct sort, so
+            # same-timestamp ties resolve identically
+            ev = ev.sort_values(["ts_us", "event_id"])
+            for eid, t, et in zip(ev["event_id"], ev["ts_us"], ev["event_type"]):
+                eid, t = int(eid), int(t)
+                if et == "view":
+                    lv_us, lv_id = t, eid
+                elif et == "error":
+                    le_us, le_id = t, eid
+                elif et == "purchase":
+                    converts = (
+                        lv_us >= 0
+                        and t - lv_us <= _EXCL_WINDOW_US
+                        and (le_us < 0 or (le_us, le_id) < (lv_us, lv_id))
+                    )
+                    np_ += 1
+                    if converts:
+                        nc += 1
+                        if fc_us < 0:
+                            fc_us = t
+                    out.append(
+                        (user_id, eid, t, int(converts), np_, nc, fc_us)
+                    )
+        state.update((lv_us, lv_id, le_us, le_id, np_, nc, fc_us))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "event_id",
+                    "at_us",
+                    "converted",
+                    "n_purchases",
+                    "n_converted",
+                    "first_conversion_us",
+                ],
+            )
+
+    return fn
+
+
+def funnel_exclusion_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans/wave12.events_funnel_exclusion (X168):
+    the negated sequence pattern — purchase converts iff a view
+    precedes it within 7 days with no error strictly between — run
+    incrementally with the last-view/last-error pair and the running
+    totals in the per-user state store.  Each purchase EMITS its
+    classification plus the totals as of that purchase, so the final
+    row per user equals the batch query's row (the parity pytest pins
+    this on the generated events table, checkpoint-restart included).
+
+    Forward-only semantics, same caveat as funnel_stream: within a
+    batch events replay in (ts, event_id) order exactly like the
+    batch fold; a CROSS-batch late view/error predating an
+    already-classified purchase does not retro-classify it — the
+    real-time answer is monotone, the retroactive one is the batch
+    query's job.  State is O(1) per user (two pairs + three
+    counters), bounded regardless of stream length."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_exclusion_fn(),
+        outputStructType=FUNNEL_EXCL_OUTPUT,
+        stateStructType=FUNNEL_EXCL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
