@@ -558,6 +558,75 @@ def main() -> None:
         "graph_edges_build": _build_graph_edges,
     }
 
+    # ---- session recycling (VERDICT r12 item 1) -------------------
+    # Two consecutive rounds shipped closing bench numbers with a
+    # known 13-20% session-aging confound: the single long-lived
+    # local-mode JVM accumulates codegen caches, literal-heavy plans
+    # (the 64-dim inlined-centroid ANN wave), broadcast-cleanup debt
+    # and GC rent, and every entry AFTER the aging point pays it
+    # (BENCH_SUBSET.json at e4b8b16: fresh-session re-runs collapse
+    # the worst entries 2-3x at the SAME commit).  full_gate --batch
+    # already recycles its session every N names; the bench now does
+    # the same, with one extra obligation the gate doesn't have:
+    # ATTRIBUTION.  Memoized substrates are keyed by applicationId,
+    # so a naive restart would silently charge the NEXT consumer for
+    # a substrate rebuild ("no silent caps").  After every restart we
+    # therefore re-warm, UNTIMED, every memo parent that has already
+    # been timed this run — the timed entry keeps the one-build cost,
+    # consumers keep marginal cost, and the rebuild is harness
+    # overhead recorded separately (rewarm_sec, never in the total).
+    RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "40"))
+    # Timed catalog entries that fill a session-keyed memo consumed by
+    # LATER entries (beyond the explicit SUBSTRATES builders):
+    #   dedup_clusters        -> corpus_ops.doc_clusters cache
+    #                            (dedup_cluster_sizes/_representatives)
+    #   text_bpe_merges       -> mining_ops._trained_merges
+    #                            (text_bpe_encode)
+    #   similarity_topk_ivfpq -> training_ops._pq_index
+    #                            (_rerank/_dist/similarity_ivfpq_recall)
+    MEMO_PARENTS = (
+        "dedup_clusters",
+        "text_bpe_merges",
+        "similarity_topk_ivfpq",
+    )
+    built_parents: list[str] = []  # substrate-dependency order = HEADLINE order
+    state = {"since": 0, "recycles": 0, "rewarm_sec": 0.0}
+
+    def _note_parent(name: str) -> None:
+        if (name in SUBSTRATES or name in MEMO_PARENTS) and name not in built_parents:
+            built_parents.append(name)
+
+    def _maybe_recycle(rewarm: bool) -> None:
+        nonlocal spark
+        if state["since"] < RECYCLE_EVERY:
+            return
+        state["since"] = 0
+        state["recycles"] += 1
+        spark.stop()
+        spark = get_spark(
+            app_name="bench",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        t0 = time.perf_counter()
+        # re-JIT the fresh JVM so the first timed entry after the
+        # restart isn't charged for codegen warm-up
+        materialize(qs["scan_project_filter"](spark, sf_dir))
+        if rewarm:
+            for b in built_parents:
+                if b in SUBSTRATES:
+                    SUBSTRATES[b]()
+                else:
+                    materialize(qs[b](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        state["rewarm_sec"] += dt
+        print(
+            f"bench recycle #{state['recycles']}: fresh session, "
+            f"{len(built_parents) if rewarm else 0} memo parents re-warmed"
+            f" untimed in {dt:.1f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
     import statistics
 
     subset = [n for n in sys.argv[1:] if n in qs or n in SUBSTRATES]
@@ -577,6 +646,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     best: dict[str, float] = {}
     for name in [n for n in (subset or HEADLINE) if n not in BOUNDED_SF]:
+        _maybe_recycle(rewarm=True)
         if name in SUBSTRATES:
             # memoized: a second run would time the cache hit, so this
             # entry is single-run by construction
@@ -584,17 +654,22 @@ def main() -> None:
             SUBSTRATES[name]()
             timings[name] = best[name] = round(time.perf_counter() - t0, 3)
             print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
-            continue
-        timings[name], best[name] = _timed(name, sf_dir)
-        print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        else:
+            timings[name], best[name] = _timed(name, sf_dir)
+            print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        state["since"] += 1
+        _note_parent(name)
 
     # bounded-sf exactness baselines: every full run; subset runs only
-    # when asked for by name
+    # when asked for by name.  No rewarm on recycle: these are the
+    # self-contained brute-force exactness shapes with no memo deps.
     bounded: dict[str, float] = {}
     for name, bdir in BOUNDED_SF.items():
         if subset and name not in subset:
             continue
+        _maybe_recycle(rewarm=False)
         bounded[name], _ = _timed(name, bdir)
+        state["since"] += 1
         print(
             f"bench {name} (bounded {bdir}): {bounded[name]}s",
             file=sys.stderr,
@@ -629,6 +704,9 @@ def main() -> None:
                 "stat": "median_of_3",
                 "commit": commit,
                 "calibration": calib,
+                "recycle_every": RECYCLE_EVERY,
+                "n_recycles": state["recycles"],
+                "rewarm_sec": round(state["rewarm_sec"], 3),
                 "queries": timings,
                 "queries_best_of_3": best,
                 "bounded_baselines": {
@@ -661,6 +739,9 @@ def main() -> None:
                         "headline_total": round(sum(timings.values()), 3),
                         "best_total": round(sum(best.values()), 3),
                         "calibration": calib,
+                        "recycle_every": RECYCLE_EVERY,
+                        "n_recycles": state["recycles"],
+                        "rewarm_sec": round(state["rewarm_sec"], 3),
                         "queries": timings,
                         "queries_best_of_3": best,
                         "bounded_baselines": bounded,
@@ -681,6 +762,7 @@ def main() -> None:
                 "stat": "median_of_3",
                 # like-for-like vs rounds measured under best-of-2
                 "best_total": round(sum(best.values()), 3),
+                "n_recycles": state["recycles"],
                 "detail": os.path.basename(detail_path),
                 **calib,
             }
