@@ -837,17 +837,32 @@ def similarity_ivf_retrain_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         tagged = m if tagged is None else tagged.unionByName(m)
 
     total = truth.agg(F.count(F.lit(1)).alias("total"))
+    # ADVICE r12: a geometry whose semi-join matches ZERO truth pairs
+    # would vanish from the groupBy while the oracle's UNION ALL
+    # always emits both geometry rows with matched=0 — anchor the
+    # census on a literal two-row geometry frame so both engines emit
+    # exactly two rows regardless of matched count.
+    geom_names = spark.createDataFrame(
+        [(g,) for g, _ in geoms], "geometry string"
+    )
+    counts = tagged.groupBy("geometry").agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched_raw")
+    )
     return (
-        tagged.groupBy("geometry")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("matched"))
+        geom_names.join(F.broadcast(counts), "geometry", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "geometry",
-            "matched",
+            F.coalesce("matched_raw", F.lit(0))
+            .cast("bigint")
+            .alias("matched"),
             F.col("total").cast("bigint").alias("total"),
+        )
+        .withColumn(
+            "recall_bp",
             F.expr(
                 "CAST((20000 * matched + total) div (2 * total) AS BIGINT)"
-            ).alias("recall_bp"),
+            ),
         )
         .orderBy("geometry")
     )
