@@ -75,6 +75,15 @@ def main() -> int:
     ap.add_argument("--sf", default="sf0.1", help="sf dir or sfN.N shorthand")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--batch", type=int, default=60)
+    ap.add_argument(
+        "--oracle-budget",
+        type=float,
+        default=120.0,
+        help="seconds of DuckDB time per oracle before the gate flags"
+        " it slow-oracle (VERDICT r12 item 3: an accidentally-quadratic"
+        " oracle SQL should fail loudly at gate time, not silently"
+        " stretch the sweep by an hour)",
+    )
     ap.add_argument("names", nargs="*", help="optional subset")
     args = ap.parse_args()
 
@@ -125,6 +134,7 @@ def main() -> int:
     spark = _new_spark()
     journal = open(journal_path, "a")
     counts = {"ok": 0, "fail": 0, "rows-only": 0}
+    slow_oracles: list[tuple[str, float]] = []
     since_restart = 0
     for name in todo:
         if since_restart >= args.batch:
@@ -134,13 +144,17 @@ def main() -> int:
         since_restart += 1
         t0 = time.time()
         status, detail, n_rows = "ok", "", -1
+        spark_sec = oracle_sec = 0.0
         try:
             spdf = qs[name](spark, sf_dir).toPandas()
+            spark_sec = round(time.time() - t0, 1)
             n_rows = len(spdf)
             if name not in oracles:
                 status = "rows-only"
             else:
+                t_orc = time.time()
                 dpdf = con.execute(oracles[name]).df()
+                oracle_sec = round(time.time() - t_orc, 1)
                 problems = []
                 if len(spdf) != len(dpdf):
                     problems.append(
@@ -162,6 +176,9 @@ def main() -> int:
             status, detail = "fail", f"{type(e).__name__}: {e}"
         sec = round(time.time() - t0, 1)
         counts[status] += 1
+        oracle_slow = oracle_sec > args.oracle_budget
+        if oracle_slow:
+            slow_oracles.append((name, oracle_sec))
         journal.write(
             json.dumps(
                 {
@@ -170,6 +187,9 @@ def main() -> int:
                     "detail": detail[:500],
                     "rows": n_rows,
                     "sec": sec,
+                    "spark_sec": spark_sec,
+                    "oracle_sec": oracle_sec,
+                    "oracle_slow": oracle_slow,
                     "sf": sf_name,
                     "commit": commit,
                     "ts": round(time.time(), 1),
@@ -179,7 +199,16 @@ def main() -> int:
             + "\n"
         )
         journal.flush()
-        print(f"{status:9s} {name}: {n_rows} rows ({sec}s)", flush=True)
+        print(
+            f"{status:9s} {name}: {n_rows} rows ({sec}s ="
+            f" {spark_sec}s spark + {oracle_sec}s oracle)"
+            + (
+                f"  !! ORACLE OVER BUDGET ({args.oracle_budget}s)"
+                if oracle_slow
+                else ""
+            ),
+            flush=True,
+        )
 
     journal.close()
     spark.stop()
@@ -189,6 +218,15 @@ def main() -> int:
         f"{counts['rows-only']} rows-only, {counts['fail']} failed"
         f" -> {journal_path}"
     )
+    if slow_oracles:
+        print(
+            f"!! {len(slow_oracles)} oracle(s) over the"
+            f" {args.oracle_budget}s budget — restructure the SQL"
+            " (MATERIALIZED hints / single-reference CTEs) before the"
+            " next gate:"
+        )
+        for n, s in sorted(slow_oracles, key=lambda t: -t[1]):
+            print(f"   {n}: {s}s")
     return 1 if counts["fail"] else 0
 
 

@@ -641,14 +641,14 @@ WITH qdocs AS (
          t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t))) AS BIGINT) AS n_stopwords,
     CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS BIGINT) AS n_punct
   FROM documents
-), q AS (
+), q AS MATERIALIZED (
   SELECT doc_id, text, lang FROM qdocs
   WHERE n_chars >= 50
     AND 100 * n_punct <= 20 * n_chars
     AND 100 * n_stopwords >= 1 * greatest(n_tokens, 1)
 ), surv_ids AS (
   SELECT MIN(doc_id) AS doc_id FROM q GROUP BY sha256(text)
-), surv AS (
+), surv AS MATERIALIZED (
   SELECT q.doc_id, q.text, q.lang FROM q JOIN surv_ids USING (doc_id)
 ), {chain},
 {sk.jaccard_verify_ctes()},
@@ -656,7 +656,7 @@ survpairs AS (
   SELECT v.doc_b FROM verified v
   JOIN surv sa ON sa.doc_id = v.doc_a
   JOIN surv sb ON sb.doc_id = v.doc_b
-), counts AS (
+), counts AS MATERIALIZED (
   SELECT (SELECT count(*) FROM documents) AS n_raw,
     (SELECT count(*) FROM q) AS n_q,
     (SELECT count(*) FROM surv) AS n_exact,
