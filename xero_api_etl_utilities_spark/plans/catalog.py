@@ -27,7 +27,88 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r12 WINDOW (slots 1-50).  Composition, per the written r12
+    # r13 WINDOW (slots 1-50).  Composition, per the written r13
+    # rotation plan below: (a) r12 had ZERO reds, so the r13 wave's
+    # new registrations go first, (b) behavior-changed queries
+    # (similarity_ivf_retrain_recall — zero-recall geometry-row anchor
+    # fix; the two pipeline entries — oracle SQL restructured with
+    # MATERIALIZED CTE hints), (c) ALL 25 names whose newest driver
+    # row is still r6 (zeroes the r6 staleness tail — every catalog
+    # name then holds a driver row >= r8), (d) pad to 50 with 20 of
+    # the 42 r8-only names, heavy dedup/similarity/decontaminate
+    # shapes and MATERIALIZED-touched oracles first.
+    #
+    # r14 ROTATION PLAN (write it while the context is fresh): (a)
+    # any r13 reds to the TOP, (b) the r14 wave + behavior-changed
+    # queries, (c) the 22 remaining r8-only names that did not fit
+    # this round's fold (agg_approx_distinct_ok, corpus_mix_census,
+    # diag_benford_firstdigit, diag_functional_deps, diag_ks_drift,
+    # diag_langid_confusion, diag_quality_deciles,
+    # doc_chunk_overlap_census, label_noise_kappa,
+    # layout_partition_advisor, orders_yoy_growth,
+    # sample_curriculum_order, sample_pack_waste,
+    # sample_token_budget_plan, split_balance_report,
+    # text_bigram_surprisal, text_char_entropy, text_head_coverage,
+    # text_rake_keywords, text_source_tvd_matrix,
+    # text_unigram_logprob, tokenizer_oov_census), (d) pad with the
+    # oldest r9 rows.
+    # --- (a) r13 new registrations ---
+    "text_quality_classifier",
+    "dedup_incremental_pairs",
+    # --- (a') r13 behavior-changed ---
+    "similarity_ivf_retrain_recall",
+    "pipeline_corpus_clean",
+    "pipeline_curation_report",
+    # --- (b) ALL 25 r6-only names (zero the r6 staleness tail) ---
+    "agg_mad_outliers",
+    "diag_data_contract",
+    "diag_distribution_drift",
+    "diag_referential_integrity",
+    "doc_pack_chunks",
+    "events_bounce_rate",
+    "events_burstiness",
+    "events_changepoint",
+    "events_daily_anomalies",
+    "events_daily_trend",
+    "events_decayed_type_scores",
+    "events_json_props",
+    "events_pivot_daily",
+    "events_position_attribution",
+    "events_seq_pairs",
+    "events_stickiness",
+    "events_time_to_convert",
+    "events_user_accumulation",
+    "events_user_diversity",
+    "events_weekday_seasonality",
+    "text_boilerplate_shingles",
+    "text_hashing_features",
+    "text_posting_lists",
+    "text_rarity",
+    "text_top_terms_per_doc",
+    # --- (c) 20 r8 pads: heavy dedup/similarity/decontaminate shapes
+    # and MATERIALIZED-touched oracles first ---
+    "corpus_self_similarity",
+    "decontaminate_neardup",
+    "decontaminate_report",
+    "dedup_cluster_representatives",
+    "dedup_pair_provenance",
+    "dedup_savings_census",
+    "dedup_semantic_clusters",
+    "graph_cc_star",
+    "multimodal_ahash_pairs",
+    "similarity_ivf_cell_balance",
+    "similarity_ivfpq_recall",
+    "similarity_label_purity",
+    "similarity_range_search",
+    "text_dup_span_coverage",
+    "text_tf_cosine_pairs",
+    "text_winnow_fingerprints",
+    "embedding_dim_health",
+    "embedding_label_centroid_sim",
+    "join_interval_overlap",
+    "join_asof_nearest",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r12 window (slots 1-50 last round).  Composition, per the written r12
     # rotation plan (VERDICT r11 "Next round" item 2): (a) r11 had
     # ZERO reds, so the r12 wave's new registrations (X164-X166) plus
     # the two behavior-changed queries (pipeline_corpus_clean /
