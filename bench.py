@@ -78,6 +78,10 @@ HEADLINE = [
     # frame built on the line above; its exact-verify side (threshold
     # floored to keep every pair) is its own cost
     "dedup_minhash_calibration",
+    # r13: X171 rides the memoized signature frame (dedup_sigs_build
+    # above) — its marginal cost is banding + the mixed-pair join +
+    # candidate-restricted verify, never a re-shingle
+    "dedup_incremental_pairs",
     "dedup_embedding_cosine",
     # similarity_topk (brute force) is the oracle baseline, NOT a
     # headline entry: the headline similarity routes are the two
@@ -396,6 +400,10 @@ HEADLINE = [
     "text_bigram_surprisal",
     "orders_yoy_growth",
     "text_source_tvd_matrix",
+    # r13 wave: X170 learned quality scorer (driver-side perceptron
+    # training is part of the timed cost — the honest price of the
+    # model stage, ~bounded 400-doc pyarrow scan)
+    "text_quality_classifier",
 ]
 # Exactness baselines benched at a BOUNDED sf (r9, VERDICT r7/r8
 # carried item: "no catalog name absent from every bench artifact").

@@ -846,6 +846,24 @@ CHECKS = {
         ("one user-keyed aggregation, no join anywhere", lambda p: "hashpartitioning(user_id" in p and "Join" not in p),
         ("no single partition, no Python evaluator", lambda p: "SinglePartition" not in p and "EvalPython" not in p),
     ],
+    # r13: X170 — scoring is a zero-shuffle in-row fold against the
+    # broadcast weight literal; the only shuffles are the ~source-count
+    # census aggregate and its range sort
+    "text_quality_classifier": [
+        ("map-only scoring: no join of any kind", lambda p: "Join" not in p),
+        ("the dot product is an in-row fold, never an explode", lambda p: "Generate" not in p),
+        ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
+    ],
+    # r13: X171 — the corpus side enters ONLY through the memoized
+    # signature substrate (Scan ExistingRDD) and its band projection;
+    # full-corpus text is never re-shingled — the only document-text
+    # scans are the two candidate-restricted verify set branches
+    "dedup_incremental_pairs": [
+        ("corpus enters via the checkpointed sketch", lambda p: "Scan ExistingRDD" in p),
+        ("no cartesian / nested loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
+        ("text scans candidate-restricted: <= 2 verify branches", lambda p: p.count("Location: InMemoryFileIndex") <= 2),
+    ],
 }
 
 

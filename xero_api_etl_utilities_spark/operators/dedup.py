@@ -303,6 +303,38 @@ def minhash_signatures(
     return base.groupBy("doc").agg(*mins)
 
 
+def band_rows(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding as ROWS — (doc, band, bh) with one row per document
+    per band, the persisted form of a corpus dedup CATALOG: a new
+    crawl's bands equi-join against this table without touching (or
+    re-shingling) the corpus documents.  Same band hash as
+    :func:`minhash_lsh_candidates` (h32 of the '|'-joined signature
+    slots), kept separate so the batch self-join path keeps its
+    bucket-explosion shape unchanged."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                h32(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col("doc"), F.explode(band_structs).alias("e")).select(
+        "doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 16,

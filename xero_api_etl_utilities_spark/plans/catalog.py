@@ -510,6 +510,7 @@ def _load_extra_modules() -> None:
         wave10,
         wave11,
         wave12,
+        wave13,
     )
 
 

@@ -1,0 +1,250 @@
+"""Round-13 wave (X170–X171): the two curation-stage gaps VERDICT r12
+ranked as the operator frontier.
+
+- X170 ``text_quality_classifier`` — model-based quality scoring (the
+  DCLM/fastText stage): a tiny integer perceptron trained driver-side
+  on X60's signed hashed features with the rule-pack gate as weak
+  labels, then scored corpus-wide as a zero-shuffle in-row dot
+  product against the broadcast weight literal, censused per source.
+  The curation surface already had rule packs (X37), perplexity
+  proxies (X45/X120/X143) and deciles (X109); this is the learned
+  stage modern pipelines actually rank by.
+- X171 ``dedup_incremental_pairs`` — incremental near-dedup of a NEW
+  crawl against the EXISTING curated corpus without recomputing the
+  corpus side: the corpus band-bucket table (the persisted dedup
+  CATALOG, here the memoized signature substrate projected through
+  ``band_rows``) is consumed scan-only; only the new batch's bands
+  join against it, and exact-Jaccard verification touches corpus text
+  only through the candidate semi-join.  The oracle is the FULL
+  recompute restricted to (new × corpus) pairs — equality proves the
+  incremental plan computes exactly the full answer's new slice.
+
+Reference provenance: the reference ETL (src/queries.ts) has neither
+tier; these extend the training-data-pipeline surface the brief
+requires (VERDICT r12 items 6 and 7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.functions.crosshash import h32, h32_sql
+from xero_api_etl_utilities_spark.plans.catalog import register
+from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+
+def _oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+# ---------------------------------------------------------------------------
+# X170: learned quality classifier (the DCLM / fastText stage)
+# ---------------------------------------------------------------------------
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170: per-source census of the LEARNED quality scorer — the
+    integer perceptron from operators/quality_model.py trained
+    driver-side on the bounded doc_id<400 slice (pyarrow scan, the PQ
+    codebook precedent), scored corpus-wide without a single shuffle
+    before the dimension-sized groupBy: the 256 integer weights are a
+    broadcast array literal and each document's score is ONE in-row
+    ``F.aggregate`` over its token array (index = H32('f:'||t) mod
+    256, sign = parity of H32('s:'||t) — X60's exact feature space,
+    so a production pipeline shares the materialized hashed-feature
+    column between trainer and scorer).
+
+    Output per source: document count, positive-score count, rounded
+    share in bp ((20000a+n) div 2n — the repo's exact-ratio
+    convention), and the exact integer score sum.
+
+    100 TB shape: training cost is FIXED (400 docs on the driver, the
+    ivf.train_centroids sample=1000 class); scoring is map-only
+    whole-stage codegen — no vocabulary broadcast, no join, no UDF;
+    the census shuffles one ~4-row partial aggregate per task."""
+    from xero_api_etl_utilities_spark.operators import quality_model as qm
+    from xero_api_etl_utilities_spark.operators.dedup import tokens
+
+    weights = qm.weights_from_parquet(sf_dir)
+    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    toks = tokens(F.col("text"))
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(
+            w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
+        )
+        * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "CAST((20000 * n_positive + n_docs) div (2 * n_docs)"
+                " AS BIGINT)"
+            ),
+        )
+        .select("source", "n_docs", "n_positive", "share_bp", "sum_score")
+        .orderBy("source")
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    from xero_api_etl_utilities_spark.operators import quality_model as qm
+
+    weights = qm.weights_from_parquet(_oracle_sf_dir())
+    wlist = "[" + ", ".join(str(int(w)) for w in weights) + "]"
+    fi = h32_sql("'f:' || t")
+    si = h32_sql("'s:' || t")
+    contrib = (
+        f"wv.w[(CAST({fi} AS BIGINT) % {qm.DIM}) + 1]"
+        f" * (CASE WHEN CAST({si} AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+    return f"""
+WITH wv AS (SELECT {wlist} AS w),
+scored AS (
+  SELECT source,
+    CAST(COALESCE(list_sum(list_transform(
+      regexp_extract_all(lower(text), '[a-z0-9]+'),
+      t -> {contrib})), 0) AS BIGINT) AS score
+  FROM documents, wv
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+  CAST((20000 * SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) + COUNT(*))
+       // (2 * COUNT(*)) AS BIGINT) AS share_bp,
+  CAST(SUM(score) AS BIGINT) AS sum_score
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+register(
+    "text_quality_classifier",
+    text_quality_classifier,
+    _quality_classifier_oracle,
+)
+
+
+# ---------------------------------------------------------------------------
+# X171: incremental near-dedup against the frozen corpus catalog
+# ---------------------------------------------------------------------------
+
+_INC_BANDS = 16
+_INC_ROWS = 4
+_INC_MAX_BUCKET = 500
+
+
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171: verified near-dup pairs of the NEW batch (doc_id %% 5 == 4,
+    the repo's arrivals convention) against the EXISTING corpus — the
+    100 TB dedup operation that must NOT recompute the corpus side.
+
+    Lowering: the memoized full-corpus signature substrate
+    (corpus_ops.minhash_sigs — at 100 TB, the materialized sketch
+    column the corpus store already keeps) is projected through
+    ``band_rows`` into the band-bucket CATALOG; bucket sizes come from
+    a groupBy of that catalog (at scale: the stored per-bucket census
+    incremented by the new batch's counts — never the documents);
+    candidates are the equi-join of the NEW side's bands against the
+    corpus side's bands within kept buckets (2 ≤ size ≤ 500, the same
+    stop-bucket guard as the batch path); exact-Jaccard verification
+    then touches corpus TEXT only through the candidate semi-join
+    (operators/dedup.jaccard_verify).  Per-batch cost is O(new bands
+    + matching buckets + candidate verifies) — the corpus contributes
+    a scan of its catalog, no re-shingle, no all-pairs.
+
+    The oracle is the FULL-RECOMPUTE verified-pairs chain restricted
+    to mixed (new × corpus) pairs: hash-equality proves the
+    incremental plan reproduces exactly the full answer's new slice —
+    same banding, same stop-bucket semantics (bucket size counted over
+    corpus + new together, as the combined catalog would), same 0.7
+    Jaccard verify rule."""
+    from xero_api_etl_utilities_spark.operators import dedup as dd
+    from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = dd.band_rows(
+        minhash_sigs(spark, sf_dir), bands=_INC_BANDS, rows_per_band=_INC_ROWS
+    ).withColumn("is_new", F.col("doc") % 5 == 4)
+    counts = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_all"))
+        .filter((F.col("n_all") >= 2) & (F.col("n_all") <= _INC_MAX_BUCKET))
+    )
+    kept = banded.join(counts.select("band", "bh"), ["band", "bh"])
+    new_side = kept.filter(F.col("is_new")).select(
+        "band", "bh", F.col("doc").alias("dn")
+    )
+    corpus_side = kept.filter(~F.col("is_new")).select(
+        "band", "bh", F.col("doc").alias("dc")
+    )
+    cands = (
+        new_side.join(corpus_side, ["band", "bh"])
+        .select(
+            F.least("dn", "dc").alias("doc_a"),
+            F.greatest("dn", "dc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = dd.jaccard_verify(cands, docs, "doc_id", "text", n=1)
+    is_a_new = F.col("doc_a") % 5 == 4
+    return (
+        verified.select(
+            F.when(is_a_new, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("new_id"),
+            F.when(is_a_new, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("corpus_id"),
+            "inter_size",
+            "union_size",
+        )
+        .orderBy("new_id", "corpus_id")
+    )
+
+
+def _incremental_pairs_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH "
+        + sk.minhash_cand_ctes(
+            bands=_INC_BANDS,
+            rows_per_band=_INC_ROWS,
+            max_bucket=_INC_MAX_BUCKET,
+        )
+        + ",\n"
+        + sk.jaccard_verify_ctes()
+        + """
+SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS new_id,
+       CASE WHEN doc_a % 5 = 4 THEN doc_b ELSE doc_a END AS corpus_id,
+       inter_size, union_size
+FROM verified
+WHERE (doc_a % 5 = 4) <> (doc_b % 5 = 4)
+ORDER BY new_id, corpus_id
+"""
+    )
+
+
+register(
+    "dedup_incremental_pairs",
+    dedup_incremental_pairs,
+    _incremental_pairs_oracle,
+)
