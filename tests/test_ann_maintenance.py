@@ -147,3 +147,88 @@ def test_drift_census_threshold_pins(spark, tmp_path):
     ).write.parquet(dead)
     stats = index_drift_census(spark, dead, k_cells=4, load_warn_x100=300)
     assert stats["retrain"] and stats["n_empty_cells"] == 1
+
+
+def test_lifecycle_stream_flag_retrain_recall(spark, sf_dir, tmp_path):
+    """The WHOLE maintenance decision, executed end-to-end (VERDICT
+    r12 item 5): stream arrivals across checkpoint restarts until the
+    sink's journaled drift flag flips True, act on the flag (offline
+    centroid retrain over the accumulated vectors + full re-encode),
+    then pin that the retrain actually paid: post-retrain recall on
+    the SAME exact truth set >= frozen recall (the X169 comparison as
+    an executed transition), and the rebuilt index's hot-cell load
+    strictly improved.  The hot cell is forced by a clump of identical
+    arrival vectors — the real-world "one topic floods the crawl"
+    drift the census exists to catch (identical points can never be
+    split, so the pin is load IMPROVEMENT, not full rebalance)."""
+    from xero_api_etl_utilities_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    arrivals = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = ivf.train_centroids(corpus, k=16, iters=4, sample=1000)
+    books = train_pq_codebooks_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    v0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    clump = spark.createDataFrame(
+        [(10_000 + i, v0) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+
+    drop = str(tmp_path / "drop")
+    index_dir = str(tmp_path / "index")
+    drift_dir = str(tmp_path / "drift")
+    ckpt = str(tmp_path / "ckpt")
+
+    # three drops, each drained by a RESTARTED availableNow query on
+    # the same checkpoint: corpus, organic arrivals, then the clump
+    for batch in (corpus, arrivals, clump):
+        batch.write.mode("append").parquet(drop)
+        _drain(spark, drop, emb.schema, index_dir, drift_dir, ckpt,
+               cents, books)
+
+    # the journaled decision signal: flag off, off, then ON
+    drift = {
+        r["batch_id"]: r["retrain"]
+        for r in spark.read.parquet(drift_dir).collect()
+    }
+    assert [drift[b] for b in sorted(drift)] == [False, False, True]
+    frozen_stats = index_drift_census(spark, index_dir, k_cells=16)
+    assert frozen_stats["retrain"]
+
+    # act on the flag: offline retrain over the accumulated vectors,
+    # full re-encode into a fresh index dir (geometry never mutates
+    # in place — the frozen-geometry contract)
+    allv = corpus.unionByName(arrivals).unionByName(clump)
+    new_cents = ivf.train_centroids(allv, k=16, iters=4, sample=1000)
+    rebuilt = str(tmp_path / "index_retrained")
+    encode_against_index(allv, new_cents, books).write.parquet(rebuilt)
+    retrained_stats = index_drift_census(spark, rebuilt, k_cells=16)
+    assert (
+        retrained_stats["max_load_x100"] < frozen_stats["max_load_x100"]
+    )
+
+    # what the retrain BUYS: recall against ONE exact truth set over
+    # the accumulated corpus, frozen vs retrained geometry
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = topk_bruteforce(queries, allv, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.count()
+
+    def recall(geometry):
+        approx = ivf.topk_ivf(queries, allv, geometry, k=5, nprobe=2).select(
+            "query_id", "neighbor_id"
+        )
+        return truth.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+
+    frozen_recall, retrained_recall = recall(cents), recall(new_cents)
+    assert n_truth == 50
+    assert retrained_recall >= frozen_recall
