@@ -402,8 +402,10 @@ HEADLINE = [
     "text_source_tvd_matrix",
     # r13 wave: X170 learned quality scorer (driver-side perceptron
     # training is part of the timed cost — the honest price of the
-    # model stage, ~bounded 400-doc pyarrow scan)
+    # model stage, ~bounded 400-doc pyarrow scan; X172 rides the
+    # memoized weights, so its line is the marginal one-pass census)
     "text_quality_classifier",
+    "text_quality_calibration",
 ]
 # Exactness baselines benched at a BOUNDED sf (r9, VERDICT r7/r8
 # carried item: "no catalog name absent from every bench artifact").

@@ -854,6 +854,13 @@ CHECKS = {
         ("the dot product is an in-row fold, never an explode", lambda p: "Generate" not in p),
         ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
     ],
+    # r13: X172 — same zero-shuffle scoring fold as X170 plus in-row
+    # rule predicates; one corpus pass, one source-grain aggregate
+    "text_quality_calibration": [
+        ("one-pass confusion census: no join of any kind", lambda p: "Join" not in p),
+        ("no explode, no Python evaluator, no single partition", lambda p: "Generate" not in p and "EvalPython" not in p and "SinglePartition" not in p),
+        ("one corpus scan", lambda p: p.count("Location: InMemoryFileIndex") <= 1),
+    ],
     # r13: X171 — the corpus side enters ONLY through the memoized
     # signature substrate (Scan ExistingRDD) and its band projection;
     # full-corpus text is never re-shingled — the only document-text

@@ -55,6 +55,7 @@ _WINDOW_PRIORITY: list[str] = [
     # --- (a) r13 new registrations ---
     "text_quality_classifier",
     "dedup_incremental_pairs",
+    "text_quality_calibration",
     # --- (a') r13 behavior-changed ---
     "similarity_ivf_retrain_recall",
     "pipeline_corpus_clean",
@@ -106,6 +107,8 @@ _WINDOW_PRIORITY: list[str] = [
     "embedding_dim_health",
     "embedding_label_centroid_sim",
     "join_interval_overlap",
+    # (join_asof_nearest displaced below the fold by the third r13
+    # registration — it joins the r14 plan's r8 list)
     "join_asof_nearest",
     # ------------------- below the driver's 50-row fold -------------------
     # r12 window (slots 1-50 last round).  Composition, per the written r12

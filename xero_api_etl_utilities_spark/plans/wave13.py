@@ -248,3 +248,142 @@ register(
     dedup_incremental_pairs,
     _incremental_pairs_oracle,
 )
+
+
+# ---------------------------------------------------------------------------
+# X172: classifier calibration vs the rule pack it distilled
+# ---------------------------------------------------------------------------
+
+
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172: the confusion census a curation team reads before trusting
+    the learned scorer — per source, the X170 perceptron's decision
+    (score > 0) against the rule-pack gate it was distilled from:
+    tp/fp/fn/tn counts plus exact-integer precision and recall in bp
+    (the (20000a+n) div 2n rounding convention; 0 when the denominator
+    is empty).  Training saw only doc_id < 400, so every other row is
+    held-out generalization — the number that says whether the model
+    stage can replace the rule scan.
+
+    Lowering: ONE corpus pass — the same zero-shuffle in-row score
+    fold as X170 plus the rule-pack column predicates, then a
+    source-grain aggregate.  No join, no second scan: both classifier
+    and rules are per-row expressions of the same document."""
+    from xero_api_etl_utilities_spark.operators import quality_model as qm
+    from xero_api_etl_utilities_spark.operators.dedup import tokens
+    from xero_api_etl_utilities_spark.operators.textstats import quality_flags
+
+    weights = qm.weights_from_parquet(sf_dir)
+    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    toks = tokens(F.col("text"))
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.element_at(
+            w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
+        )
+        * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint"),
+    )
+    flags = quality_flags(F.col("text"))
+    rule = flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"]
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        (score > 0).alias("pred"),
+        rule.alias("truth"),
+    )
+    counted = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("pred") & F.col("truth")).cast("int"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum((F.col("pred") & ~F.col("truth")).cast("int"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((~F.col("pred") & F.col("truth")).cast("int"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((~F.col("pred") & ~F.col("truth")).cast("int"))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return (
+        counted.withColumn(
+            "precision_bp",
+            F.expr(
+                "CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE"
+                " (20000 * tp + (tp + fp)) div (2 * (tp + fp)) END"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "recall_bp",
+            F.expr(
+                "CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE"
+                " (20000 * tp + (tp + fn)) div (2 * (tp + fn)) END"
+                " AS BIGINT)"
+            ),
+        )
+        .select(
+            "source", "n_docs", "tp", "fp", "fn", "tn",
+            "precision_bp", "recall_bp",
+        )
+        .orderBy("source")
+    )
+
+
+def _quality_calibration_oracle() -> str:
+    from xero_api_etl_utilities_spark.operators import quality_model as qm
+
+    weights = qm.weights_from_parquet(_oracle_sf_dir())
+    wlist = "[" + ", ".join(str(int(w)) for w in weights) + "]"
+    fi = h32_sql("'f:' || t")
+    si = h32_sql("'s:' || t")
+    contrib = (
+        f"wv.w[(CAST({fi} AS BIGINT) % {qm.DIM}) + 1]"
+        f" * (CASE WHEN CAST({si} AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)"
+    )
+    return f"""
+WITH wv AS (SELECT {wlist} AS w),
+tagged AS (
+  SELECT source,
+    CAST(COALESCE(list_sum(list_transform(
+      regexp_extract_all(lower(text), '[a-z0-9]+'),
+      t -> {contrib})), 0) AS BIGINT) > 0 AS pred,
+    (length(text) >= 50
+     AND 100 * (length(text)
+                - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+         <= 20 * length(text)
+     AND 100 * len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+           t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t)))
+         >= 1 * greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+    ) AS truth
+  FROM documents, wv
+), counted AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM tagged GROUP BY source
+)
+SELECT source, n_docs, tp, fp, fn, tn,
+  CAST(CASE WHEN tp + fp = 0 THEN 0
+       ELSE (20000 * tp + (tp + fp)) // (2 * (tp + fp)) END AS BIGINT)
+    AS precision_bp,
+  CAST(CASE WHEN tp + fn = 0 THEN 0
+       ELSE (20000 * tp + (tp + fn)) // (2 * (tp + fn)) END AS BIGINT)
+    AS recall_bp
+FROM counted ORDER BY source
+"""
+
+
+register(
+    "text_quality_calibration",
+    text_quality_calibration,
+    _quality_calibration_oracle,
+)

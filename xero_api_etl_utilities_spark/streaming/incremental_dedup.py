@@ -1,0 +1,147 @@
+"""Streaming incremental near-dedup against the frozen corpus catalog
+(X173 — the streaming twin of plans/wave13.dedup_incremental_pairs).
+
+The 100 TB operation X171 batches is actually CONTINUOUS: crawl
+batches arrive forever and each must be deduped against the curated
+corpus without recomputing the corpus side.  The corpus contributes
+exactly two frozen artifacts, both built once offline:
+
+* the **band catalog** — ``(doc, band, bh)`` LSH band rows of the
+  corpus (``build_corpus_band_catalog``), the persisted projection of
+  the signature sketch; per-batch reads are scan-only, the corpus is
+  never re-shingled;
+* the **corpus parquet** itself, touched per batch only through the
+  candidate semi-join inside exact-Jaccard verification.
+
+Per micro-batch: shingle/sign the BATCH only (it is the small side),
+band it with the same frozen banding parameters, apply the combined
+stop-bucket guard (corpus catalog counts + this batch's counts — the
+same census the batch form computes, so a boilerplate bucket can't go
+quadratic mid-stream), equi-join batch bands against catalog bands,
+verify candidates at the 0.7 Jaccard rule, and publish the oriented
+``(new_id, corpus_id, inter_size, union_size)`` pairs exactly-once
+(tmp-dir + atomic rename per ``batch=<run>-<id>`` subdir, replay a
+no-op — the cdc_sink/publish house pattern).
+
+Semantics note (the watermark-class caveat, stated rather than
+hidden): the stop-bucket census counts corpus + CURRENT batch; the
+batch form counts corpus + the whole new set.  The two differ only
+when a bucket crosses ``max_bucket`` because of NEW docs split across
+batches — pinned equal on the test corpus, and conservative in the
+right direction at scale (a bucket the full census would drop may
+survive an early small batch, never the reverse... the early batch
+emits at most the pairs the cap exists to bound).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.operators.dedup import (
+    band_rows,
+    jaccard_verify,
+    minhash_signatures,
+)
+from xero_api_etl_utilities_spark.streaming.cdc_sink import _query_run_id
+from xero_api_etl_utilities_spark.streaming.publish import (
+    _publish,
+    _sweep_inprogress,
+)
+
+_BANDS = 16
+_ROWS_PER_BAND = 4
+_MAX_BUCKET = 500
+
+
+def build_corpus_band_catalog(
+    docs: DataFrame,
+    out_dir: str,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+) -> None:
+    """The one-off offline build of the frozen dedup catalog: MinHash
+    signatures (1-gram, 64 permutations — the corpus_ops substrate
+    parameters) projected through ``band_rows`` and persisted.  At
+    100 TB this is the artifact the corpus store keeps next to the
+    documents; every streaming batch reads it scan-only."""
+    sigs = minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    band_rows(sigs, bands, rows_per_band).write.mode("overwrite").parquet(
+        out_dir
+    )
+
+
+def stream_incremental_dedup_sink(
+    new_docs: DataFrame,
+    corpus_catalog_dir: str,
+    corpus_docs_path: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+    max_bucket: int = _MAX_BUCKET,
+):
+    """foreachBatch sink: verified (new × corpus) near-dup pairs per
+    arriving batch, published exactly-once under ``pairs_dir``."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"{_query_run_id(checkpoint_dir)}-{batch_id}"
+        out_b = os.path.join(pairs_dir, f"batch={tag}")
+        if os.path.isdir(out_b):
+            return  # replayed batch: already published wholesale
+        _sweep_inprogress(pairs_dir)
+
+        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        new_bands = band_rows(
+            minhash_signatures(batch, "doc_id", "text", n=1, num_hashes=64),
+            bands,
+            rows_per_band,
+        )
+        catalog = spark.read.parquet(corpus_catalog_dir)
+        # combined stop-bucket census: catalog counts (scan-only) +
+        # this batch's counts — see the module docstring caveat
+        corpus_counts = catalog.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("n_corp")
+        )
+        batch_counts = new_bands.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("n_new")
+        )
+        kept = (
+            corpus_counts.join(batch_counts, ["band", "bh"])
+            .filter(F.col("n_corp") + F.col("n_new") <= max_bucket)
+            .select("band", "bh")
+        )
+        cands = (
+            new_bands.join(kept, ["band", "bh"])
+            .select("band", "bh", F.col("doc").alias("doc_a"))
+            .join(
+                catalog.select("band", "bh", F.col("doc").alias("doc_b")),
+                ["band", "bh"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        docs_all = (
+            spark.read.parquet(corpus_docs_path)
+            .select("doc_id", "text")
+            .unionByName(batch)
+        )
+        verified = jaccard_verify(cands, docs_all, "doc_id", "text", n=1)
+        out = verified.select(
+            F.col("doc_a").alias("new_id"),
+            F.col("doc_b").alias("corpus_id"),
+            "inter_size",
+            "union_size",
+        )
+        os.makedirs(pairs_dir, exist_ok=True)
+        _publish(out, out_b)
+
+    return (
+        new_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
