@@ -84,8 +84,32 @@ def main() -> int:
         " oracle SQL should fail loudly at gate time, not silently"
         " stretch the sweep by an hour)",
     )
+    ap.add_argument(
+        "--allow-busy-box",
+        action="store_true",
+        help="skip the load-average guard (timings will NOT be usable"
+        " as a perf record)",
+    )
     ap.add_argument("names", nargs="*", help="optional subset")
     args = ap.parse_args()
+
+    # Busy-box guard (VERDICT r13 item 3): the r13 gate journal's sec
+    # values were inflated 5-10x by a concurrent 32-thread diagnostic
+    # probe, making spark_sec/oracle_sec unusable as a perf record.
+    # bench.py self-calibrates; the gate now refuses to start timed
+    # rows on a box that is already busy instead.
+    if not args.allow_busy_box:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+        if load1 > 0.25 * ncpu:
+            print(
+                f"REFUSING to start: 1-min loadavg {load1:.1f} >"
+                f" {0.25 * ncpu:.1f} (25% of {ncpu} cpus) — the"
+                " journal's sec values double as the perf record, so"
+                " the gate must own the box.  Stop concurrent work or"
+                " pass --allow-busy-box to run untimed-quality rows."
+            )
+            return 2
 
     sf_dir = args.sf if os.sep in args.sf else f"/root/testdata/{args.sf}"
     sf_name = os.path.basename(sf_dir.rstrip("/"))

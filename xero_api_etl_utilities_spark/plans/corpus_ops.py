@@ -911,23 +911,12 @@ def _cluster_reps_oracle() -> str:
         + sk.minhash_cand_ctes(bands=16, rows_per_band=4, max_bucket=500)
         + ",\n"
         + sk.jaccard_verify_ctes()
+        + ",\n"
+        + sk.cc_ctes()
         + """,
-vedges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM verified
-),
-reach AS (
-  SELECT doc_id AS doc, doc_id AS lbl FROM documents
-  UNION
-  SELECT e.dst AS doc, r.lbl AS lbl
-  FROM reach r JOIN vedges e ON e.src = r.doc
-  WHERE r.lbl < e.dst
-),
-comp AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
 labeled AS (
-  SELECT d.doc_id, c.cluster_id, d.n_chars
-  FROM documents d JOIN comp c ON c.doc = d.doc_id
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 ),
 ranked AS (
   SELECT doc_id, cluster_id, n_chars,
@@ -1204,25 +1193,14 @@ def _savings_census_oracle() -> str:
         + sk.minhash_cand_ctes(bands=16, rows_per_band=4, max_bucket=500)
         + ",\n"
         + sk.jaccard_verify_ctes()
+        + ",\n"
+        + sk.cc_ctes()
         + """,
-vedges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM verified
-),
-reach AS (
-  SELECT doc_id AS doc, doc_id AS lbl FROM documents
-  UNION
-  SELECT e.dst AS doc, r.lbl AS lbl
-  FROM reach r JOIN vedges e ON e.src = r.doc
-  WHERE r.lbl < e.dst
-),
-comp AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
 ranked AS (
   SELECT d.doc_id, d.source, d.n_chars,
-    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+    ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)
                        ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
-  FROM documents d JOIN comp c ON c.doc = d.doc_id
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 ),
 dropped AS (
   SELECT source, count(*)::BIGINT AS dropped_docs,

@@ -106,10 +106,21 @@ register(
     fuzzy_name_match,
     """
 WITH pairs AS (
+  -- Still the quadratic i<j self-join (independent of the SymSpell
+  -- neighborhood), but the distance test is split exactly: for
+  -- equal-length strings lev<=1 iff hamming<=1 (the single edit must
+  -- be a substitution; ins/del change length), and a length gap of 1
+  -- is the only other way lev<=1 can hold.  hamming is O(L) vs the
+  -- O(L^2) DP, taking the sf0.1 oracle from ~115 s to ~4 s with
+  -- byte-identical output.
   SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
   FROM customer a JOIN customer b
     ON a.c_custkey < b.c_custkey
-   AND levenshtein(a.c_name, b.c_name) <= 1
+   AND CASE WHEN length(a.c_name) = length(b.c_name)
+            THEN hamming(a.c_name, b.c_name) <= 1
+            WHEN abs(length(a.c_name) - length(b.c_name)) = 1
+            THEN levenshtein(a.c_name, b.c_name) <= 1
+            ELSE FALSE END
 )
 SELECT a.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
   CAST(COUNT(DISTINCT p.id_a) AS BIGINT) AS n_anchors

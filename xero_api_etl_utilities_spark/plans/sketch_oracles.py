@@ -467,36 +467,86 @@ WHERE d.doc_b IS NULL
 """
 
 
+def cc_ctes(pairs: str = "verified") -> str:
+    """Connected components over ``{pairs}(doc_a, doc_b)`` — the
+    shared CTE chain every dedup-cluster oracle composes (VERDICT r13
+    item 1: six oracles each replayed min-label propagation as a bare
+    recursive CTE; on sf0.1's ~900k verified pairs the recursion's
+    working-set x edges join exploded to 500-1500 s PER ORACLE).
+
+    Shape: two unrolled star-contraction rounds, then the recursive
+    min-label fixpoint on the tiny residual graph.  Each contraction
+    maps every vertex to min(self, neighbors) and rebuilds the
+    quotient edge set — exact for any graph (the quotient's
+    components are the image of the original's), and the component
+    minimum m always survives as a vertex because m = min(m, N(m)).
+    Dense near-dup blobs (the expensive case) collapse to a point in
+    one round, so the residual recursion sees a few hundred edges
+    instead of 1.8M directed ones.  The final COALESCE composes
+    doc -> round-1 label -> round-2 label -> recursion root; a label
+    absent from the next level is already its region's fixpoint, and
+    an edge-closed single-label region is necessarily a whole
+    component, so the composed label is the true component minimum.
+
+    Ends in ``comp(doc, cluster_id)`` covering exactly the vertices
+    that appear in some pair — callers LEFT JOIN documents and
+    COALESCE(cluster_id, doc_id) to label singletons.  Must be
+    spliced into a ``WITH RECURSIVE`` statement."""
+    return f"""cc_e0 AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM {pairs}
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM {pairs}
+), cc_m1 AS MATERIALIZED (
+  SELECT src AS doc, LEAST(src, MIN(dst)) AS lbl FROM cc_e0 GROUP BY src
+), cc_e1 AS MATERIALIZED (
+  SELECT DISTINCT la.lbl AS src, lb.lbl AS dst
+  FROM cc_e0 e
+  JOIN cc_m1 la ON la.doc = e.src
+  JOIN cc_m1 lb ON lb.doc = e.dst
+  WHERE la.lbl <> lb.lbl
+), cc_m2 AS MATERIALIZED (
+  SELECT src AS doc, LEAST(src, MIN(dst)) AS lbl FROM cc_e1 GROUP BY src
+), cc_e2 AS MATERIALIZED (
+  SELECT DISTINCT la.lbl AS src, lb.lbl AS dst
+  FROM cc_e1 e
+  JOIN cc_m2 la ON la.doc = e.src
+  JOIN cc_m2 lb ON lb.doc = e.dst
+  WHERE la.lbl <> lb.lbl
+), cc_reach AS (
+  SELECT doc, doc AS lbl
+  FROM (SELECT src AS doc FROM cc_e2 UNION SELECT dst FROM cc_e2)
+  UNION
+  SELECT e.dst AS doc, r.lbl AS lbl
+  FROM cc_reach r JOIN cc_e2 e ON e.src = r.doc
+  WHERE r.lbl < e.dst
+), cc_root AS (
+  SELECT doc, MIN(lbl) AS lbl FROM cc_reach GROUP BY doc
+), comp AS MATERIALIZED (
+  SELECT l1.doc,
+    CAST(COALESCE(r.lbl, l2.lbl, l1.lbl) AS BIGINT) AS cluster_id
+  FROM cc_m1 l1
+  LEFT JOIN cc_m2 l2 ON l2.doc = l1.lbl
+  LEFT JOIN cc_root r ON r.doc = COALESCE(l2.lbl, l1.lbl)
+)"""
+
+
 def dedup_clusters_oracle() -> str:
     """Twin of dedup_clusters: the recall-tuned MinHash-LSH candidate
     chain, exact-Jaccard verification (clustering raw candidates
     would over-merge — candidate precision is only ~0.55 at this
-    banding), then connected components as a recursive CTE running
-    the SAME min-label propagation the Spark operator iterates —
-    seeded with every document labeled by its own id, propagating
-    only strictly smaller labels (the component minimum m always
-    passes: every other vertex id on a path from m exceeds m).
-    Singletons keep their own id via the non-recursive seed rows."""
+    banding), then connected components via the shared ``cc_ctes``
+    chain (star contraction + residual recursive min-label fixpoint —
+    the same minimum the Spark operator's label propagation reaches).
+    Singletons keep their own id via the documents LEFT JOIN."""
     chain = minhash_cand_ctes(
         n_hashes=64, seed=42, bands=16, rows_per_band=4, max_bucket=500
     )
     return f"""
 WITH RECURSIVE {chain},
 {jaccard_verify_ctes()},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM verified
-),
-reach AS (
-  SELECT doc_id AS doc, doc_id AS lbl FROM documents
-  UNION
-  SELECT e.dst AS doc, r.lbl AS lbl
-  FROM reach r JOIN edges e ON e.src = r.doc
-  WHERE r.lbl < e.dst
-)
-SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-FROM reach GROUP BY doc
+{cc_ctes()}
+SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 """
 
 def split_leakage_safe_oracle() -> str:
@@ -511,21 +561,11 @@ def split_leakage_safe_oracle() -> str:
     return f"""
 WITH RECURSIVE {chain},
 {jaccard_verify_ctes()},
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM verified
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM verified
-),
-reach AS (
-  SELECT doc_id AS doc, doc_id AS lbl FROM documents
-  UNION
-  SELECT e.dst AS doc, r.lbl AS lbl
-  FROM reach r JOIN edges e ON e.src = r.doc
-  WHERE r.lbl < e.dst
-),
+{cc_ctes()},
 clusters AS (
-  SELECT doc AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-  FROM reach GROUP BY doc
+  SELECT d.doc_id,
+    CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 ),
 bucketed AS (
   SELECT doc_id, cluster_id,
