@@ -400,10 +400,14 @@ HEADLINE = [
     "text_bigram_surprisal",
     "orders_yoy_growth",
     "text_source_tvd_matrix",
-    # r13 wave: X170 learned quality scorer (driver-side perceptron
-    # training is part of the timed cost — the honest price of the
-    # model stage, ~bounded 400-doc pyarrow scan; X172 rides the
-    # memoized weights, so its line is the marginal one-pass census)
+    # r13 wave: X170 learned quality scorer.  Only the FIRST of the
+    # three timed runs pays the driver-side perceptron training
+    # (quality_model._WEIGHTS_CACHE memoizes the weights), so the
+    # reported median/best are score-only — the marginal per-batch
+    # cost a production run pays once the model is trained.  The
+    # bounded 400-doc training shows up in the first-run max instead
+    # (ADVICE r13).  X172 rides the same memoized weights, so its
+    # line is the marginal one-pass census.
     "text_quality_classifier",
     "text_quality_calibration",
 ]

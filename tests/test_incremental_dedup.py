@@ -104,3 +104,26 @@ def test_two_batches_restart_and_replay(spark, tmp_path):
     n_dirs = len(os.listdir(pairs_dir))
     _drain(spark, drop, catalog_dir, corpus_path, pairs_dir, ckpt)
     assert len(os.listdir(pairs_dir)) == n_dirs
+
+
+def test_colliding_doc_id_fails_loudly(spark, tmp_path):
+    """A new-crawl doc_id that already exists in the frozen corpus
+    violates the module's disjoint-id precondition (ADVICE r13) —
+    verification would silently duplicate the id's rows in the
+    equi-joins and corrupt inter/union counts.  The guard must fail
+    the batch instead, and exactly-once publish means the failed
+    batch leaves no pairs behind."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    corpus, new, corpus_path, catalog_dir = _setup(spark, tmp_path)
+    drop = str(tmp_path / "drop")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    # poison the drop with one corpus doc alongside the real new docs
+    new.unionByName(corpus.limit(1)).write.mode("append").parquet(drop)
+    with pytest.raises(StreamingQueryException, match="collide"):
+        _drain(spark, drop, catalog_dir, corpus_path, pairs_dir, ckpt)
+    assert not os.path.isdir(pairs_dir) or not [
+        d for d in os.listdir(pairs_dir) if d.startswith("batch=")
+    ]

@@ -117,11 +117,14 @@ def weights_from_parquet(
     n_train: int = N_TRAIN,
     epochs: int = EPOCHS,
 ) -> list[int]:
-    """Train the classifier from the first ``n_train`` documents (by
-    doc_id) of ``<sf_dir>/documents.parquet`` — the bounded
-    driver-side seed, read via pyarrow exactly like the PQ codebook
-    trainer, so the Spark plan and the DuckDB oracle generator call
-    THIS function and inline the identical weights."""
+    """Train the classifier from the ``doc_id < n_train`` slice of
+    ``<sf_dir>/documents.parquet`` — the bounded driver-side seed,
+    read via pyarrow exactly like the PQ codebook trainer, so the
+    Spark plan and the DuckDB oracle generator call THIS function and
+    inline the identical weights.  The filter is the literal id
+    predicate (not "first n rows after sort") so the X172 docstring's
+    held-out framing — every doc_id >= n_train is unseen — holds on
+    corpora with gapped or non-zero-based ids too (ADVICE r13)."""
     key = (os.path.abspath(sf_dir), dim, n_train, epochs)
     if key not in _WEIGHTS_CACHE:
         import pyarrow.parquet as pq
@@ -131,8 +134,12 @@ def weights_from_parquet(
             columns=["doc_id", "text"],
         )
         rows = sorted(
-            zip(tb.column("doc_id").to_pylist(), tb.column("text").to_pylist())
-        )[:n_train]
+            (did, text)
+            for did, text in zip(
+                tb.column("doc_id").to_pylist(), tb.column("text").to_pylist()
+            )
+            if did < n_train
+        )
         examples = [
             (hashed_features(text or "", dim), rule_label(text or ""))
             for _, text in rows

@@ -23,6 +23,13 @@ verify candidates at the 0.7 Jaccard rule, and publish the oriented
 (tmp-dir + atomic rename per ``batch=<run>-<id>`` subdir, replay a
 no-op — the cdc_sink/publish house pattern).
 
+Precondition (guarded, ADVICE r13): new-crawl ``doc_id``s must be
+DISJOINT from corpus ``doc_id``s — verification resolves both pair
+sides against the corpus∪batch union by id equi-join, so a collision
+would silently fan out candidate rows and corrupt inter/union counts.
+Each micro-batch anti-checks its ids against the corpus and raises on
+overlap (one broadcast semi-join count on the tiny batch side).
+
 Semantics note (the watermark-class caveat, stated rather than
 hidden): the stop-bucket census counts corpus + CURRENT batch; the
 batch form counts corpus + the whole new set.  The two differ only
@@ -124,11 +131,26 @@ def stream_incremental_dedup_sink(
             .select("doc_a", "doc_b")
             .distinct()
         )
-        docs_all = (
-            spark.read.parquet(corpus_docs_path)
-            .select("doc_id", "text")
-            .unionByName(batch)
+        corpus_docs = spark.read.parquet(corpus_docs_path).select(
+            "doc_id", "text"
         )
+        # Disjoint-id guard (ADVICE r13): jaccard_verify resolves both
+        # pair sides against docs_all by equi-join, so a batch doc_id
+        # colliding with a corpus doc_id would silently duplicate rows
+        # and corrupt inter/union counts.  The batch is tiny and
+        # already driver-local (localCheckpoint above), so the check
+        # is one broadcast-semi-join count — fail loudly, not wrongly.
+        n_collide = corpus_docs.join(
+            F.broadcast(batch.select("doc_id")), "doc_id", "left_semi"
+        ).count()
+        if n_collide:
+            raise ValueError(
+                f"incremental dedup batch {batch_id}: {n_collide} doc_id(s)"
+                " collide with the frozen corpus — new-crawl ids must be"
+                " disjoint from corpus ids (re-key the crawl or bump its"
+                " id base)"
+            )
+        docs_all = corpus_docs.unionByName(batch)
         verified = jaccard_verify(cands, docs_all, "doc_id", "text", n=1)
         out = verified.select(
             F.col("doc_a").alias("new_id"),
