@@ -871,6 +871,34 @@ CHECKS = {
         ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
         ("text scans candidate-restricted: <= 2 verify branches", lambda p: p.count("Location: InMemoryFileIndex") <= 2),
     ],
+    # r14: X174 — X171's shape with the corpus side off parquet; the
+    # artifact-only claim on the candidate subtree is pinned
+    # pre-checkpoint in tests/test_wave14.py (the final plan hides it
+    # behind the verify checkpoint's Scan ExistingRDD)
+    "dedup_catalog_persisted": [
+        ("candidates enter via the checkpointed subtree", lambda p: "Scan ExistingRDD" in p),
+        ("no cartesian / nested loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
+        ("text scans candidate-restricted: <= 2 verify branches", lambda p: p.count("Location: InMemoryFileIndex") <= 2),
+    ],
+    # r14: X175 — X170's zero-shuffle scoring fold, doubled: both
+    # weight vectors are broadcast literals over ONE projected token
+    # array; nothing joins, nothing explodes
+    "text_quality_drift": [
+        ("map-only two-model scoring: no join of any kind", lambda p: "Join" not in p),
+        ("the two dot products are in-row folds, never an explode", lambda p: "Generate" not in p),
+        ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
+        ("one corpus scan", lambda p: p.count("Location: InMemoryFileIndex") <= 1),
+    ],
+    # r14: X176 — absorb is two parquet scans of the persisted store
+    # united into one 16-group aggregate; no join anywhere, and the
+    # document text never enters
+    "dedup_catalog_absorb": [
+        ("reads the persisted artifact", lambda p: "dedup_catalog" in p),
+        ("union of store partitions, no join of any kind", lambda p: "Union" in p and "Join" not in p),
+        ("text never enters", lambda p: "documents.parquet" not in p),
+        ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
+    ],
 }
 
 

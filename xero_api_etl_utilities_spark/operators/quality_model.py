@@ -108,24 +108,27 @@ def train_perceptron(
     return w
 
 
-_WEIGHTS_CACHE: dict[tuple[str, int, int, int], list[int]] = {}
+_WEIGHTS_CACHE: dict[tuple[str, int, int, int, int], list[int]] = {}
 
 
-def weights_from_parquet(
+def weights_from_parquet_slice(
     sf_dir: str,
+    lo: int,
+    hi: int,
     dim: int = DIM,
-    n_train: int = N_TRAIN,
     epochs: int = EPOCHS,
 ) -> list[int]:
-    """Train the classifier from the ``doc_id < n_train`` slice of
+    """Train the classifier from the ``lo <= doc_id < hi`` slice of
     ``<sf_dir>/documents.parquet`` — the bounded driver-side seed,
     read via pyarrow exactly like the PQ codebook trainer, so the
     Spark plan and the DuckDB oracle generator call THIS function and
     inline the identical weights.  The filter is the literal id
-    predicate (not "first n rows after sort") so the X172 docstring's
-    held-out framing — every doc_id >= n_train is unseen — holds on
-    corpora with gapped or non-zero-based ids too (ADVICE r13)."""
-    key = (os.path.abspath(sf_dir), dim, n_train, epochs)
+    predicate (not "first n rows after sort") so held-out framings —
+    every doc_id outside [lo, hi) is unseen — hold on corpora with
+    gapped or non-zero-based ids too (ADVICE r13).  The lo bound
+    exists for the X175 lifecycle census: a later curation epoch
+    re-trains on the NEXT id slice and diffs the verdicts."""
+    key = (os.path.abspath(sf_dir), dim, lo, hi, epochs)
     if key not in _WEIGHTS_CACHE:
         import pyarrow.parquet as pq
 
@@ -138,7 +141,7 @@ def weights_from_parquet(
             for did, text in zip(
                 tb.column("doc_id").to_pylist(), tb.column("text").to_pylist()
             )
-            if did < n_train
+            if lo <= did < hi
         )
         examples = [
             (hashed_features(text or "", dim), rule_label(text or ""))
@@ -146,3 +149,14 @@ def weights_from_parquet(
         ]
         _WEIGHTS_CACHE[key] = train_perceptron(examples, dim, epochs)
     return _WEIGHTS_CACHE[key]
+
+
+def weights_from_parquet(
+    sf_dir: str,
+    dim: int = DIM,
+    n_train: int = N_TRAIN,
+    epochs: int = EPOCHS,
+) -> list[int]:
+    """The X170/X172 trainer: the ``doc_id < n_train`` seed slice —
+    :func:`weights_from_parquet_slice` with lo = 0."""
+    return weights_from_parquet_slice(sf_dir, 0, n_train, dim, epochs)

@@ -27,7 +27,92 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r13 WINDOW (slots 1-50).  Composition, per the written r13
+    # r14 WINDOW (slots 1-50).  Composition, per the written r14
+    # rotation plan below: (a) r13 had ZERO reds, so the r14 wave's
+    # new registrations (X174-X176) go first, (b) behavior-changed
+    # queries — the six whose oracles moved to the shared
+    # star-contraction cc_ctes() chain (911185b), the two mining
+    # oracles that gained MATERIALIZED basket CTEs, fuzzy_name_match
+    # (exact hamming split), and the two classifier entries whose
+    # trainer moved to the literal doc_id<n slice (2230365), (c) ALL
+    # 23 names whose newest driver row is still r8 (zeroes the r8
+    # staleness tail — every catalog name then holds a driver row
+    # >= r9), (d) pad to 50 with 13 r9 names, dedup/similarity-heavy
+    # shapes first.
+    #
+    # r15 ROTATION PLAN (write it while the context is fresh): (a)
+    # any r14 reds to the TOP, (b) the r15 wave + behavior-changed
+    # queries, (c) the 32 remaining r9-only names that did not fit
+    # this round's fold (agg_all_balanced, agg_balance_check,
+    # agg_conditional_sums, agg_cube, agg_percentiles,
+    # agg_revenue_concentration, agg_rollup, agg_string_receipts,
+    # daily_pnl_rollup, diag_quality_deciles_dist, dim_join_enrich,
+    # events_tumbling, join_cardinality_violations,
+    # join_exactly_one, join_range_intransit, orders_cohort_ltv,
+    # part_pareto_frontier, q1_pricing_summary, q3_shipping_priority,
+    # q5_local_supplier_volume, q6_forecast_revenue, reconcile_matched,
+    # reconcile_unverified, scalar_date_pack,
+    # scalar_null_conditional_pack, scalar_string_pack,
+    # scan_project_filter, text_zipf_slope, window_lag_lead,
+    # window_moving_frame, window_rank_topk, window_segmentation),
+    # (d) pad with the oldest r10 rows.
+    # --- (a) r14 new registrations ---
+    "dedup_catalog_persisted",
+    "text_quality_drift",
+    "dedup_catalog_absorb",
+    # --- (b) r14 behavior-changed (oracle rewrites at 911185b,
+    # trainer slice contract at 2230365) ---
+    "dedup_clusters",
+    "dedup_cluster_representatives",
+    "dedup_cluster_sizes",
+    "dedup_savings_census",
+    "split_leakage_safe",
+    "pipeline_training_corpus",
+    "basket_brand_triples",
+    "basket_brand_rules",
+    "fuzzy_name_match",
+    "text_quality_classifier",
+    "text_quality_calibration",
+    # --- (c) ALL 23 r8-only names (zero the r8 staleness tail) ---
+    "agg_approx_distinct_ok",
+    "corpus_mix_census",
+    "diag_benford_firstdigit",
+    "diag_functional_deps",
+    "diag_ks_drift",
+    "diag_langid_confusion",
+    "diag_quality_deciles",
+    "doc_chunk_overlap_census",
+    "join_asof_nearest",
+    "label_noise_kappa",
+    "layout_partition_advisor",
+    "orders_yoy_growth",
+    "sample_curriculum_order",
+    "sample_pack_waste",
+    "sample_token_budget_plan",
+    "split_balance_report",
+    "text_bigram_surprisal",
+    "text_char_entropy",
+    "text_head_coverage",
+    "text_rake_keywords",
+    "text_source_tvd_matrix",
+    "text_unigram_logprob",
+    "tokenizer_oov_census",
+    # --- (d) 13 r9 pads: dedup/similarity/sketch-heavy shapes first ---
+    "dedup_exact",
+    "dedup_minhash_calibration",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "fuzzy_sorted_neighborhood",
+    "decontaminate_longest_run",
+    "multimodal_audio_vad",
+    "feature_pit_scd2",
+    "join_asof",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r13 WINDOW (slots 1-50 last round).  Composition, per the written r13
     # rotation plan below: (a) r12 had ZERO reds, so the r13 wave's
     # new registrations go first, (b) behavior-changed queries
     # (similarity_ivf_retrain_recall — zero-recall geometry-row anchor
@@ -514,6 +599,7 @@ def _load_extra_modules() -> None:
         wave11,
         wave12,
         wave13,
+        wave14,
     )
 
 

@@ -62,16 +62,20 @@ def minhash_lsh_oracle(
     )
 
 
-def minhash_cand_ctes(
+def band_catalog_ctes(
     n_hashes: int = 64,
     seed: int = 42,
     bands: int = 8,
     rows_per_band: int = 8,
-    max_bucket: int = 500,
     source: str = "documents",
 ) -> str:
-    """The MinHash+LSH CTE chain ending in ``cand(doc_a, doc_b)`` —
-    composable into larger oracle statements."""
+    """The MinHash → banding CTE prefix ending in
+    ``banded(doc, band, bh)`` — the full-corpus band CATALOG before any
+    stop-bucket policy.  Extracted from :func:`minhash_cand_ctes` (which
+    composes it with the bucket guard and candidate join) so catalog-
+    maintenance oracles (wave14 X176 absorb-vs-rebuild) can census the
+    catalog itself without dragging an unreferenced ``cand`` self-join
+    into the statement."""
     coeffs = minhash_coeffs(n_hashes, seed)
     mins = ",\n    ".join(
         f"MIN((hx * {a} + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(coeffs)
@@ -109,7 +113,20 @@ def minhash_cand_ctes(
   FROM hashed GROUP BY doc
 ), banded AS (
   {band_selects}
-), lshkept AS MATERIALIZED (
+)"""
+
+
+def minhash_cand_ctes(
+    n_hashes: int = 64,
+    seed: int = 42,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    max_bucket: int = 500,
+    source: str = "documents",
+) -> str:
+    """The MinHash+LSH CTE chain ending in ``cand(doc_a, doc_b)`` —
+    composable into larger oracle statements."""
+    return f"""{band_catalog_ctes(n_hashes, seed, bands, rows_per_band, source)}, lshkept AS MATERIALIZED (
   SELECT doc, band, bh FROM banded
   QUALIFY COUNT(*) OVER (PARTITION BY band, bh) <= {max_bucket}
 ), cand AS MATERIALIZED (
