@@ -87,9 +87,10 @@ HEADLINE = [
     # (wave14._CATALOG_CACHE memoizes the path), so the reported
     # median/best are the disk-read marginal cost a production crawl
     # pays against an already-written store; the publish shows up in
-    # the first-run max.  X176 rides the same persisted artifact.
+    # the first-run max.  X176/X177 ride the same persisted artifact.
     "dedup_catalog_persisted",
     "dedup_catalog_absorb",
+    "dedup_catalog_expire",
     "dedup_embedding_cosine",
     # similarity_topk (brute force) is the oracle baseline, NOT a
     # headline entry: the headline similarity routes are the two

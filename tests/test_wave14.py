@@ -122,6 +122,41 @@ def test_candidate_subtree_reads_only_artifact_and_sketch(spark):
     assert "EvalPython" not in p
 
 
+def test_expire_equals_rebuild_on_shrunk_corpus(spark):
+    """X177's anti-joined survivor census must equal the same census
+    computed on a from-scratch banding of the shrunk corpus — and the
+    tombstoned docs must actually be gone."""
+    from xero_api_etl_utilities_spark.operators.dedup import band_rows
+    from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
+
+    got = {
+        r["band"]: (r["n_rows"], r["n_docs"], r["n_buckets"], r["bucket_hash_sum"])
+        for r in wave14.dedup_catalog_expire(spark, SF).collect()
+    }
+    rebuilt = band_rows(
+        minhash_sigs(spark, SF).filter(F.col("doc") % 7 != 3),
+        bands=16,
+        rows_per_band=4,
+    )
+    want = {
+        r["band"]: (r["n_rows"], r["n_docs"], r["n_buckets"], r["bucket_hash_sum"])
+        for r in rebuilt.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+            F.countDistinct("bh").cast("bigint").alias("n_buckets"),
+            F.sum(F.col("bh") % 1_000_000_007)
+            .cast("bigint")
+            .alias("bucket_hash_sum"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the delete bit: expiry really removed the tombstoned documents
+    absorb = {r["band"]: r["n_docs"] for r in wave14.dedup_catalog_absorb(spark, SF).collect()}
+    assert all(got[b][1] < absorb[b] for b in got)
+
+
 def test_slice_trainer_disjoint_and_backward_compatible():
     wa = qm.weights_from_parquet_slice(SF, 0, 400)
     wb = qm.weights_from_parquet_slice(SF, 400, 800)

@@ -899,6 +899,17 @@ CHECKS = {
         ("text never enters", lambda p: "documents.parquet" not in p),
         ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
     ],
+    # r14: X177 — expiry is the store scans + ONE broadcast anti-join
+    # against the dimension-sized takedown list; the catalog never
+    # shuffles and the text column never enters (the tombstone scan
+    # reads doc_id only)
+    "dedup_catalog_expire": [
+        ("reads the persisted artifact", lambda p: "dedup_catalog" in p),
+        ("tombstones broadcast anti-join", lambda p: "BroadcastHashJoin LeftAnti" in p),
+        ("no SMJ: the store side never sort-shuffles for the delete", lambda p: "SortMergeJoin" not in p),
+        ("tombstone scan reads only doc_id", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+        ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
+    ],
 }
 
 

@@ -37,17 +37,17 @@ _WINDOW_PRIORITY: list[str] = [
     # trainer moved to the literal doc_id<n slice (2230365), (c) ALL
     # 23 names whose newest driver row is still r8 (zeroes the r8
     # staleness tail — every catalog name then holds a driver row
-    # >= r9), (d) pad to 50 with 13 r9 names, dedup/similarity-heavy
+    # >= r9), (d) pad to 50 with 12 r9 names, dedup/similarity-heavy
     # shapes first.
     #
     # r15 ROTATION PLAN (write it while the context is fresh): (a)
     # any r14 reds to the TOP, (b) the r15 wave + behavior-changed
-    # queries, (c) the 32 remaining r9-only names that did not fit
+    # queries, (c) the 33 remaining r9-only names that did not fit
     # this round's fold (agg_all_balanced, agg_balance_check,
     # agg_conditional_sums, agg_cube, agg_percentiles,
     # agg_revenue_concentration, agg_rollup, agg_string_receipts,
     # daily_pnl_rollup, diag_quality_deciles_dist, dim_join_enrich,
-    # events_tumbling, join_cardinality_violations,
+    # events_tumbling, join_asof, join_cardinality_violations,
     # join_exactly_one, join_range_intransit, orders_cohort_ltv,
     # part_pareto_frontier, q1_pricing_summary, q3_shipping_priority,
     # q5_local_supplier_volume, q6_forecast_revenue, reconcile_matched,
@@ -60,6 +60,7 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_catalog_persisted",
     "text_quality_drift",
     "dedup_catalog_absorb",
+    "dedup_catalog_expire",
     # --- (b) r14 behavior-changed (oracle rewrites at 911185b,
     # trainer slice contract at 2230365) ---
     "dedup_clusters",
@@ -97,7 +98,7 @@ _WINDOW_PRIORITY: list[str] = [
     "text_source_tvd_matrix",
     "text_unigram_logprob",
     "tokenizer_oov_census",
-    # --- (d) 13 r9 pads: dedup/similarity/sketch-heavy shapes first ---
+    # --- (d) 12 r9 pads: dedup/similarity/sketch-heavy shapes first ---
     "dedup_exact",
     "dedup_minhash_calibration",
     "dedup_minhash_lsh",
@@ -110,6 +111,8 @@ _WINDOW_PRIORITY: list[str] = [
     "decontaminate_longest_run",
     "multimodal_audio_vad",
     "feature_pit_scd2",
+    # (join_asof displaced below the fold by the fourth r14
+    # registration — it joins the r15 plan's r9 list)
     "join_asof",
     # ------------------- below the driver's 50-row fold -------------------
     # r13 WINDOW (slots 1-50 last round).  Composition, per the written r13

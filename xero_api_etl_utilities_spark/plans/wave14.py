@@ -20,6 +20,13 @@ artifact and close the classifier lifecycle (VERDICT r13 items 6–7).
   rebuild oracle.  Equality proves the catalog never needs rebuilding:
   absorb(new) ≡ rebuild(corpus ∪ new), because band rows are pure
   per-document functions.
+- X177 ``dedup_catalog_expire`` — the DELETE half of catalog
+  maintenance (X176 is the insert half): a takedown/right-to-be-
+  forgotten list drops documents from the store by broadcast
+  anti-join against the persisted band rows — never a re-shingle —
+  and the surviving catalog is censused against a from-scratch
+  rebuild on the shrunk corpus.  Equality proves
+  expire(tombstones) ≡ rebuild(corpus ∖ tombstones).
 
 Reference provenance: the reference ETL (src/queries.ts) has no dedup
 or model tier; these extend the training-data-pipeline surface the
@@ -399,3 +406,78 @@ FROM banded GROUP BY band ORDER BY band
 
 
 register("dedup_catalog_absorb", dedup_catalog_absorb, _catalog_absorb_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X177: catalog expiry — tombstone deletes, prove ≡ rebuild on the remainder
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_MOD = 7  # doc_id % 7 == 3 plays the takedown list
+
+
+def dedup_catalog_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177: expire a takedown list from the persisted catalog — the
+    GDPR / right-to-be-forgotten operation a training-data store must
+    support without re-shingling anything.  The tombstone set
+    (doc_id % 7 == 3 plays the legal-hold list) broadcast-anti-joins
+    the full persisted store (corpus ∪ arrivals partitions, both off
+    parquet); the survivors are censused per band — row count,
+    distinct documents, distinct buckets, bucket-hash checksum —
+    against an oracle that REBUILDS the banding from the raw text of
+    the shrunk corpus.  Equality proves
+    expire(tombstones) ≡ rebuild(corpus ∖ tombstones): deletes are
+    id-local in the sidecar, exactly like absorbs (X176) are
+    batch-local, so the store never rebuilds.
+
+    Lowering: the delete list is dimension-sized at any corpus scale
+    (it is a legal request list, not a crawl), so it broadcasts; the
+    catalog never shuffles — two parquet scans, one broadcast
+    anti-join, one 16-group aggregate."""
+    path = publish_band_catalog(spark, sf_dir)
+    store = (
+        spark.read.parquet(os.path.join(path, "corpus"))
+        .select("doc", F.col("band").cast("int").alias("band"), "bh")
+        .unionByName(
+            spark.read.parquet(os.path.join(path, "arrivals")).select(
+                "doc", F.col("band").cast("int").alias("band"), "bh"
+            )
+        )
+    )
+    tombstones = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _TOMBSTONE_MOD == 3)
+        .select(F.col("doc_id").alias("doc"))
+    )
+    surviving = store.join(F.broadcast(tombstones), "doc", "left_anti")
+    return (
+        surviving.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+            F.countDistinct("bh").cast("bigint").alias("n_buckets"),
+            F.sum(F.col("bh") % _HASH_P).cast("bigint").alias("bucket_hash_sum"),
+        )
+        .orderBy("band")
+    )
+
+
+def _catalog_expire_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH survivors AS MATERIALIZED (\n"
+        f"  SELECT * FROM documents WHERE doc_id % {_TOMBSTONE_MOD} <> 3\n"
+        "), "
+        + sk.band_catalog_ctes(bands=_BANDS, rows_per_band=_ROWS, source="survivors")
+        + f"""
+SELECT band,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT bh) AS BIGINT) AS n_buckets,
+  CAST(SUM(bh % {_HASH_P}) AS BIGINT) AS bucket_hash_sum
+FROM banded GROUP BY band ORDER BY band
+"""
+    )
+
+
+register("dedup_catalog_expire", dedup_catalog_expire, _catalog_expire_oracle)
