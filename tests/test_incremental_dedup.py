@@ -127,3 +127,180 @@ def test_colliding_doc_id_fails_loudly(spark, tmp_path):
     assert not os.path.isdir(pairs_dir) or not [
         d for d in os.listdir(pairs_dir) if d.startswith("batch=")
     ]
+
+
+# ---------------------------------------------------------------------------
+# X178: the absorbing sink — the store grows with every accepted batch
+# ---------------------------------------------------------------------------
+
+
+def _replay_mixed_pairs(spark, store_docs, batch_docs):
+    """Independent replay of one batch's mixed-pair contract against a
+    given store: band the union, census store+batch buckets, keep
+    inner-joined buckets under the cap, verify candidates at 0.7 —
+    composed directly from the dedup operators, not the sink's code."""
+    from xero_api_etl_utilities_spark.operators.dedup import (
+        band_rows,
+        jaccard_verify,
+        minhash_signatures,
+    )
+
+    batch_ids = {r["doc_id"] for r in batch_docs.select("doc_id").collect()}
+    all_docs = store_docs.unionByName(batch_docs)
+    bands = band_rows(
+        minhash_signatures(all_docs, "doc_id", "text", n=1, num_hashes=64),
+        16,
+        4,
+    ).withColumn("is_new", F.col("doc").isin(batch_ids))
+    s = bands.filter(~F.col("is_new"))
+    b = bands.filter(F.col("is_new"))
+    kept = (
+        s.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_store"))
+        .join(
+            b.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n_new")),
+            ["band", "bh"],
+        )
+        .filter(F.col("n_store") + F.col("n_new") <= 500)
+        .select("band", "bh")
+    )
+    cands = (
+        b.join(kept, ["band", "bh"])
+        .select("band", "bh", F.col("doc").alias("doc_a"))
+        .join(
+            s.select("band", "bh", F.col("doc").alias("doc_b")),
+            ["band", "bh"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = jaccard_verify(cands, all_docs, "doc_id", "text", n=1)
+    return {
+        (r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+        for r in verified.collect()
+    }
+
+
+def test_absorbing_sink_grows_the_store(spark, tmp_path):
+    """X178: batch 2 must dedup against batch 1's absorbed docs (a
+    planted near-dup guarantees a cross-arrival pair), the accumulated
+    pairs must equal the per-batch independent replays against the
+    store AS OF each arrival, the absorbed store must equal a
+    from-scratch build over all documents, and a drained checkpoint
+    replay must publish nothing."""
+    from xero_api_etl_utilities_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+    from xero_api_etl_utilities_spark.streaming.incremental_dedup import (
+        build_dedup_store,
+        stream_absorbing_dedup_sink,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    arrivals = docs.filter(F.col("doc_id") % 5 == 4)
+    b1 = arrivals.filter(F.col("doc_id") % 2 == 0)
+    planted_text = (
+        b1.orderBy("doc_id").limit(1).collect()[0]["text"]
+    )
+    planted = spark.createDataFrame(
+        [(10_000_019, planted_text)], _DOCS_SCHEMA
+    )
+    b2 = arrivals.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    store_dir = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    drop = str(tmp_path / "drop")
+    build_dedup_store(corpus, store_dir)
+
+    def _drain_absorbing():
+        stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(drop)
+        q = stream_absorbing_dedup_sink(stream, store_dir, pairs_dir, ckpt)
+        q.awaitTermination()
+
+    b1.write.mode("append").parquet(drop)
+    _drain_absorbing()
+    got1 = {
+        (r["new_id"], r["store_id"], r["inter_size"], r["union_size"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got1 == _replay_mixed_pairs(spark, corpus, b1)
+
+    b2.write.mode("append").parquet(drop)
+    _drain_absorbing()
+    got_all = {
+        (r["new_id"], r["store_id"], r["inter_size"], r["union_size"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    expected2 = _replay_mixed_pairs(spark, corpus.unionByName(b1), b2)
+    assert got_all == got1 | expected2
+    # the growth is live: the planted near-dup pairs against a BATCH-1
+    # document, which only an absorbed (non-frozen) store can see
+    b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    assert any(p[0] == 10_000_019 and p[1] in b1_ids for p in got_all)
+
+    # absorbed store == from-scratch build over every document
+    all_docs = corpus.unionByName(b1).unionByName(b2)
+    want_cat = {
+        (r["doc"], r["band"], r["bh"])
+        for r in band_rows(
+            minhash_signatures(all_docs, "doc_id", "text", n=1, num_hashes=64),
+            16,
+            4,
+        ).collect()
+    }
+    got_cat = {
+        (r["doc"], r["band"], r["bh"])
+        for r in spark.read.parquet(f"{store_dir}/catalog").collect()
+    }
+    assert got_cat == want_cat
+    got_docs = {
+        r["doc_id"] for r in spark.read.parquet(f"{store_dir}/docs").collect()
+    }
+    assert got_docs == {r["doc_id"] for r in all_docs.collect()}
+
+    # replay: no new files -> no new pair batches, no new store parts
+    n_pairs_dirs = len(os.listdir(pairs_dir))
+    n_cat_parts = len(os.listdir(f"{store_dir}/catalog"))
+    _drain_absorbing()
+    assert len(os.listdir(pairs_dir)) == n_pairs_dirs
+    assert len(os.listdir(f"{store_dir}/catalog")) == n_cat_parts
+
+
+def test_absorbing_sink_collision_with_absorbed_batch_fails(spark, tmp_path):
+    """The disjoint-id guard must also catch collisions with ALREADY
+    ABSORBED arrivals, not just the seed corpus."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from xero_api_etl_utilities_spark.streaming.incremental_dedup import (
+        build_dedup_store,
+        stream_absorbing_dedup_sink,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    b1 = docs.filter(F.col("doc_id") % 5 == 4).limit(5)
+
+    store_dir = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    drop = str(tmp_path / "drop")
+    build_dedup_store(corpus, store_dir)
+
+    def _drain_absorbing():
+        stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(drop)
+        q = stream_absorbing_dedup_sink(stream, store_dir, pairs_dir, ckpt)
+        q.awaitTermination()
+
+    b1.write.mode("append").parquet(drop)
+    _drain_absorbing()
+    # second drop re-sends a batch-1 doc id: collides with the store
+    b1.limit(1).write.mode("append").parquet(drop)
+    with pytest.raises(StreamingQueryException, match="collide"):
+        _drain_absorbing()

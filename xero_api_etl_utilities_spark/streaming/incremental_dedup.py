@@ -1,5 +1,11 @@
-"""Streaming incremental near-dedup against the frozen corpus catalog
-(X173 — the streaming twin of plans/wave13.dedup_incremental_pairs).
+"""Streaming incremental near-dedup: frozen-corpus (X173) and
+absorbing / growing-store (X178) sinks.
+
+X173 is the streaming twin of plans/wave13.dedup_incremental_pairs —
+every batch dedups against the FROZEN corpus catalog.  X178 closes
+the loop a production crawl actually runs: each accepted batch is
+ABSORBED into the store (the X176 catalog-absorb operation driven
+continuously), so batch N also dedups against batches 1..N-1.
 
 The 100 TB operation X171 batches is actually CONTINUOUS: crawl
 batches arrive forever and each must be deduped against the curated
@@ -160,6 +166,146 @@ def stream_incremental_dedup_sink(
         )
         os.makedirs(pairs_dir, exist_ok=True)
         _publish(out, out_b)
+
+    return (
+        new_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# X178: the ABSORBING sink — the store grows with every accepted batch
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_store(docs: DataFrame, store_dir: str) -> None:
+    """Seed the GROWING dedup store (X178): the corpus band catalog
+    under ``<store>/catalog/part=corpus`` and the corpus documents
+    under ``<store>/docs/part=corpus``.  Batches absorbed later land
+    as sibling ``part=<run>-<id>`` partitions, so one partitioned
+    parquet read always sees the whole store."""
+    sigs = minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
+    band_rows(sigs, _BANDS, _ROWS_PER_BAND).write.mode("overwrite").parquet(
+        os.path.join(store_dir, "catalog", "part=corpus")
+    )
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(
+        os.path.join(store_dir, "docs", "part=corpus")
+    )
+
+
+def stream_absorbing_dedup_sink(
+    new_docs: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+    max_bucket: int = _MAX_BUCKET,
+):
+    """X178 — the streaming sink X173 stops short of: the store GROWS.
+
+    X173 dedups every batch against the FROZEN corpus, so two near-dup
+    crawl batches sail past each other.  Here each batch is deduped
+    against the store AS OF its arrival (corpus + every previously
+    absorbed batch) and then ABSORBED: its band rows and its documents
+    are appended to the store as new ``part=<run>-<id>`` partitions —
+    the X176 absorb operation driven continuously.  Batch N therefore
+    emits (new × corpus) AND (new × earlier-arrival) verified pairs;
+    within-batch pairs stay out of scope exactly as in the batch form
+    (X171's mixed-pair contract).
+
+    Exactly-once, per ARTIFACT: the pairs dir, the catalog partition
+    and the docs partition are each an atomic tmp+rename publish keyed
+    by ``<run>-<batch_id>`` with an isdir replay guard — a crash
+    between publishes resumes by finishing only the missing artifacts
+    (the absorb payloads are pure functions of the batch, so finishing
+    them on replay is safe regardless of later store growth; pairs are
+    only ever computed before this batch's own absorb, so replay
+    cannot double-count).
+
+    100 TB shape: per batch the store contributes one scan of its band
+    catalog (never the text outside the candidate semi-join) and the
+    absorb is a map-only append of ~16 rows/doc — the store is never
+    rewritten, never re-shingled, and compaction of the accreted
+    partitions is sources/writer.compact_dir housekeeping."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tag = f"{_query_run_id(checkpoint_dir)}-{batch_id}"
+        out_pairs = os.path.join(pairs_dir, f"batch={tag}")
+        out_cat = os.path.join(store_dir, "catalog", f"part={tag}")
+        out_docs = os.path.join(store_dir, "docs", f"part={tag}")
+        if all(os.path.isdir(d) for d in (out_pairs, out_cat, out_docs)):
+            return  # replayed batch: fully published
+        _sweep_inprogress(pairs_dir)
+        _sweep_inprogress(os.path.join(store_dir, "catalog"))
+        _sweep_inprogress(os.path.join(store_dir, "docs"))
+
+        batch = batch_df.select("doc_id", "text").localCheckpoint()
+        store_docs = spark.read.parquet(os.path.join(store_dir, "docs")).select(
+            "doc_id", "text"
+        )
+        # disjoint-id guard, now against the WHOLE store (corpus +
+        # absorbed arrivals): same silent-corruption mode as X173's
+        n_collide = store_docs.join(
+            F.broadcast(batch.select("doc_id")), "doc_id", "left_semi"
+        ).count()
+        if n_collide:
+            raise ValueError(
+                f"absorbing dedup batch {batch_id}: {n_collide} doc_id(s)"
+                " collide with the store — ids must be unique across the"
+                " corpus and every absorbed batch"
+            )
+
+        new_bands = band_rows(
+            minhash_signatures(batch, "doc_id", "text", n=1, num_hashes=64),
+            bands,
+            rows_per_band,
+        ).localCheckpoint()
+
+        if not os.path.isdir(out_pairs):
+            catalog = spark.read.parquet(
+                os.path.join(store_dir, "catalog")
+            ).select("doc", "band", "bh")
+            store_counts = catalog.groupBy("band", "bh").agg(
+                F.count(F.lit(1)).alias("n_store")
+            )
+            batch_counts = new_bands.groupBy("band", "bh").agg(
+                F.count(F.lit(1)).alias("n_new")
+            )
+            kept = (
+                store_counts.join(batch_counts, ["band", "bh"])
+                .filter(F.col("n_store") + F.col("n_new") <= max_bucket)
+                .select("band", "bh")
+            )
+            cands = (
+                new_bands.join(kept, ["band", "bh"])
+                .select("band", "bh", F.col("doc").alias("doc_a"))
+                .join(
+                    catalog.select("band", "bh", F.col("doc").alias("doc_b")),
+                    ["band", "bh"],
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            docs_all = store_docs.unionByName(batch)
+            verified = jaccard_verify(cands, docs_all, "doc_id", "text", n=1)
+            out = verified.select(
+                F.col("doc_a").alias("new_id"),
+                F.col("doc_b").alias("store_id"),
+                "inter_size",
+                "union_size",
+            )
+            os.makedirs(pairs_dir, exist_ok=True)
+            _publish(out, out_pairs)
+        # absorb AFTER the pairs: the batch must never dedup against
+        # itself through the store
+        if not os.path.isdir(out_cat):
+            _publish(new_bands, out_cat)
+        if not os.path.isdir(out_docs):
+            _publish(batch, out_docs)
 
     return (
         new_docs.writeStream.foreachBatch(_apply)
