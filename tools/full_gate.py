@@ -155,7 +155,28 @@ def main() -> int:
     ]
     print(f"gate: {len(todo)} queries to run at {sf_dir} (commit {commit})")
 
+    # Per-session calibration (r14): the loadavg guard catches OUR
+    # concurrent work but not host-level contention (the r14 closing
+    # sweep's first batch ran 2-3x slow with loadavg clean).  At each
+    # session start, time bench.py's sched probe (min-of-2 x 20
+    # one-row jobs) and stamp it into every row the session journals,
+    # so a degraded batch self-flags in the record instead of needing
+    # manual cross-run forensics.  NOTE the band differs from bench's:
+    # this probe runs on a FRESH JVM (no warm-up materialize first),
+    # so quiet-box reads ~3-4 s here vs bench's warmed <2.5 s; treat
+    # rows whose calib_sched is well above ~4 s as contended.
+    def _calib_sched(spark) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(20):
+                spark.range(1).count()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
     spark = _new_spark()
+    calib = _calib_sched(spark)
+    print(f"session calib_sched {calib}s", flush=True)
     journal = open(journal_path, "a")
     counts = {"ok": 0, "fail": 0, "rows-only": 0}
     slow_oracles: list[tuple[str, float]] = []
@@ -165,6 +186,8 @@ def main() -> int:
             spark.stop()
             spark = _new_spark()
             since_restart = 0
+            calib = _calib_sched(spark)
+            print(f"session calib_sched {calib}s", flush=True)
         since_restart += 1
         t0 = time.time()
         status, detail, n_rows = "ok", "", -1
@@ -214,6 +237,7 @@ def main() -> int:
                     "spark_sec": spark_sec,
                     "oracle_sec": oracle_sec,
                     "oracle_slow": oracle_slow,
+                    "calib_sched": calib,
                     "sf": sf_name,
                     "commit": commit,
                     "ts": round(time.time(), 1),
