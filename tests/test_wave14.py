@@ -157,6 +157,26 @@ def test_expire_equals_rebuild_on_shrunk_corpus(spark):
     assert all(got[b][1] < absorb[b] for b in got)
 
 
+def test_absorb_then_expire_is_identity(spark):
+    """CRUD identity on the persisted store: absorbing the arrivals
+    and then expiring exactly the absorbed ids must return the corpus
+    partition row-for-row — deletes are the exact inverse of inserts
+    in the sidecar, which is why neither ever needs a rebuild."""
+    path = wave14.publish_band_catalog(spark, SF)
+    corpus = spark.read.parquet(os.path.join(path, "corpus")).select(
+        "doc", F.col("band").cast("int").alias("band"), "bh"
+    )
+    arrivals = spark.read.parquet(os.path.join(path, "arrivals")).select(
+        "doc", F.col("band").cast("int").alias("band"), "bh"
+    )
+    absorbed = corpus.unionByName(arrivals)
+    tombstones = arrivals.select("doc").distinct()
+    surviving = absorbed.join(tombstones, "doc", "left_anti")
+    got = {(r["doc"], r["band"], r["bh"]) for r in surviving.collect()}
+    want = {(r["doc"], r["band"], r["bh"]) for r in corpus.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_slice_trainer_disjoint_and_backward_compatible():
     wa = qm.weights_from_parquet_slice(SF, 0, 400)
     wb = qm.weights_from_parquet_slice(SF, 400, 800)
