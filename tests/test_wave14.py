@@ -1,6 +1,6 @@
 """Semantics pins for the r14 wave: the persisted dedup catalog
-(X174), the classifier-lifecycle drift census (X175), and catalog
-absorb-vs-rebuild (X176).
+(X174), the classifier-lifecycle drift census (X175), catalog
+absorb-vs-rebuild (X176), and catalog expiry-vs-rebuild (X177).
 
 The oracle gate proves Spark == DuckDB on the generated tables; these
 cases pin the artifact contracts themselves: the disk-backed catalog

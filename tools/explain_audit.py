@@ -877,6 +877,10 @@ CHECKS = {
     # behind the verify checkpoint's Scan ExistingRDD)
     "dedup_catalog_persisted": [
         ("candidates enter via the checkpointed subtree", lambda p: "Scan ExistingRDD" in p),
+        # r15: the publish path must not globally sort the fact-sized
+        # pair output (the driver hash is order-insensitive; a global
+        # Sort means a full range shuffle at 100 TB pair volume)
+        ("no global sort on the publish path", lambda p: "Sort [" not in p or "rangepartitioning" not in p),
         ("no cartesian / nested loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
         ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
         ("text scans candidate-restricted: <= 2 verify branches", lambda p: p.count("Location: InMemoryFileIndex") <= 2),

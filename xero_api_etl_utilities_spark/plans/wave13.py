@@ -71,16 +71,21 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = qm.weights_from_parquet(sf_dir)
     w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
     toks = tokens(F.col("text"))
-    score = F.aggregate(
-        toks,
+    # coalesce: NULL text -> NULL fold, but the DuckDB oracle COALESCEs
+    # its list_sum to 0 — a NULL-text document scores 0 (ADVICE r14)
+    score = F.coalesce(
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.element_at(
+                w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
+            )
+            * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint"),
+        ),
         F.lit(0).cast("bigint"),
-        lambda acc, t: acc
-        + F.element_at(
-            w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
-        )
-        * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("bigint"),
     )
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -276,16 +281,21 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = qm.weights_from_parquet(sf_dir)
     w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
     toks = tokens(F.col("text"))
-    score = F.aggregate(
-        toks,
+    # coalesce: NULL text -> NULL fold, but the DuckDB oracle COALESCEs
+    # its list_sum to 0 — a NULL-text document scores 0 (ADVICE r14)
+    score = F.coalesce(
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.element_at(
+                w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
+            )
+            * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint"),
+        ),
         F.lit(0).cast("bigint"),
-        lambda acc, t: acc
-        + F.element_at(
-            w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
-        )
-        * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("bigint"),
     )
     flags = quality_flags(F.col("text"))
     rule = flags["len_ok"] & flags["punct_ok"] & flags["stopword_ok"]

@@ -1,4 +1,4 @@
-"""Round-14 wave (X174–X176): make the dedup CATALOG a real on-disk
+"""Round-14 wave (X174–X177): make the dedup CATALOG a real on-disk
 artifact and close the classifier lifecycle (VERDICT r13 items 6–7).
 
 - X174 ``dedup_catalog_persisted`` — X171's incremental near-dedup
@@ -196,7 +196,10 @@ def dedup_catalog_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter_size",
             "union_size",
         )
-        .orderBy("new_id", "corpus_id")
+        # no publish-path orderBy: the driver hash is order-insensitive
+        # and this is the one fact-sized catalog output — a global sort
+        # here would plan a full range shuffle at 100 TB pair volume
+        # for nothing (VERDICT r14 "What's wrong" note 1)
     )
 
 
@@ -230,16 +233,22 @@ def _score_expr(weights: list[int], toks) -> F.Column:
     from xero_api_etl_utilities_spark.operators import quality_model as qm
 
     w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
-    return F.aggregate(
-        toks,
+    # NULL text -> NULL token array -> NULL fold; the DuckDB oracle
+    # COALESCEs its list_sum to 0, so match it exactly (a NULL-text
+    # document scores 0 = rejected, not NULL) — ADVICE r14
+    return F.coalesce(
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.element_at(
+                w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
+            )
+            * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint"),
+        ),
         F.lit(0).cast("bigint"),
-        lambda acc, t: acc
-        + F.element_at(
-            w_arr, (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1).cast("int")
-        )
-        * F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("bigint"),
     )
 
 

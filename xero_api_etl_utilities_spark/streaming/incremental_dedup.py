@@ -43,7 +43,14 @@ when a bucket crosses ``max_bucket`` because of NEW docs split across
 batches — pinned equal on the test corpus, and conservative in the
 right direction at scale (a bucket the full census would drop may
 survive an early small batch, never the reverse... the early batch
-emits at most the pairs the cap exists to bound).
+emits at most the pairs the cap exists to bound).  The ABSORBING
+form (X178) carries the same caveat, compounded: there the census is
+store-so-far + current batch, and "store so far" itself depends on
+the arrival split — whether a bucket crosses ``max_bucket`` at batch
+N depends on how many of its members arrived in batches 1..N-1.
+Still bounded in the same direction: an early batch can emit pairs a
+late-census would have capped, never suppress pairs it would have
+kept (ADVICE r14).
 """
 
 from __future__ import annotations
