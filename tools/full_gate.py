@@ -174,21 +174,7 @@ def main() -> int:
             best = min(best, time.time() - t0)
         return round(best, 2)
 
-    spark = _new_spark()
-    calib = _calib_sched(spark)
-    print(f"session calib_sched {calib}s", flush=True)
-    journal = open(journal_path, "a")
-    counts = {"ok": 0, "fail": 0, "rows-only": 0}
-    slow_oracles: list[tuple[str, float]] = []
-    since_restart = 0
-    for name in todo:
-        if since_restart >= args.batch:
-            spark.stop()
-            spark = _new_spark()
-            since_restart = 0
-            calib = _calib_sched(spark)
-            print(f"session calib_sched {calib}s", flush=True)
-        since_restart += 1
+    def _run_row(spark, name, calib, retry=False) -> dict:
         t0 = time.time()
         status, detail, n_rows = "ok", "", -1
         spark_sec = oracle_sec = 0.0
@@ -222,34 +208,29 @@ def main() -> int:
         except Exception as e:  # spark, duckdb, or digest error
             status, detail = "fail", f"{type(e).__name__}: {e}"
         sec = round(time.time() - t0, 1)
-        counts[status] += 1
         oracle_slow = oracle_sec > args.oracle_budget
-        if oracle_slow:
-            slow_oracles.append((name, oracle_sec))
-        journal.write(
-            json.dumps(
-                {
-                    "name": name,
-                    "status": status,
-                    "detail": detail[:500],
-                    "rows": n_rows,
-                    "sec": sec,
-                    "spark_sec": spark_sec,
-                    "oracle_sec": oracle_sec,
-                    "oracle_slow": oracle_slow,
-                    "calib_sched": calib,
-                    "sf": sf_name,
-                    "commit": commit,
-                    "ts": round(time.time(), 1),
-                },
-                sort_keys=True,
-            )
-            + "\n"
-        )
+        rec = {
+            "name": name,
+            "status": status,
+            "detail": detail[:500],
+            "rows": n_rows,
+            "sec": sec,
+            "spark_sec": spark_sec,
+            "oracle_sec": oracle_sec,
+            "oracle_slow": oracle_slow,
+            "calib_sched": calib,
+            "sf": sf_name,
+            "commit": commit,
+            "ts": round(time.time(), 1),
+        }
+        if retry:
+            rec["retry"] = True
+        journal.write(json.dumps(rec, sort_keys=True) + "\n")
         journal.flush()
         print(
             f"{status:9s} {name}: {n_rows} rows ({sec}s ="
             f" {spark_sec}s spark + {oracle_sec}s oracle)"
+            + ("  [retry]" if retry else "")
             + (
                 f"  !! ORACLE OVER BUDGET ({args.oracle_budget}s)"
                 if oracle_slow
@@ -257,6 +238,53 @@ def main() -> int:
             ),
             flush=True,
         )
+        return rec
+
+    spark = _new_spark()
+    calib = _calib_sched(spark)
+    print(f"session calib_sched {calib}s", flush=True)
+    journal = open(journal_path, "a")
+    counts = {"ok": 0, "fail": 0, "rows-only": 0}
+    over_budget: list[dict] = []
+    since_restart = 0
+    for name in todo:
+        if since_restart >= args.batch:
+            spark.stop()
+            spark = _new_spark()
+            since_restart = 0
+            calib = _calib_sched(spark)
+            print(f"session calib_sched {calib}s", flush=True)
+        since_restart += 1
+        rec = _run_row(spark, name, calib)
+        counts[rec["status"]] += 1
+        if rec["oracle_slow"] or rec["sec"] > args.oracle_budget:
+            over_budget.append(rec)
+
+    # Auto-retry pass (VERDICT r14 item 5): the r14 sweep's first batch
+    # ran 2-3x slow on host contention and two rows breached the oracle
+    # budget until MANUAL same-commit re-runs were journaled by hand.
+    # Any row whose oracle (or whole row) ran over budget gets ONE
+    # automatic re-run on a fresh session at sweep end, so the journal
+    # is self-contained: a genuinely slow oracle stays flagged twice, a
+    # contended-box outlier collapses, no hand-stitching either way.
+    slow_oracles: list[tuple[str, float]] = []
+    if over_budget:
+        print(
+            f"\n-- retry pass: {len(over_budget)} over-budget row(s),"
+            " fresh session --",
+            flush=True,
+        )
+        spark.stop()
+        spark = _new_spark()
+        calib = _calib_sched(spark)
+        print(f"session calib_sched {calib}s", flush=True)
+        for first in over_budget:
+            rec = _run_row(spark, first["name"], calib, retry=True)
+            if rec["status"] != first["status"]:
+                counts[first["status"]] -= 1
+                counts[rec["status"]] += 1
+            if rec["oracle_slow"]:
+                slow_oracles.append((rec["name"], rec["oracle_sec"]))
 
     journal.close()
     spark.stop()
