@@ -517,7 +517,32 @@ def main() -> None:
             "calib_sched_sec": round(best_sched, 3),
         }
 
+    # Quiet-box gate (VERDICT r14 item 1): the artifact the driver
+    # files per round must itself be a quiet-box run — r14's clean
+    # band lived only in BENCH_HISTORY.jsonl because the driver's
+    # closing run landed on an intermittently contended host
+    # (calib_sched 4.05 vs the 2.5 threshold).  The contention is
+    # transient (two clean runs happened within hours), so instead of
+    # measuring through it, wait it out: re-calibrate every 90 s until
+    # the sched probe reads quiet or the wait budget (~12 min) runs
+    # out, then stamp every attempt into the artifact so a still-
+    # degraded run self-flags with its full history.
+    QUIET_SCHED_SEC = 2.5
     calib = _calibrate()
+    attempts = [calib["calib_sched_sec"]]
+    while calib["calib_sched_sec"] >= QUIET_SCHED_SEC and len(attempts) < 9:
+        print(
+            f"bench calibration degraded (calib_sched"
+            f" {calib['calib_sched_sec']} >= {QUIET_SCHED_SEC}); waiting"
+            f" 90s for the box to quiet (attempt {len(attempts)}/8)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(90)
+        calib = _calibrate()
+        attempts.append(calib["calib_sched_sec"])
+    calib["calib_attempts"] = attempts
+    calib["quiet_box"] = calib["calib_sched_sec"] < QUIET_SCHED_SEC
     print(f"bench calibration: {calib}", file=sys.stderr, flush=True)
 
     # median-of-3 (r9; was best-of-2): the box shows multi-second
