@@ -202,6 +202,107 @@ def build_dedup_store(docs: DataFrame, store_dir: str) -> None:
     )
 
 
+def _part_parquet_files(d: str) -> list[str]:
+    return [
+        os.path.join(dp, f)
+        for dp, _, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+
+
+def compact_store(
+    spark,
+    store_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Compact the absorbing store's accreted partitions (X178's
+    housekeeping, VERDICT r14 item 2): every absorbed batch appended
+    one ``part=<run>-<id>`` partition of ~32 kilobyte-scale files to
+    ``<store>/catalog`` and ``<store>/docs``; at crawl cadence that is
+    the small-files failure mode.  Each sub-store's live partitions
+    are merged into ONE new ``part=compact-<k>`` partition sized from
+    the on-disk bytes (``ceil(total / target_file_bytes)`` files, the
+    compact_dir rule), while every prior partition directory survives
+    as an EMPTY marker dir holding only an ``_ABSORBED`` flag file —
+    the sink's exactly-once replay guard is ``os.path.isdir`` on the
+    batch's partition dir, so markers keep replays no-ops, and Spark's
+    file listing ignores both the empty dirs and the underscore file,
+    so readers see exactly the compacted rows.
+
+    Crash safety is ``sources/writer.compact_dir``'s proven swap: the
+    new layout (compact parquet + marker dirs) is assembled in a
+    sibling ``.compacting`` tmp, then swapped in via two renames with
+    a ``.precompact`` fallback — readers see the old or the new
+    layout, never duplicates, and a re-invocation repairs any
+    interrupted run.  Re-compacting an already-compacted store merges
+    the single compact partition into the next-indexed one (a no-op
+    rewrite, same rows).
+
+    Run it quiesced — between micro-batches, like any housekeeping on
+    a streaming sink's artifact; an in-flight batch could otherwise
+    publish a new partition into the pre-swap root and lose it.
+    Returns {sub-store: parquet file count after compaction}."""
+    import math
+    import re
+    import shutil
+
+    out: dict[str, int] = {}
+    for sub in ("catalog", "docs"):
+        root = os.path.join(store_dir, sub)
+        tmp, old = f"{root}.compacting", f"{root}.precompact"
+        # recovery preamble (compact_dir semantics): discard a
+        # half-built tmp; restore or discard a stranded precompact
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if os.path.isdir(old):
+            if not os.path.isdir(root):
+                os.rename(old, root)
+            else:
+                shutil.rmtree(old)
+        parts = sorted(
+            p for p in os.listdir(root) if p.startswith("part=")
+        )
+        live = [
+            p for p in parts if _part_parquet_files(os.path.join(root, p))
+        ]
+        if not live:
+            out[sub] = 0
+            continue
+        total = sum(
+            os.path.getsize(f)
+            for p in live
+            for f in _part_parquet_files(os.path.join(root, p))
+        )
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        k = 1 + max(
+            (
+                int(m.group(1))
+                for p in parts
+                if (m := re.fullmatch(r"part=compact-(\d+)", p))
+            ),
+            default=0,
+        )
+        spark.read.parquet(
+            *(os.path.join(root, p) for p in live)
+        ).repartition(n_files).write.parquet(
+            os.path.join(tmp, f"part=compact-{k:06d}")
+        )
+        for p in parts:
+            marker = os.path.join(tmp, p)
+            os.makedirs(marker, exist_ok=True)
+            open(os.path.join(marker, "_ABSORBED"), "w").close()
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old)
+        out[sub] = len(
+            _part_parquet_files(
+                os.path.join(root, f"part=compact-{k:06d}")
+            )
+        )
+    return out
+
+
 def stream_absorbing_dedup_sink(
     new_docs: DataFrame,
     store_dir: str,
@@ -235,8 +336,9 @@ def stream_absorbing_dedup_sink(
     100 TB shape: per batch the store contributes one scan of its band
     catalog (never the text outside the candidate semi-join) and the
     absorb is a map-only append of ~16 rows/doc — the store is never
-    rewritten, never re-shingled, and compaction of the accreted
-    partitions is sources/writer.compact_dir housekeeping."""
+    rewritten, never re-shingled, and the accreted per-batch
+    partitions are merged by :func:`compact_store` (quiesced
+    housekeeping; replay guards survive as marker dirs)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
