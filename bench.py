@@ -91,6 +91,12 @@ HEADLINE = [
     "dedup_catalog_persisted",
     "dedup_catalog_absorb",
     "dedup_catalog_expire",
+    # r15: X179 — the sequenced absorb-loop replay.  Only the FIRST
+    # timed run pays the store publish + both batch verifies
+    # (wave15._STORE_CACHE memoizes the store root); median/best are
+    # the pairs-artifact read-back a reviewer of the published store
+    # pays.  The end-to-end loop cost lives in the first-run max.
+    "dedup_store_asof",
     "dedup_embedding_cosine",
     # similarity_topk (brute force) is the oracle baseline, NOT a
     # headline entry: the headline similarity routes are the two
@@ -423,6 +429,9 @@ HEADLINE = [
     # epoch B's bounded training on its first timed run only —
     # median/best are the one-pass two-fold census cost.
     "text_quality_drift",
+    # r15: X180 rides X175's memoized weights and census shape — the
+    # marginal cost of the swap DECISION on top of the census
+    "quality_swap_gate",
 ]
 # Exactness baselines benched at a BOUNDED sf (r9, VERDICT r7/r8
 # carried item: "no catalog name absent from every bench artifact").

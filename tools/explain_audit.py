@@ -885,6 +885,24 @@ CHECKS = {
         ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
         ("text scans candidate-restricted: <= 2 verify branches", lambda p: p.count("Location: InMemoryFileIndex") <= 2),
     ],
+    # r15: X179 — the query reads back the PUBLISHED pairs artifact;
+    # all loop mechanics (census, candidate join, verify, absorb) ran
+    # at publish time, so the recurring plan must be one parquet scan
+    "dedup_store_asof": [
+        ("read-back is one artifact scan, no join", lambda p: "Join" not in p),
+        ("exactly one file-index location", lambda p: p.count("Location: InMemoryFileIndex") == 1),
+        ("no Python evaluator, no global sort", lambda p: "EvalPython" not in p and "rangepartitioning" not in p),
+    ],
+    # r15: X180 — the swap decision is one dimension-grain aggregate
+    # over the X175 census shape: still no join, no explode, no UDF
+    # (the final one-row agg is SinglePartition by nature, over ~20
+    # source rows — not a fact-path collapse)
+    "quality_swap_gate": [
+        ("decision composes the census: no join of any kind", lambda p: "Join" not in p),
+        ("scoring folds stay in-row: no explode", lambda p: "Generate" not in p),
+        ("no Python evaluator", lambda p: "EvalPython" not in p),
+        ("one corpus scan", lambda p: p.count("Location: InMemoryFileIndex") == 1),
+    ],
     # r14: X175 — X170's zero-shuffle scoring fold, doubled: both
     # weight vectors are broadcast literals over ONE projected token
     # array; nothing joins, nothing explodes

@@ -27,7 +27,92 @@ _ORACLES: dict[str, str | Callable[[], str]] = {}
 # Names not yet registered are ignored, so new-round queries can be listed
 # here before their module lands.
 _WINDOW_PRIORITY: list[str] = [
-    # r14 WINDOW (slots 1-50).  Composition, per the written r14
+    # r15 WINDOW (slots 1-50).  Composition, per the written r15
+    # rotation plan below: (a) r14 had ZERO reds, so the r15 wave's
+    # new registrations (X179-X180) go first, (b) behavior-changed
+    # queries — dedup_catalog_persisted (publish-path orderBy
+    # dropped, d95d760) and the three scorer entries whose fold
+    # gained the NULL-safe coalesce (d95d760), (c) ALL 33 names
+    # whose newest driver row is still r9 (zeroes the r9 staleness
+    # tail — every catalog name then holds a driver row >= r10),
+    # (d) pad to 50 with 11 r10 names, dedup/span/publish-heavy
+    # shapes first.
+    #
+    # r16 ROTATION PLAN (write it while the context is fresh): (a)
+    # any r15 reds to the TOP, (b) the r16 wave + behavior-changed
+    # queries, (c) the 35 remaining r10-only names that did not fit
+    # this round's fold (corr_all_quantified,
+    # corr_nested_exists_scalar, corr_not_in_null_trap,
+    # corr_scalar_select_twice, dedup_ngram_jaccard,
+    # events_dedup_latest, events_sessionization, events_sliding,
+    # filter_negation_membership_routing, filter_null_and_zero,
+    # invoice_line_assembly, orders_rfm_migration,
+    # orders_rfm_segments, part_abc_classification,
+    # parts_brand_margin, pivot_event_values, q10_returned_items,
+    # q13_order_count_distribution, q14_promo_revenue,
+    # q15_top_supplier, q17_small_qty_revenue, q18_large_orders,
+    # q19_bracketed_revenue, q22_dormant_customers,
+    # q4_priority_returns, q7_volume_shipping, q8_market_share,
+    # q9_product_profit, set_ops_custkeys, snapshot_diff_summary,
+    # sort_limit_topk, text_fingerprint, text_lang_id, text_quality,
+    # text_token_counts), (d) pad with the oldest r11 rows.
+    # --- (a) r15 new registrations ---
+    "dedup_store_asof",
+    "quality_swap_gate",
+    # --- (b) r15 behavior-changed (publish sort drop + NULL-safe
+    # scorer coalesce, d95d760) ---
+    "dedup_catalog_persisted",
+    "text_quality_drift",
+    "text_quality_classifier",
+    "text_quality_calibration",
+    # --- (c) ALL 33 r9-only names (zero the r9 staleness tail) ---
+    "agg_all_balanced",
+    "agg_balance_check",
+    "agg_conditional_sums",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_revenue_concentration",
+    "agg_rollup",
+    "agg_string_receipts",
+    "daily_pnl_rollup",
+    "diag_quality_deciles_dist",
+    "dim_join_enrich",
+    "events_tumbling",
+    "join_asof",
+    "join_cardinality_violations",
+    "join_exactly_one",
+    "join_range_intransit",
+    "orders_cohort_ltv",
+    "part_pareto_frontier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "reconcile_matched",
+    "reconcile_unverified",
+    "scalar_date_pack",
+    "scalar_null_conditional_pack",
+    "scalar_string_pack",
+    "scan_project_filter",
+    "text_zipf_slope",
+    "window_lag_lead",
+    "window_moving_frame",
+    "window_rank_topk",
+    "window_segmentation",
+    # --- (d) 11 r10 pads: dedup/span/publish-heavy shapes first ---
+    "dedup_verified_pairs",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "decontaminate_span_emit",
+    "text_span_dedup_emit",
+    "pipeline_corpus_publish",
+    "merge_cdc_snapshot",
+    "cluster_assign",
+    "sample_split_assign",
+    "multimodal_frame_sample",
+    "dedup_ngram_jaccard",
+    # ------------------- below the driver's 50-row fold -------------------
+    # r14 WINDOW (slots 1-50 last round).  Composition, per the written r14
     # rotation plan below: (a) r13 had ZERO reds, so the r14 wave's
     # new registrations (X174-X176) go first, (b) behavior-changed
     # queries — the six whose oracles moved to the shared
@@ -114,8 +199,7 @@ _WINDOW_PRIORITY: list[str] = [
     # (join_asof displaced below the fold by the fourth r14
     # registration — it joins the r15 plan's r9 list)
     "join_asof",
-    # ------------------- below the driver's 50-row fold -------------------
-    # r13 WINDOW (slots 1-50 last round).  Composition, per the written r13
+    # r13 WINDOW (slots 1-50 two rounds back).  Composition, per the written r13
     # rotation plan below: (a) r12 had ZERO reds, so the r13 wave's
     # new registrations go first, (b) behavior-changed queries
     # (similarity_ivf_retrain_recall — zero-recall geometry-row anchor
@@ -603,6 +687,7 @@ def _load_extra_modules() -> None:
         wave12,
         wave13,
         wave14,
+        wave15,
     )
 
 

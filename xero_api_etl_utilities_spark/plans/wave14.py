@@ -252,6 +252,40 @@ def _score_expr(weights: list[int], toks) -> F.Column:
     )
 
 
+def drift_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared per-source two-model census frame under X175 (the
+    drift table) and X180 (the gated swap verdict): raw integer counts
+    per source, INCLUDING the un-rounded agreement count ``_agree`` so
+    downstream aggregates (the swap gate's global agreement) stay
+    exact instead of re-deriving from rounded bp."""
+    from xero_api_etl_utilities_spark.operators import quality_model as qm
+    from xero_api_etl_utilities_spark.operators.dedup import tokens
+
+    w_a = qm.weights_from_parquet_slice(sf_dir, *_EPOCH_A)
+    w_b = qm.weights_from_parquet_slice(sf_dir, *_EPOCH_B)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "source",
+        _score_expr(w_a, F.col("_toks")).alias("score_a"),
+        _score_expr(w_b, F.col("_toks")).alias("score_b"),
+    )
+    pos_a = F.col("score_a") > 0
+    pos_b = F.col("score_b") > 0
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(pos_a.cast("int")).cast("bigint").alias("n_pos_a"),
+        F.sum(pos_b.cast("int")).cast("bigint").alias("n_pos_b"),
+        F.sum((~pos_a & pos_b).cast("int")).cast("bigint").alias("n_gained"),
+        F.sum((pos_a & ~pos_b).cast("int")).cast("bigint").alias("n_lost"),
+        F.sum((pos_a == pos_b).cast("int")).cast("bigint").alias("_agree"),
+        F.sum(F.col("score_b") - F.col("score_a"))
+        .cast("bigint")
+        .alias("score_drift"),
+    )
+
+
 def text_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X175: the model-swap drift census — X170's perceptron (epoch A,
     doc_id in [0,400)) against the SAME architecture re-trained on the
@@ -268,32 +302,7 @@ def text_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle before the dimension-grain groupBy) — X170's zero-shuffle
     shape, doubled.  Training cost stays FIXED at 100 TB: two bounded
     driver-side slices, never a corpus pass."""
-    from xero_api_etl_utilities_spark.operators import quality_model as qm
-    from xero_api_etl_utilities_spark.operators.dedup import tokens
-
-    w_a = qm.weights_from_parquet_slice(sf_dir, *_EPOCH_A)
-    w_b = qm.weights_from_parquet_slice(sf_dir, *_EPOCH_B)
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "source", tokens(F.col("text")).alias("_toks")
-    ).select(
-        "source",
-        _score_expr(w_a, F.col("_toks")).alias("score_a"),
-        _score_expr(w_b, F.col("_toks")).alias("score_b"),
-    )
-    pos_a = F.col("score_a") > 0
-    pos_b = F.col("score_b") > 0
-    counted = scored.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(pos_a.cast("int")).cast("bigint").alias("n_pos_a"),
-        F.sum(pos_b.cast("int")).cast("bigint").alias("n_pos_b"),
-        F.sum((~pos_a & pos_b).cast("int")).cast("bigint").alias("n_gained"),
-        F.sum((pos_a & ~pos_b).cast("int")).cast("bigint").alias("n_lost"),
-        F.sum((pos_a == pos_b).cast("int")).cast("bigint").alias("_agree"),
-        F.sum(F.col("score_b") - F.col("score_a"))
-        .cast("bigint")
-        .alias("score_drift"),
-    )
+    counted = drift_counted(spark, sf_dir)
     return (
         counted.withColumn(
             "agree_bp",
@@ -307,7 +316,11 @@ def text_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_drift_oracle() -> str:
+def drift_counted_ctes() -> str:
+    """The DuckDB twin of :func:`drift_counted` — a WITH-prefix ending
+    in ``counted(source, n_docs, n_pos_a, n_pos_b, n_gained, n_lost,
+    agree, score_drift)``, shared by the X175 drift oracle and the
+    X180 swap-gate oracle."""
     from xero_api_etl_utilities_spark.operators import quality_model as qm
 
     w_a = qm.weights_from_parquet_slice(_oracle_sf_dir(), *_EPOCH_A)
@@ -326,8 +339,7 @@ def _quality_drift_oracle() -> str:
 
     wa = "[" + ", ".join(str(int(w)) for w in w_a) + "]"
     wb = "[" + ", ".join(str(int(w)) for w in w_b) + "]"
-    return f"""
-WITH wv AS (SELECT {wa} AS a, {wb} AS b),
+    return f"""wv AS (SELECT {wa} AS a, {wb} AS b),
 scored AS (
   SELECT source, {score("a")} AS score_a, {score("b")} AS score_b
   FROM documents, wv
@@ -344,12 +356,20 @@ scored AS (
          AS BIGINT) AS agree,
     CAST(SUM(score_b - score_a) AS BIGINT) AS score_drift
   FROM scored GROUP BY source
-)
+)"""
+
+
+def _quality_drift_oracle() -> str:
+    return (
+        "WITH "
+        + drift_counted_ctes()
+        + """
 SELECT source, n_docs, n_pos_a, n_pos_b, n_gained, n_lost,
   CAST((20000 * agree + n_docs) // (2 * n_docs) AS BIGINT) AS agree_bp,
   score_drift
 FROM counted ORDER BY source
 """
+    )
 
 
 register("text_quality_drift", text_quality_drift, _quality_drift_oracle)

@@ -1,0 +1,332 @@
+"""Round-15 wave (X179–X180): give the GROWING store a driver-hash
+gate and make the model-swap decision itself an oracled operator
+(VERDICT r14 items 3 and 7).
+
+- X179 ``dedup_store_asof`` — the absorbing-store semantics X178
+  pins in pytest, promoted to a DuckDB-hash catalog row: the X171
+  arrival set (doc_id % 5 == 4) split into two sequenced batches
+  (doc_id % 10 == 4, then doc_id % 10 == 9), each deduped against
+  the persisted store AS OF its arrival (corpus, then corpus ∪
+  batch 1) and then absorbed — batch 2's pairs can land on batch 1
+  documents, which only a growing store can see.  Every store-side
+  input is read off the persisted parquet partitions (the X174
+  disk-backed discipline applied to the X176 absorb loop).
+- X180 ``quality_swap_gate`` — the decision operator a curation run
+  executes on X175's drift census: swap to the epoch-B model iff
+  global exact-integer agreement ≥ 9000 bp AND no source's verdict
+  flip mass exceeds 800 bp.  Deterministic integer verdict row, so
+  the swap POLICY — not just the census it reads — is oracled.
+
+Reference provenance: the reference ETL (src/queries.ts) has no
+dedup or model tier; these extend the training-data-pipeline surface
+the brief requires (VERDICT r14 items 3 and 7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xero_api_etl_utilities_spark.plans.catalog import register
+
+_BANDS = 16
+_ROWS = 4
+_MAX_BUCKET = 500
+
+
+def _oracle_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+# ---------------------------------------------------------------------------
+# X179: the absorbing store replay — batch-sequenced, disk-backed, oracled
+# ---------------------------------------------------------------------------
+
+_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+# arrival classes: cls 0 = seed corpus, cls 1 = first crawl batch,
+# cls 2 = second crawl batch.  cls 1 ∪ cls 2 == the X171 arrival set
+# (doc_id % 5 == 4 ⟺ doc_id % 10 ∈ {4, 9}), so X179 is X171's
+# operation with the arrivals sequenced instead of batched whole.
+def _cls():
+    # built lazily: a Column literal at module scope would require an
+    # active SparkContext at import time
+    return (
+        F.when(F.col("doc") % 10 == 4, F.lit(1))
+        .when(F.col("doc") % 10 == 9, F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+
+def publish_absorb_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the X176/X178 absorb loop in batch mode against a real
+    on-disk store, once per session: seed ``catalog/part=corpus`` with
+    the cls-0 band rows, then for each batch b in (1, 2): read the
+    store catalog OFF PARQUET (every part absorbed so far), census its
+    buckets plus the batch's, keep buckets with combined size ≤ 500
+    (the sink's stop-bucket rule), equi-join batch bands against store
+    bands, verify candidates at 0.7 exact Jaccard (corpus text touched
+    only through the candidate semi-join), publish the oriented pairs
+    under ``pairs/batch=<b>``, and ABSORB the batch's band rows as
+    ``catalog/part=batch-<b>``.  Returns the store root.
+
+    100 TB shape: per batch the store contributes one scan of its band
+    sidecar (~16 rows/doc, never the text outside verification) and
+    the absorb is a map-only append — the continuous-crawl loop X178
+    runs under Structured Streaming, here sequenced deterministically
+    so the driver can hash the result (streaming/incremental_dedup.py
+    pins the same mechanics under checkpoint restart and compaction).
+    """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _STORE_CACHE:
+        from xero_api_etl_utilities_spark.operators.dedup import (
+            band_rows,
+            jaccard_verify,
+        )
+        from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
+        from xero_api_etl_utilities_spark.plans.wave10 import _prune_stale_runs
+        from xero_api_etl_utilities_spark.plans.wave14 import _catalog_dir
+        from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+        path = os.path.join(
+            os.path.dirname(_catalog_dir(sf_dir, "x")),
+            "..",
+            "absorb_store",
+            f"{os.path.basename(sf_dir.rstrip(os.sep))}"
+            f"-{spark.sparkContext.applicationId}",
+        )
+        path = os.path.abspath(path)
+        _prune_stale_runs(path, sf_dir)
+        banded = band_rows(
+            minhash_sigs(spark, sf_dir), bands=_BANDS, rows_per_band=_ROWS
+        ).withColumn("cls", _cls())
+        banded.filter(F.col("cls") == 0).select(
+            "doc", "band", "bh"
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, "catalog", "part=corpus")
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        for b in (1, 2):
+            store = spark.read.parquet(os.path.join(path, "catalog")).select(
+                "doc", "band", "bh"
+            )
+            batch = banded.filter(F.col("cls") == b).select("doc", "band", "bh")
+            kept = (
+                store.groupBy("band", "bh")
+                .agg(F.count(F.lit(1)).alias("n_store"))
+                .join(
+                    batch.groupBy("band", "bh").agg(
+                        F.count(F.lit(1)).alias("n_new")
+                    ),
+                    ["band", "bh"],
+                )
+                .filter(F.col("n_store") + F.col("n_new") <= _MAX_BUCKET)
+                .select("band", "bh")
+            )
+            cands = (
+                batch.join(kept, ["band", "bh"])
+                .select("band", "bh", F.col("doc").alias("doc_a"))
+                .join(
+                    store.select("band", "bh", F.col("doc").alias("doc_b")),
+                    ["band", "bh"],
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            verified = jaccard_verify(cands, docs, "doc_id", "text", n=1)
+            verified.select(
+                F.col("doc_a").alias("new_id"),
+                F.col("doc_b").alias("store_id"),
+                "inter_size",
+                "union_size",
+            ).write.mode("overwrite").parquet(
+                os.path.join(path, "pairs", f"batch={b}")
+            )
+            batch.write.mode("overwrite").parquet(
+                os.path.join(path, "catalog", f"part=batch-{b}")
+            )
+        _STORE_CACHE[key] = path
+    return _STORE_CACHE[key]
+
+
+def dedup_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179: the growing-store dedup semantics as a driver-hash row —
+    verified near-dup pairs of two SEQUENCED crawl batches, each
+    against the persisted store as of its arrival (batch 1 × corpus;
+    batch 2 × (corpus ∪ batch 1)), read back off the published pairs
+    artifact.  The oracle replays both arrivals from scratch over the
+    raw text, so hash-equality proves the absorb loop — persist,
+    census, candidate, verify, absorb, repeat — reproduces exactly
+    what a full recompute of each as-of snapshot would emit."""
+    path = publish_absorb_replay(spark, sf_dir)
+    return spark.read.parquet(os.path.join(path, "pairs")).select(
+        F.col("batch").cast("bigint").alias("batch"),
+        "new_id",
+        "store_id",
+        "inter_size",
+        "union_size",
+    )
+
+
+def _store_asof_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH "
+        + sk.band_catalog_ctes(bands=_BANDS, rows_per_band=_ROWS)
+        + f""", tagged AS MATERIALIZED (
+  SELECT doc, band, bh,
+    CASE WHEN doc % 10 = 4 THEN 1
+         WHEN doc % 10 = 9 THEN 2
+         ELSE 0 END AS cls
+  FROM banded
+), cnt AS MATERIALIZED (
+  SELECT band, bh,
+    SUM(CASE WHEN cls <= 1 THEN 1 ELSE 0 END) AS n01,
+    COUNT(*) AS n012
+  FROM tagged GROUP BY band, bh
+), cand AS MATERIALIZED (
+  SELECT DISTINCT n.doc AS doc_a, s.doc AS doc_b
+  FROM tagged n
+  JOIN tagged s ON n.band = s.band AND n.bh = s.bh
+   AND n.cls = 1 AND s.cls = 0
+  JOIN cnt c ON c.band = n.band AND c.bh = n.bh
+  WHERE c.n01 <= {_MAX_BUCKET}
+  UNION
+  SELECT DISTINCT n.doc, s.doc
+  FROM tagged n
+  JOIN tagged s ON n.band = s.band AND n.bh = s.bh
+   AND n.cls = 2 AND s.cls <= 1
+  JOIN cnt c ON c.band = n.band AND c.bh = n.bh
+  WHERE c.n012 <= {_MAX_BUCKET}
+),
+"""
+        + sk.jaccard_verify_ctes()
+        + """
+SELECT CAST(CASE WHEN doc_a % 10 = 4 THEN 1 ELSE 2 END AS BIGINT) AS batch,
+       doc_a AS new_id, doc_b AS store_id, inter_size, union_size
+FROM verified
+"""
+    )
+
+
+register("dedup_store_asof", dedup_store_asof, _store_asof_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X180: the gated model swap — the decision X175's census feeds, oracled
+# ---------------------------------------------------------------------------
+
+_AGREE_MIN_BP = 9000  # swap needs >= 90.00% global verdict agreement
+_FLIP_CAP_BP = 800  # and no source may flip > 8.00% of its documents
+
+
+def quality_swap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180: the model-swap policy as a deterministic integer verdict
+    (VERDICT r14 item 7) — X175 produces the drift census a curation
+    team READS; this is the decision a curation run EXECUTES.  Swap to
+    the epoch-B model iff (a) global agreement between the two models'
+    verdicts is at least ``_AGREE_MIN_BP`` (computed from the exact
+    un-rounded agreement counts, not the per-source rounded bp) and
+    (b) no single source's flip mass (newly admitted + newly rejected,
+    as a rounded share of the source's documents) exceeds
+    ``_FLIP_CAP_BP`` — the per-source cap catches a model that agrees
+    globally but rewrites one domain wholesale.
+
+    One verdict row: corpus size, source count, global agreement bp,
+    the worst per-source flip bp, how many sources breach the cap, the
+    exact total score drift, and the 0/1 swap verdict.  Lowering: the
+    whole decision is one dimension-grain aggregate over X175's
+    per-source census frame (wave14.drift_counted — two in-row scoring
+    folds, one groupBy), so the policy costs nothing beyond the census
+    a swap review already runs."""
+    from xero_api_etl_utilities_spark.plans.wave14 import drift_counted
+
+    return swap_verdict(drift_counted(spark, sf_dir))
+
+
+def swap_verdict(counted: DataFrame) -> DataFrame:
+    """The swap POLICY itself, factored over any per-source census
+    frame with (n_docs, n_gained, n_lost, _agree, score_drift) so the
+    decision boundary is directly testable on constructed censuses
+    (identical models must swap; a wholesale-flipping source must
+    veto) independent of the trained weights."""
+    per_source = counted.withColumn(
+        "flip_bp",
+        F.expr(
+            "CAST((20000 * (n_gained + n_lost) + n_docs) div (2 * n_docs)"
+            " AS BIGINT)"
+        ),
+    )
+    return (
+        per_source.agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum("_agree").cast("bigint").alias("_agree_total"),
+            F.max("flip_bp").cast("bigint").alias("max_flip_bp"),
+            F.sum((F.col("flip_bp") > _FLIP_CAP_BP).cast("int"))
+            .cast("bigint")
+            .alias("n_sources_over_cap"),
+            F.sum("score_drift").cast("bigint").alias("score_drift_total"),
+        )
+        .withColumn(
+            "agree_bp",
+            F.expr(
+                "CAST((20000 * _agree_total + n_docs) div (2 * n_docs)"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "swap_model",
+            F.when(
+                (F.col("agree_bp") >= _AGREE_MIN_BP)
+                & (F.col("n_sources_over_cap") == 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .select(
+            "n_docs",
+            "n_sources",
+            "agree_bp",
+            "max_flip_bp",
+            "n_sources_over_cap",
+            "score_drift_total",
+            "swap_model",
+        )
+    )
+
+
+def _swap_gate_oracle() -> str:
+    from xero_api_etl_utilities_spark.plans.wave14 import drift_counted_ctes
+
+    return (
+        "WITH "
+        + drift_counted_ctes()
+        + f""", per_source AS (
+  SELECT *,
+    CAST((20000 * (n_gained + n_lost) + n_docs) // (2 * n_docs)
+         AS BIGINT) AS flip_bp
+  FROM counted
+)
+SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_sources,
+  CAST((20000 * SUM(agree) + SUM(n_docs)) // (2 * SUM(n_docs))
+       AS BIGINT) AS agree_bp,
+  CAST(MAX(flip_bp) AS BIGINT) AS max_flip_bp,
+  CAST(SUM(CASE WHEN flip_bp > {_FLIP_CAP_BP} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_sources_over_cap,
+  CAST(SUM(score_drift) AS BIGINT) AS score_drift_total,
+  CAST(CASE WHEN (20000 * SUM(agree) + SUM(n_docs))
+                 // (2 * SUM(n_docs)) >= {_AGREE_MIN_BP}
+             AND SUM(CASE WHEN flip_bp > {_FLIP_CAP_BP} THEN 1 ELSE 0 END) = 0
+        THEN 1 ELSE 0 END AS BIGINT) AS swap_model
+FROM per_source
+"""
+    )
+
+
+register("quality_swap_gate", quality_swap_gate, _swap_gate_oracle)
