@@ -97,6 +97,14 @@ HEADLINE = [
     # the pairs-artifact read-back a reviewer of the published store
     # pays.  The end-to-end loop cost lives in the first-run max.
     "dedup_store_asof",
+    # r15: X181 rides the same memoized store; each run compacts the
+    # catalog (idempotent after the first) then censuses the
+    # read-back, so the line prices compaction + one sidecar scan
+    "dedup_catalog_compact",
+    # r15: X182 — the IVF index absorb.  First run pays the coarse
+    # quantizer training + index publish (wave15._IVF_INDEX_CACHE);
+    # median/best are the sidecar census read-back.
+    "similarity_index_absorb",
     "dedup_embedding_cosine",
     # similarity_topk (brute force) is the oracle baseline, NOT a
     # headline entry: the headline similarity routes are the two

@@ -150,6 +150,85 @@ def test_swap_policy_decision_boundary(spark):
     assert r["swap_model"] == 0 and r["n_sources_over_cap"] == 10
 
 
+def test_catalog_compact_census_and_files(spark):
+    """X181: compacting the replay store's catalog must preserve the
+    band rows exactly (set equality of the read-back), strictly reduce
+    the parquet file count, keep the absorbed partitions' dirs alive
+    as markers, and be idempotent on a second invocation."""
+    from xero_api_etl_utilities_spark.plans.wave15 import (
+        publish_absorb_replay,
+    )
+    from xero_api_etl_utilities_spark.streaming.incremental_dedup import (
+        compact_store,
+    )
+
+    path = publish_absorb_replay(spark, SF)
+    cat_dir = os.path.join(path, "catalog")
+
+    def _rows():
+        return {
+            (r["doc"], int(r["band"]), r["bh"])
+            for r in spark.read.parquet(cat_dir).collect()
+        }
+
+    def _files():
+        return sum(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(cat_dir)
+            for f in files
+        )
+
+    pre_rows, pre_files = _rows(), _files()
+    compact_store(spark, path, subs=("catalog",))
+    assert _rows() == pre_rows
+    assert _files() < pre_files
+    now = set(os.listdir(cat_dir))
+    assert {"part=corpus", "part=batch-1", "part=batch-2"} <= now
+    assert any(p.startswith("part=compact-") for p in now)
+    post_files = _files()
+    compact_store(spark, path, subs=("catalog",))
+    assert _rows() == pre_rows and _files() == post_files
+
+
+def test_ivf_index_absorb_equals_full_assignment(spark):
+    """X182: the combined persisted index (corpus partition + the
+    arrivals absorbed under the frozen quantizer) must equal a
+    one-shot assignment of every vector — cell assignment is a pure
+    per-vector function of the frozen centroids — and the publish is
+    session-memoized."""
+    from xero_api_etl_utilities_spark.operators import ivf
+    from xero_api_etl_utilities_spark.plans.wave15 import (
+        publish_ivf_index,
+        similarity_index_absorb,
+    )
+
+    p1 = publish_ivf_index(spark, SF)
+    assert publish_ivf_index(spark, SF) == p1
+    assert sorted(os.listdir(os.path.join(p1, "index"))) == [
+        "part=arrivals",
+        "part=corpus",
+    ]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in ivf.assign_cells(emb, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(p1, "index")).collect()
+    }
+    assert got == want
+    census = similarity_index_absorb(spark, SF).collect()
+    assert sum(r["n_vecs"] for r in census) == emb.count()
+    assert sum(r["n_absorbed"] for r in census) == emb.filter(
+        F.col("vec_id") % 5 == 4
+    ).count()
+    assert any(r["n_absorbed"] > 0 for r in census)
+
+
 def test_swap_gate_consistent_with_drift_census(spark):
     """The catalog entry's verdict must be arithmetically consistent
     with X175's published drift table on the same corpus: flip caps

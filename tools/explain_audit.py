@@ -903,6 +903,19 @@ CHECKS = {
         ("no Python evaluator", lambda p: "EvalPython" not in p),
         ("one corpus scan", lambda p: p.count("Location: InMemoryFileIndex") == 1),
     ],
+    # r15: X181/X182 — both census a persisted sidecar artifact; the
+    # maintenance mechanics (compaction / assignment) run at publish
+    # time, so the recurring plan must be one artifact scan + census
+    "dedup_catalog_compact": [
+        ("census reads the compacted artifact only: no join", lambda p: "Join" not in p),
+        ("one file-index location", lambda p: p.count("Location: InMemoryFileIndex") == 1),
+        ("no Python evaluator", lambda p: "EvalPython" not in p),
+    ],
+    "similarity_index_absorb": [
+        ("census reads the index sidecar only: no join", lambda p: "Join" not in p),
+        ("one file-index location", lambda p: p.count("Location: InMemoryFileIndex") == 1),
+        ("no Python evaluator, no explode", lambda p: "EvalPython" not in p and "Generate" not in p),
+    ],
     # r14: X175 — X170's zero-shuffle scoring fold, doubled: both
     # weight vectors are broadcast literals over ONE projected token
     # array; nothing joins, nothing explodes

@@ -16,10 +16,26 @@ gate and make the model-swap decision itself an oracled operator
   global exact-integer agreement ≥ 9000 bp AND no source's verdict
   flip mass exceeds 800 bp.  Deterministic integer verdict row, so
   the swap POLICY — not just the census it reads — is oracled.
+- X181 ``dedup_catalog_compact`` — compaction equivalence as a hash
+  row: the X179 store's accreted catalog partitions are merged by
+  streaming.incremental_dedup.compact_store (replay-guard markers
+  preserved), and the COMPACTED read-back is censused per band
+  against the from-scratch full-corpus rebuild oracle — the X176
+  absorb identity extended through the housekeeping operation:
+  compact(absorb*(corpus)) ≡ rebuild(all documents).
+- X182 ``similarity_index_absorb`` — the X176 absorb identity
+  transposed to the similarity tier: a persisted IVF cell index for
+  the corpus vectors, arrivals assigned with the FROZEN coarse
+  quantizer and appended as their own partition, combined read-back
+  censused per cell against an oracle that re-assigns EVERY vector
+  from the raw embeddings.  Equality proves the ANN index is
+  append-maintained: cell assignment is a pure per-vector function
+  of the frozen centroids, so a 100 TB index absorbs each crawl
+  map-only and never rebuilds.
 
 Reference provenance: the reference ETL (src/queries.ts) has no
 dedup or model tier; these extend the training-data-pipeline surface
-the brief requires (VERDICT r14 items 3 and 7).
+the brief requires (VERDICT r14 items 2, 3 and 7).
 """
 
 from __future__ import annotations
@@ -330,3 +346,187 @@ FROM per_source
 
 
 register("quality_swap_gate", quality_swap_gate, _swap_gate_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X181: catalog compaction — the housekeeping op itself gets a hash gate
+# ---------------------------------------------------------------------------
+
+_HASH_P = 1_000_000_007
+
+
+def dedup_catalog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181: prove the small-files housekeeping preserves the store
+    bit-for-bit — the X179 replay store's catalog partitions (corpus +
+    two absorbed batches) are merged by ``compact_store`` into one
+    size-targeted partition (replay-guard marker dirs preserved), and
+    the compacted read-back is censused per band exactly like X176:
+    row count, distinct documents, distinct buckets, Σ bh mod p.  The
+    oracle REBUILDS the banding from the raw text of every document,
+    so hash-equality extends the absorb identity through compaction:
+    compact(absorb(absorb(corpus))) ≡ rebuild(corpus ∪ b1 ∪ b2).
+
+    Idempotent across reruns: re-compacting a compacted store merges
+    the single compact partition into the next index — same rows.
+
+    100 TB shape: compaction reads the band sidecar once and writes
+    ceil(bytes/target) files — never the documents; without it a
+    crawl-cadence store accretes one partition of kilobyte files per
+    batch until file-open cost dominates every scan (the failure mode
+    streaming/incremental_dedup.py names)."""
+    from xero_api_etl_utilities_spark.streaming.incremental_dedup import (
+        compact_store,
+    )
+
+    path = publish_absorb_replay(spark, sf_dir)
+    compact_store(spark, path, subs=("catalog",))
+    compacted = spark.read.parquet(os.path.join(path, "catalog")).select(
+        "doc", F.col("band").cast("int").alias("band"), "bh"
+    )
+    return (
+        compacted.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+            F.countDistinct("bh").cast("bigint").alias("n_buckets"),
+            F.sum(F.col("bh") % _HASH_P).cast("bigint").alias("bucket_hash_sum"),
+        )
+        .orderBy("band")
+    )
+
+
+def _catalog_compact_oracle() -> str:
+    # X176's absorb-vs-rebuild oracle verbatim: the X179 store holds
+    # band rows for EVERY document (corpus + both absorbed batches),
+    # so the compacted census is held to the same full-rebuild
+    # standard as the absorb census.
+    from xero_api_etl_utilities_spark.plans import sketch_oracles as sk
+
+    return (
+        "WITH "
+        + sk.band_catalog_ctes(bands=_BANDS, rows_per_band=_ROWS)
+        + f"""
+SELECT band,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT bh) AS BIGINT) AS n_buckets,
+  CAST(SUM(bh % {_HASH_P}) AS BIGINT) AS bucket_hash_sum
+FROM banded GROUP BY band ORDER BY band
+"""
+    )
+
+
+register("dedup_catalog_compact", dedup_catalog_compact, _catalog_compact_oracle)
+
+
+# ---------------------------------------------------------------------------
+# X182: IVF index absorb — append-maintained ANN, censused vs re-assignment
+# ---------------------------------------------------------------------------
+
+_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def publish_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the IVF cell index as the similarity tier's store-side
+    artifact, once per session: the frozen coarse quantizer (the
+    standard k=16 / iters=4 / sample=1000 trainer every IVF entry in
+    this repo uses) assigns the corpus vectors (vec_id % 5 != 4) under
+    ``index/part=corpus``, then the crawl arrivals (vec_id % 5 == 4)
+    are assigned with the SAME centroids — map-only, broadcast
+    literals, no shuffle — and appended as ``index/part=arrivals``.
+
+    100 TB shape: the index is the ~8 B/vector (vec_id, cell) sidecar
+    an ANN store keeps; absorbing a crawl costs one scan of the batch
+    against 16 inlined centroids, and the quantizer retrain decision
+    is a separate drift-gated operation (X163's retrain lifecycle)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _IVF_INDEX_CACHE:
+        from xero_api_etl_utilities_spark.operators import ivf
+        from xero_api_etl_utilities_spark.plans.wave10 import _prune_stale_runs
+        from xero_api_etl_utilities_spark.plans.wave14 import _catalog_dir
+        from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+        path = os.path.abspath(
+            os.path.join(
+                os.path.dirname(_catalog_dir(sf_dir, "x")),
+                "..",
+                "ivf_index",
+                f"{os.path.basename(sf_dir.rstrip(os.sep))}"
+                f"-{spark.sparkContext.applicationId}",
+            )
+        )
+        _prune_stale_runs(path, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf.train_centroids(emb, k=16, iters=4, sample=1000)
+        for part, pred in (
+            ("corpus", F.col("vec_id") % 5 != 4),
+            ("arrivals", F.col("vec_id") % 5 == 4),
+        ):
+            ivf.assign_cells(emb.filter(pred), cents).select(
+                "vec_id", "cell"
+            ).write.mode("overwrite").parquet(
+                os.path.join(path, "index", f"part={part}")
+            )
+        _IVF_INDEX_CACHE[key] = path
+    return _IVF_INDEX_CACHE[key]
+
+
+def similarity_index_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182: absorb-vs-rebuild for the ANN index — the combined
+    read-back (corpus partition ∪ the arrivals absorbed under the
+    frozen quantizer) censused per cell: vector count, how many came
+    from the absorbed crawl, and an id checksum.  The oracle
+    re-assigns EVERY vector from the raw embeddings with the same
+    inlined centroid literals; hash-equality proves
+    absorb(arrivals) ≡ rebuild(all vectors) — cell assignment is a
+    pure per-vector function of the frozen centroids, which is
+    exactly why a production IVF index is maintained by appending
+    each crawl's assignments instead of re-indexing the corpus."""
+    path = publish_ivf_index(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(path, "index")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    return idx.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("vec_id") % 5 == 4).cast("int"))
+        .cast("bigint")
+        .alias("n_absorbed"),
+        F.sum(F.col("vec_id") % _HASH_P).cast("bigint").alias("id_hash_sum"),
+    )
+
+
+def _index_absorb_oracle() -> str:
+    from xero_api_etl_utilities_spark.operators.ivf import (
+        train_centroids_from_parquet,
+    )
+    from xero_api_etl_utilities_spark.plans.sketch_oracles import _vec_lit
+
+    cents = train_centroids_from_parquet(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+        k=16,
+        iters=4,
+        sample=1000,
+    )
+    structs = ", ".join(
+        f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cells = f"list_transform(list_reverse(list_sort([{structs}])), s -> s.cell)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id, ({cells})[1] AS cell FROM e
+)
+SELECT CAST(cell AS INT) AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_absorbed,
+  CAST(SUM(vec_id % {_HASH_P}) AS BIGINT) AS id_hash_sum
+FROM assigned GROUP BY cell
+"""
+
+
+register(
+    "similarity_index_absorb", similarity_index_absorb, _index_absorb_oracle
+)

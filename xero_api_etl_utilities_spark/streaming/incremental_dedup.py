@@ -215,6 +215,7 @@ def compact_store(
     spark,
     store_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    subs: tuple[str, ...] = ("catalog", "docs"),
 ) -> dict[str, int]:
     """Compact the absorbing store's accreted partitions (X178's
     housekeeping, VERDICT r14 item 2): every absorbed batch appended
@@ -248,7 +249,7 @@ def compact_store(
     import shutil
 
     out: dict[str, int] = {}
-    for sub in ("catalog", "docs"):
+    for sub in subs:
         root = os.path.join(store_dir, sub)
         tmp, old = f"{root}.compacting", f"{root}.precompact"
         # recovery preamble (compact_dir semantics): discard a
