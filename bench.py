@@ -103,8 +103,11 @@ HEADLINE = [
     "dedup_catalog_compact",
     # r15: X182 — the IVF index absorb.  First run pays the coarse
     # quantizer training + index publish (wave15._IVF_INDEX_CACHE);
-    # median/best are the sidecar census read-back.
+    # median/best are the sidecar census read-back.  X183 rides the
+    # same persisted index: its line is the broadcast tombstone
+    # anti-join + census.
     "similarity_index_absorb",
+    "similarity_index_expire",
     "dedup_embedding_cosine",
     # similarity_topk (brute force) is the oracle baseline, NOT a
     # headline entry: the headline similarity routes are the two

@@ -229,6 +229,39 @@ def test_ivf_index_absorb_equals_full_assignment(spark):
     assert any(r["n_absorbed"] > 0 for r in census)
 
 
+def test_ivf_index_expire_drops_exactly_the_tombstones(spark):
+    """X183: expiry must remove exactly the tombstoned ids from the
+    persisted index — survivors keep their original cells (no
+    re-assignment), and the census totals shrink by the tombstone
+    count."""
+    from xero_api_etl_utilities_spark.plans.wave15 import (
+        _VEC_TOMBSTONE_MOD,
+        publish_ivf_index,
+        similarity_index_absorb,
+        similarity_index_expire,
+    )
+
+    p1 = publish_ivf_index(spark, SF)
+    idx = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(os.path.join(p1, "index")).collect()
+    }
+    survivors = {
+        (v, c) for v, c in idx if v % _VEC_TOMBSTONE_MOD != 3
+    }
+    assert survivors < idx  # some tombstones existed
+    full = similarity_index_absorb(spark, SF).collect()
+    expired = similarity_index_expire(spark, SF).collect()
+    assert sum(r["n_vecs"] for r in expired) == len(survivors)
+    assert sum(r["n_vecs"] for r in full) == len(idx)
+    # per-cell: expired counts never exceed full counts (id-local
+    # deletes cannot move a vector between cells)
+    full_by_cell = {r["cell"]: r["n_vecs"] for r in full}
+    assert all(
+        r["n_vecs"] <= full_by_cell[r["cell"]] for r in expired
+    )
+
+
 def test_swap_gate_consistent_with_drift_census(spark):
     """The catalog entry's verdict must be arithmetically consistent
     with X175's published drift table on the same corpus: flip caps

@@ -916,6 +916,15 @@ CHECKS = {
         ("one file-index location", lambda p: p.count("Location: InMemoryFileIndex") == 1),
         ("no Python evaluator, no explode", lambda p: "EvalPython" not in p and "Generate" not in p),
     ],
+    # r15: X183 — tombstones must enter via a BROADCAST anti-join
+    # (dimension-sized delete list; the sidecar never shuffles) and
+    # the tombstone scan must prune to vec_id only
+    "similarity_index_expire": [
+        ("tombstones via broadcast anti-join", lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p),
+        ("no shuffle join, no cartesian", lambda p: "SortMergeJoin" not in p and "CartesianProduct" not in p),
+        ("tombstone scan reads only vec_id", lambda p: "ReadSchema: struct<vec_id:bigint>" in p),
+        ("no Python evaluator", lambda p: "EvalPython" not in p),
+    ],
     # r14: X175 — X170's zero-shuffle scoring fold, doubled: both
     # weight vectors are broadcast literals over ONE projected token
     # array; nothing joins, nothing explodes

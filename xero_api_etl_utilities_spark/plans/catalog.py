@@ -56,13 +56,14 @@ _WINDOW_PRIORITY: list[str] = [
     # q9_product_profit, set_ops_custkeys, snapshot_diff_summary,
     # sort_limit_topk, text_fingerprint, text_lang_id, text_quality,
     # text_token_counts, multimodal_frame_sample,
-    # dedup_ngram_jaccard — 37 with the two X181/X182 displacements),
-    # (d) pad with the oldest r11 rows.
+    # dedup_ngram_jaccard, sample_split_assign — 38 with the three
+    # X181-X183 displacements), (d) pad with the oldest r11 rows.
     # --- (a) r15 new registrations ---
     "dedup_store_asof",
     "quality_swap_gate",
     "dedup_catalog_compact",
     "similarity_index_absorb",
+    "similarity_index_expire",
     # --- (b) r15 behavior-changed (publish sort drop + NULL-safe
     # scorer coalesce, d95d760) ---
     "dedup_catalog_persisted",
@@ -103,10 +104,10 @@ _WINDOW_PRIORITY: list[str] = [
     "window_moving_frame",
     "window_rank_topk",
     "window_segmentation",
-    # --- (d) 9 r10 pads: dedup/span/publish-heavy shapes first
-    # (multimodal_frame_sample and dedup_ngram_jaccard were displaced
-    # below the fold by the X181/X182 registrations — they join the
-    # r16 plan's r10 list) ---
+    # --- (d) 8 r10 pads: dedup/span/publish-heavy shapes first
+    # (multimodal_frame_sample, dedup_ngram_jaccard and
+    # sample_split_assign were displaced below the fold by the
+    # X181-X183 registrations — they join the r16 plan's r10 list) ---
     "dedup_verified_pairs",
     "dedup_containment",
     "dedup_embedding_cosine",
@@ -115,7 +116,6 @@ _WINDOW_PRIORITY: list[str] = [
     "pipeline_corpus_publish",
     "merge_cdc_snapshot",
     "cluster_assign",
-    "sample_split_assign",
     # ------------------- below the driver's 50-row fold -------------------
     # r14 WINDOW (slots 1-50 last round).  Composition, per the written r14
     # rotation plan below: (a) r13 had ZERO reds, so the r14 wave's

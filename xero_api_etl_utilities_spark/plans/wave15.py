@@ -32,6 +32,16 @@ gate and make the model-swap decision itself an oracled operator
   append-maintained: cell assignment is a pure per-vector function
   of the frozen centroids, so a 100 TB index absorbs each crawl
   map-only and never rebuilds.
+- X183 ``similarity_index_expire`` — the DELETE half on the
+  similarity tier (X177's takedown operation transposed): a
+  tombstone list drops vectors from the persisted index by broadcast
+  anti-join — never a re-assignment — and the survivors are censused
+  per cell against an oracle that re-assigns the shrunk vector set
+  from raw embeddings.  Equality proves
+  expire(tombstones) ≡ rebuild(vectors ∖ tombstones): deletes are
+  id-local in the sidecar, completing the index's CRUD story
+  (create = publish, absorb = X182, expire = X183, compact =
+  compact_store).
 
 Reference provenance: the reference ETL (src/queries.ts) has no
 dedup or model tier; these extend the training-data-pipeline surface
@@ -529,4 +539,86 @@ FROM assigned GROUP BY cell
 
 register(
     "similarity_index_absorb", similarity_index_absorb, _index_absorb_oracle
+)
+
+
+# ---------------------------------------------------------------------------
+# X183: IVF index expiry — tombstone deletes on the ANN sidecar
+# ---------------------------------------------------------------------------
+
+_VEC_TOMBSTONE_MOD = 7  # vec_id % 7 == 3 plays the takedown list (X177's rule)
+
+
+def similarity_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183: expire a takedown list from the persisted IVF index — the
+    right-to-be-forgotten operation on the similarity tier, without
+    touching an embedding.  The tombstone set (vec_id % 7 == 3, the
+    X177 convention) broadcast-anti-joins the full persisted index
+    (corpus ∪ absorbed arrivals, off parquet); survivors are censused
+    per cell — count, absorbed-crawl count, id checksum — against an
+    oracle that RE-ASSIGNS the shrunk vector set from the raw
+    embeddings with the same frozen centroid literals.  Equality
+    proves expire(tombstones) ≡ rebuild(vectors ∖ tombstones):
+    deletes are id-local in the ~8 B/vector sidecar, exactly like
+    absorbs are batch-local, so the index never rebuilds.
+
+    Lowering: a legal takedown list is dimension-sized at any corpus
+    scale, so it broadcasts; the index never shuffles — one sidecar
+    scan, one broadcast anti-join, one 16-group aggregate."""
+    from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+    path = publish_ivf_index(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(path, "index")).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    tombstones = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _VEC_TOMBSTONE_MOD == 3)
+        .select("vec_id")
+    )
+    surviving = idx.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    return surviving.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("vec_id") % 5 == 4).cast("int"))
+        .cast("bigint")
+        .alias("n_absorbed"),
+        F.sum(F.col("vec_id") % _HASH_P).cast("bigint").alias("id_hash_sum"),
+    )
+
+
+def _index_expire_oracle() -> str:
+    from xero_api_etl_utilities_spark.operators.ivf import (
+        train_centroids_from_parquet,
+    )
+    from xero_api_etl_utilities_spark.plans.sketch_oracles import _vec_lit
+
+    cents = train_centroids_from_parquet(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+        k=16,
+        iters=4,
+        sample=1000,
+    )
+    structs = ", ".join(
+        f"{{'d': list_dot_product(v, {_vec_lit(c)}), 'cell': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    cells = f"list_transform(list_reverse(list_sort([{structs}])), s -> s.cell)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % {_VEC_TOMBSTONE_MOD} <> 3
+), assigned AS (
+  SELECT vec_id, ({cells})[1] AS cell FROM e
+)
+SELECT CAST(cell AS INT) AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_absorbed,
+  CAST(SUM(vec_id % {_HASH_P}) AS BIGINT) AS id_hash_sum
+FROM assigned GROUP BY cell
+"""
+
+
+register(
+    "similarity_index_expire", similarity_index_expire, _index_expire_oracle
 )
