@@ -67,8 +67,12 @@ def test_store_asof_publish_layout_and_memoization(spark):
     p1 = publish_absorb_replay(spark, SF)
     p2 = publish_absorb_replay(spark, SF)
     assert p1 == p2
-    cat_parts = sorted(os.listdir(os.path.join(p1, "catalog")))
-    assert cat_parts == ["part=batch-1", "part=batch-2", "part=corpus"]
+    # subset, not equality: X181 (or its plan-shape test) may have
+    # compacted the shared store already, adding a part=compact-* dir
+    # and stripping the originals to marker dirs — both are expected
+    # states of the session-shared artifact
+    cat_parts = set(os.listdir(os.path.join(p1, "catalog")))
+    assert {"part=batch-1", "part=batch-2", "part=corpus"} <= cat_parts
     assert sorted(os.listdir(os.path.join(p1, "pairs"))) == [
         "batch=1",
         "batch=2",
@@ -150,19 +154,23 @@ def test_swap_policy_decision_boundary(spark):
     assert r["swap_model"] == 0 and r["n_sources_over_cap"] == 10
 
 
-def test_catalog_compact_census_and_files(spark):
+def test_catalog_compact_census_and_files(spark, tmp_path):
     """X181: compacting the replay store's catalog must preserve the
     band rows exactly (set equality of the read-back), strictly reduce
     the parquet file count, keep the absorbed partitions' dirs alive
-    as markers, and be idempotent on a second invocation."""
+    as markers, and be idempotent on a second invocation.  Built as a
+    PRIVATE store in tmp_path — the session-shared memoized store may
+    already be compacted by the X181 catalog entry running earlier in
+    the same session, which would void the file-count baseline."""
     from xero_api_etl_utilities_spark.plans.wave15 import (
-        publish_absorb_replay,
+        build_absorb_replay,
     )
     from xero_api_etl_utilities_spark.streaming.incremental_dedup import (
         compact_store,
     )
 
-    path = publish_absorb_replay(spark, SF)
+    path = str(tmp_path / "store")
+    build_absorb_replay(spark, SF, path)
     cat_dir = os.path.join(path, "catalog")
 
     def _rows():

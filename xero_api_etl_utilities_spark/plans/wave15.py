@@ -107,14 +107,8 @@ def publish_absorb_replay(spark: SparkSession, sf_dir: str) -> str:
     """
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _STORE_CACHE:
-        from xero_api_etl_utilities_spark.operators.dedup import (
-            band_rows,
-            jaccard_verify,
-        )
-        from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
         from xero_api_etl_utilities_spark.plans.wave10 import _prune_stale_runs
         from xero_api_etl_utilities_spark.plans.wave14 import _catalog_dir
-        from xero_api_etl_utilities_spark.sources.parquet import load_table
 
         path = os.path.join(
             os.path.dirname(_catalog_dir(sf_dir, "x")),
@@ -125,56 +119,73 @@ def publish_absorb_replay(spark: SparkSession, sf_dir: str) -> str:
         )
         path = os.path.abspath(path)
         _prune_stale_runs(path, sf_dir)
-        banded = band_rows(
-            minhash_sigs(spark, sf_dir), bands=_BANDS, rows_per_band=_ROWS
-        ).withColumn("cls", _cls())
-        banded.filter(F.col("cls") == 0).select(
-            "doc", "band", "bh"
-        ).write.mode("overwrite").parquet(
-            os.path.join(path, "catalog", "part=corpus")
-        )
-        docs = load_table(spark, sf_dir, "documents")
-        for b in (1, 2):
-            store = spark.read.parquet(os.path.join(path, "catalog")).select(
-                "doc", "band", "bh"
-            )
-            batch = banded.filter(F.col("cls") == b).select("doc", "band", "bh")
-            kept = (
-                store.groupBy("band", "bh")
-                .agg(F.count(F.lit(1)).alias("n_store"))
-                .join(
-                    batch.groupBy("band", "bh").agg(
-                        F.count(F.lit(1)).alias("n_new")
-                    ),
-                    ["band", "bh"],
-                )
-                .filter(F.col("n_store") + F.col("n_new") <= _MAX_BUCKET)
-                .select("band", "bh")
-            )
-            cands = (
-                batch.join(kept, ["band", "bh"])
-                .select("band", "bh", F.col("doc").alias("doc_a"))
-                .join(
-                    store.select("band", "bh", F.col("doc").alias("doc_b")),
-                    ["band", "bh"],
-                )
-                .select("doc_a", "doc_b")
-                .distinct()
-            )
-            verified = jaccard_verify(cands, docs, "doc_id", "text", n=1)
-            verified.select(
-                F.col("doc_a").alias("new_id"),
-                F.col("doc_b").alias("store_id"),
-                "inter_size",
-                "union_size",
-            ).write.mode("overwrite").parquet(
-                os.path.join(path, "pairs", f"batch={b}")
-            )
-            batch.write.mode("overwrite").parquet(
-                os.path.join(path, "catalog", f"part=batch-{b}")
-            )
+        build_absorb_replay(spark, sf_dir, path)
         _STORE_CACHE[key] = path
     return _STORE_CACHE[key]
+
+
+def build_absorb_replay(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """The unmemoized replay build (see :func:`publish_absorb_replay`
+    for the operation): writes the seeded store, runs both sequenced
+    batches, publishes pairs and absorbs band rows under ``path``.
+    Factored out so tests can build a PRIVATE store in a tmp dir —
+    catalog entries mutate the session-shared one (X181 compacts it),
+    so layout-sensitive assertions need their own copy."""
+    from xero_api_etl_utilities_spark.operators.dedup import (
+        band_rows,
+        jaccard_verify,
+    )
+    from xero_api_etl_utilities_spark.plans.corpus_ops import minhash_sigs
+    from xero_api_etl_utilities_spark.sources.parquet import load_table
+
+    banded = band_rows(
+        minhash_sigs(spark, sf_dir), bands=_BANDS, rows_per_band=_ROWS
+    ).withColumn("cls", _cls())
+    banded.filter(F.col("cls") == 0).select(
+        "doc", "band", "bh"
+    ).write.mode("overwrite").parquet(
+        os.path.join(path, "catalog", "part=corpus")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    for b in (1, 2):
+        store = spark.read.parquet(os.path.join(path, "catalog")).select(
+            "doc", "band", "bh"
+        )
+        batch = banded.filter(F.col("cls") == b).select("doc", "band", "bh")
+        kept = (
+            store.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("n_store"))
+            .join(
+                batch.groupBy("band", "bh").agg(
+                    F.count(F.lit(1)).alias("n_new")
+                ),
+                ["band", "bh"],
+            )
+            .filter(F.col("n_store") + F.col("n_new") <= _MAX_BUCKET)
+            .select("band", "bh")
+        )
+        cands = (
+            batch.join(kept, ["band", "bh"])
+            .select("band", "bh", F.col("doc").alias("doc_a"))
+            .join(
+                store.select("band", "bh", F.col("doc").alias("doc_b")),
+                ["band", "bh"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        verified = jaccard_verify(cands, docs, "doc_id", "text", n=1)
+        verified.select(
+            F.col("doc_a").alias("new_id"),
+            F.col("doc_b").alias("store_id"),
+            "inter_size",
+            "union_size",
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, "pairs", f"batch={b}")
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(path, "catalog", f"part=batch-{b}")
+        )
 
 
 def dedup_store_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
