@@ -254,13 +254,36 @@ def main() -> int:
             "graph_edges_build": lambda d: __import__(
                 "xero_api_etl_utilities_spark.plans.graph_ops", fromlist=["co_edges"]
             ).co_edges(spark, d).count(),
+            # r15: the wave15 store/index publishes happen at plan-
+            # CONSTRUCTION time (session-memoized side effects), so a
+            # consumer row's sec is read-back marginal cost only.
+            # Name these explicitly to journal the 10x COLD chain —
+            # seed + both sequenced batch verifies + absorbs for the
+            # replay store; quantizer training + full assignment for
+            # the IVF index ("no silent caps").
+            "absorb_replay_build": lambda d: __import__(
+                "xero_api_etl_utilities_spark.plans.wave15",
+                fromlist=["publish_absorb_replay"],
+            ).publish_absorb_replay(spark, d),
+            "ivf_index_build": lambda d: __import__(
+                "xero_api_etl_utilities_spark.plans.wave15",
+                fromlist=["publish_ivf_index"],
+            ).publish_ivf_index(spark, d),
         }.get(name)
 
     # substrates feed the targets — force the shared builds first so
     # attribution matches bench's accounting
     ordered = [n for n in ("dedup_sigs_build",) if n not in targets] + targets
     if args.names:
-        ordered = [n for n in ordered if n in set(args.names)]
+        wanted = set(args.names)
+        # explicitly-named publish builds are not catalog targets —
+        # prepend them so they run (and are timed) before consumers
+        named_builds = [
+            n
+            for n in ("absorb_replay_build", "ivf_index_build")
+            if n in wanted
+        ]
+        ordered = named_builds + [n for n in ordered if n in wanted]
 
     done_at_commit = set()
     cur_commit = _commit()
