@@ -869,7 +869,12 @@ CHECKS = {
         ("corpus enters via the checkpointed sketch", lambda p: "Scan ExistingRDD" in p),
         ("no cartesian / nested loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
         ("no Python evaluator, no single partition", lambda p: "EvalPython" not in p and "SinglePartition" not in p),
-        ("text scans candidate-restricted: <= 2 verify branches", lambda p: p.count("Location: InMemoryFileIndex") <= 2),
+        # r15: the sets subtree is materialized once, so at most ONE
+        # candidate-restricted text scan survives in the final plan
+        ("text scans candidate-restricted: <= 1 verify branch", lambda p: p.count("Location: InMemoryFileIndex") <= 1),
+        # r15: publish-path global sort removed (VERDICT r14 item 6
+        # applied to the X171 sibling): no range shuffle at pair grain
+        ("no global sort on the publish path", lambda p: "rangepartitioning" not in p),
     ],
     # r14: X174 — X171's shape with the corpus side off parquet; the
     # artifact-only claim on the candidate subtree is pinned

@@ -220,9 +220,20 @@ def _pair_intersections(
         .union(cands.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sets = docs.join(pair_ids, docs[id_col] == pair_ids["doc"], "left_semi").select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(token_ngrams(tokens(F.col(text_col)), n)).alias("shset"),
+    # The shingle-set frame feeds BOTH attach joins (doc_a side and
+    # doc_b side) and Spark has no cross-branch CSE, so without its
+    # own materialization the semi-join + tokenize + array_distinct
+    # subtree executes twice per verify — two full candidate-doc text
+    # scans where one suffices (r15, guide §2.4/§7.2: the before-plan
+    # showed the sets subtree duplicated under both BroadcastExchanges).
+    sets = materialize(
+        docs.join(pair_ids, docs[id_col] == pair_ids["doc"], "left_semi").select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(token_ngrams(tokens(F.col(text_col)), n)).alias(
+                "shset"
+            ),
+        ),
+        checkpoint_dir,
     )
     a = sets.select(F.col("doc").alias("doc_a"), F.col("shset").alias("sh_a"))
     b = sets.select(F.col("doc").alias("doc_b"), F.col("shset").alias("sh_b"))
