@@ -76,6 +76,34 @@ def train_centroids(
     return _kmeans_unit(vecs, k, iters, seed)
 
 
+def train_centroids_prefix_widths(
+    df: DataFrame,
+    widths: tuple[int, ...],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2000,
+    seed: int = 11,
+) -> dict[int, list[list[float]]]:
+    """Per-prefix-width centroids from ONE ordered-sample collect.
+
+    Bit-identical to calling :func:`train_centroids` on
+    ``df.select(slice(vec, 1, d))`` per width — the sample rows are
+    chosen by ``id_col`` alone, and slicing the collected doubles
+    driver-side is the same bytes as slicing in the plan — but pays a
+    single TakeOrdered job instead of ``len(widths)`` (r15, guide
+    §1.2: the matryoshka census re-collected the SAME sample rows once
+    per width).  The DuckDB oracle twin
+    (wave12._trunc_cents_from_parquet) already uses exactly this
+    collect-once-slice-per-width recipe."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    base = [[float(v) for v in r[1]] for r in rows]
+    return {
+        d: _kmeans_unit([v[:d] for v in base], k, iters, seed) for d in widths
+    }
+
+
 def train_centroids_from_parquet(
     path: str,
     vec_col: str = "embedding",

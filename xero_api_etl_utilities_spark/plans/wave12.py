@@ -106,18 +106,29 @@ def similarity_truncation_recall_ivf(
     from xero_api_etl_utilities_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # truth stays a plan subtree on purpose (measured r15): its five
+    # references share one physical exchange via ReuseExchange, and
+    # its stages overlap the per-width assignment stages inside the
+    # one union job — a localCheckpoint here measured SLOWER (12.98 s
+    # vs 10.55 s baseline) because it serializes the 20-partition
+    # truth window into its own job.  What IS shared: all four widths
+    # train on prefix slices of the SAME first-_IVF_SAMPLE rows, so
+    # one TakeOrdered collect replaces four (guide §1.2; bit-identical
+    # centroids — the oracle twin already trains from exactly this
+    # collect-once-slice-per-width recipe).
     truth = sim.topk_bruteforce(
         emb.filter(F.col("vec_id") < 20), emb, k=5
     ).select("query_id", "neighbor_id")
+    cents_by_width = ivf.train_centroids_prefix_widths(
+        emb, _TRUNC_DIMS, k=_K_CELLS, iters=_IVF_ITERS, sample=_IVF_SAMPLE
+    )
 
     tagged = None
     for d in _TRUNC_DIMS:
         tr = emb.select(
             "vec_id", F.slice("embedding", 1, d).alias("embedding")
         )
-        cents = ivf.train_centroids(
-            tr, k=_K_CELLS, iters=_IVF_ITERS, sample=_IVF_SAMPLE
-        )
+        cents = cents_by_width[d]
         approx = ivf.topk_ivf(
             tr.filter(F.col("vec_id") < 20),
             tr,
@@ -250,22 +261,31 @@ def similarity_ivf_drift_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, k=_K_CELLS, iters=_IVF_ITERS, sample=_IVF_SAMPLE
     )
 
-    def census(df: DataFrame, out: str) -> DataFrame:
-        return (
-            ivf.assign_cells(df, cents, nprobe=1)
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
+    # r15 (guide §1.2/§2.4): the corpus census, arrival census and the
+    # two 1-row totals each re-scanned and re-assigned the table — four
+    # passes where one suffices.  One tagged assignment pass feeds a
+    # single per-cell aggregate; the totals are the column sums of
+    # that ≤k-row frame (every vector gets exactly one nprobe=1 cell,
+    # so the sums equal the global counts), which is checkpointed so
+    # its two consumers don't re-run the scan.
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
 
-    c_idx = census(corpus, "n_index")
-    c_new = census(arrivals, "n_new")
-    totals = corpus.agg(F.count(F.lit(1)).alias("_ti")).crossJoin(
-        arrivals.agg(F.count(F.lit(1)).alias("_tn"))
+    counts = materialize(
+        ivf.assign_cells(
+            emb.withColumn("_new", F.col("vec_id") % 5 == 4), cents, nprobe=1
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum((~F.col("_new")).cast("long")).alias("n_index"),
+            F.sum(F.col("_new").cast("long")).alias("n_new"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_index").alias("_ti"), F.sum("n_new").alias("_tn")
     )
     cells = spark.range(_K_CELLS).select(F.col("id").cast("int").alias("cell"))
     return (
-        cells.join(F.broadcast(c_idx), "cell", "left")
-        .join(F.broadcast(c_new), "cell", "left")
+        cells.join(F.broadcast(counts), "cell", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "cell",
@@ -579,13 +599,26 @@ def similarity_ivf_retrain_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = emb.select(
         top1(old).alias("old_cell"), top1(new).alias("new_cell")
     )
-    before = both.groupBy("old_cell").agg(
-        F.count(F.lit(1)).alias("n_before"),
+    # r15 (guide §2.4): before/after aggregate the SAME scan projection
+    # on two branches — each branch re-evaluated both 16-centroid
+    # argmax expressions over the whole table.  Pre-aggregate to the
+    # k×k transition grid in one pass (map-side combinable), checkpoint
+    # the ≤256-row grid, and derive both census sides from it — counts
+    # are identical by associativity of the grouped sums.
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    grid = materialize(
+        both.groupBy("old_cell", "new_cell").agg(F.count(F.lit(1)).alias("n"))
+    )
+    before = grid.groupBy("old_cell").agg(
+        F.sum("n").alias("n_before"),
         F.sum(
-            F.when(F.col("new_cell") != F.col("old_cell"), 1).otherwise(0)
+            F.when(F.col("new_cell") != F.col("old_cell"), F.col("n")).otherwise(
+                F.lit(0)
+            )
         ).alias("moved_out"),
     )
-    after = both.groupBy("new_cell").agg(F.count(F.lit(1)).alias("n_after"))
+    after = grid.groupBy("new_cell").agg(F.sum("n").alias("n_after"))
     cells = spark.range(_K_CELLS).select(F.col("id").cast("int").alias("cell"))
     return (
         cells.join(F.broadcast(before), cells.cell == before.old_cell, "left")
