@@ -1178,11 +1178,18 @@ def text_dup_span_coverage(
     wdocs = docs.select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
     )
-    spans = wdocs.select(
-        "doc_id",
-        "source",
-        F.posexplode(token_ngrams(F.col("_w"), k)).alias("pos", "_s"),
-    ).select("doc_id", "source", "pos", h64(F.col("_s")).alias("h"))
+    # r15 (guide §2.4): spans feeds BOTH the dup aggregate and the
+    # semi-join — the corpus-wide posexplode + md5-64 projection
+    # executed twice per run; materialize it once
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    spans = materialize(
+        wdocs.select(
+            "doc_id",
+            "source",
+            F.posexplode(token_ngrams(F.col("_w"), k)).alias("pos", "_s"),
+        ).select("doc_id", "source", "pos", h64(F.col("_s")).alias("h"))
+    )
     dup = (
         spans.groupBy("h")
         .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))

@@ -82,10 +82,18 @@ def span_dedup_frame(spark: SparkSession, sf_dir: str, k: int = 6) -> DataFrame:
     wdocs = docs.select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("_w")
     )
-    spans = wdocs.select(
-        "doc_id",
-        F.posexplode(token_ngrams(F.col("_w"), k)).alias("pos", "_s"),
-    ).select("doc_id", "pos", h64(F.col("_s")).alias("h"))
+    # r15 (guide §2.4): spans feeds BOTH the canonical-occurrence
+    # aggregate and the removal join, and the branches shuffle
+    # different payloads, so the corpus-wide posexplode + md5-64
+    # projection executed twice per run — materialize it once
+    from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+    spans = materialize(
+        wdocs.select(
+            "doc_id",
+            F.posexplode(token_ngrams(F.col("_w"), k)).alias("pos", "_s"),
+        ).select("doc_id", "pos", h64(F.col("_s")).alias("h"))
+    )
     canon = (
         spans.groupBy("h")
         .agg(
