@@ -264,12 +264,42 @@ def drift_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_a = qm.weights_from_parquet_slice(sf_dir, *_EPOCH_A)
     w_b = qm.weights_from_parquet_slice(sf_dir, *_EPOCH_B)
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "source", tokens(F.col("text")).alias("_toks")
-    ).select(
+    # r15 (guide §1.2): the two models share the hashing-trick feature
+    # map — only the weight vectors differ — yet scoring each model
+    # with its own _score_expr fold re-derived BOTH md5 hashes per
+    # token per model (4 md5/token).  One fold with a two-field struct
+    # accumulator over a per-token (index, sign) feature array hashes
+    # each token once (2 md5/token) and accumulates both scores in the
+    # same element order, so each sum is bit-identical to its
+    # single-model fold.
+    wa_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in w_a])
+    wb_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in w_b])
+    feats = F.transform(
+        tokens(F.col("text")),
+        lambda t: F.struct(
+            (h32(F.concat(F.lit("f:"), t)) % qm.DIM + 1)
+            .cast("int")
+            .alias("i"),
+            F.when(h32(F.concat(F.lit("s:"), t)) % 2 == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("s"),
+        ),
+    )
+    pair = F.aggregate(
+        feats,
+        F.struct(
+            F.lit(0).cast("bigint").alias("a"), F.lit(0).cast("bigint").alias("b")
+        ),
+        lambda acc, f: F.struct(
+            (acc["a"] + F.element_at(wa_arr, f["i"]) * f["s"]).alias("a"),
+            (acc["b"] + F.element_at(wb_arr, f["i"]) * f["s"]).alias("b"),
+        ),
+    )
+    scored = docs.select("source", pair.alias("_p")).select(
         "source",
-        _score_expr(w_a, F.col("_toks")).alias("score_a"),
-        _score_expr(w_b, F.col("_toks")).alias("score_b"),
+        F.coalesce(F.col("_p.a"), F.lit(0).cast("bigint")).alias("score_a"),
+        F.coalesce(F.col("_p.b"), F.lit(0).cast("bigint")).alias("score_b"),
     )
     pos_a = F.col("score_a") > 0
     pos_b = F.col("score_b") > 0
