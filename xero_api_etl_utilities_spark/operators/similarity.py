@@ -94,20 +94,28 @@ def topk_bruteforce(
                 " must not run on a large query set — use topk_lsh/topk_ivf"
                 " (the scale paths), or pass max_queries=None to opt out."
             )
+    # Norms are precomputed ONCE PER ROW in each side's projection
+    # (guide §2.2/§4: the cosine-inside-the-join form re-folds both
+    # 64-element norm aggregates per PAIR — Q×N times instead of Q+N).
+    # Bit-identical to the inline form: same _norm expression over the
+    # same values, same den==0 guard, same division association.
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
     )
     c_cols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")]
     if corpus_norm_col is not None:
-        c_cols.append(F.col(corpus_norm_col).alias("_cnorm"))
-    c = corpus.select(*c_cols)
-    if corpus_norm_col is not None:
-        den = _norm(F.col("qv")) * F.col("_cnorm")
-        sim = _dot(F.col("qv"), F.col("cv")) / F.when(
-            den == 0.0, F.lit(1.0)
-        ).otherwise(den)
+        c_cols.append(F.col(corpus_norm_col).alias("_cn"))
     else:
-        sim = cosine(F.col("qv"), F.col("cv"))
+        c_cols.append(_norm(F.col(vec_col)).alias("_cn"))
+    c = corpus.select(*c_cols)
+    den = F.col("_qn") * F.col("_cn")
+    sim = _dot(F.col("qv"), F.col("cv")) / F.when(
+        den == 0.0, F.lit(1.0)
+    ).otherwise(den)
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -286,12 +294,26 @@ def topk_lsh(
         .distinct()
     )
 
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # per-row norm precompute before the candidate join (see
+    # topk_bruteforce) — bit-identical to cosine() per pair
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    den = F.col("_qn") * F.col("_cn")
+    sim_expr = _dot(F.col("qv"), F.col("cv")) / F.when(
+        den == 0.0, F.lit(1.0)
+    ).otherwise(den)
     scored = (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", sim_expr.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -656,13 +656,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(_norm(F.col("embedding")), F.lit(1e-12)).alias("_nrm"),
         "embedding",
     )
+    # Materialize the unit-vector assignment ONCE (guide §2.2): the
+    # inlined-16-centroid argmax + normalize projection is the heavy
+    # per-row math here, and it feeds THREE plan branches (both sides
+    # of the within-cell pair join plus the census groupBy below) —
+    # Spark has no cross-branch CSE, so the un-materialized form
+    # re-ran it 3x per query.  Values are unchanged; only how many
+    # times they are computed.
     unit = normed.select(
         "vec_id",
         "cell",
         F.transform(
             F.col("embedding"), lambda x: x.cast("double") / F.col("_nrm")
         ).alias("u"),
-    )
+    ).localCheckpoint()
     a = unit.select(
         F.col("cell").alias("ca"), F.col("vec_id").alias("id_a"), F.col("u").alias("ua")
     )
@@ -677,7 +684,8 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_dropped", F.lit(1))
     )
     return (
-        cellv.join(dropped, "vec_id", "left")
+        unit.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

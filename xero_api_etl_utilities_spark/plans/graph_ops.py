@@ -390,12 +390,32 @@ def diag_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ka.join(kb, "k")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("exact_join_size"))
     )
-    # both sides are 1-row aggregates: driver literals, no NLJ attach
-    e = est.collect()[0]["est_join_size"]
-    x = exact.collect()[0]["exact_join_size"]
-    return spark.createDataFrame(
-        [(int(x), int(e), bool(e >= x), bool(e * 100 <= 130 * x))],
-        "exact_join_size bigint, est_join_size bigint, never_under boolean, within_30pct boolean",
+    # One tall union of the two 1-row aggregates instead of two
+    # sequential .collect() jobs + a driver-literal frame (guide §5:
+    # no driver round-trips on a query path; §2.6: the two subtrees
+    # are independent stages of ONE job, so they execute concurrently
+    # instead of back-to-back).  Still no 1-row cross join (the NLJ
+    # the audit bans) — the combine is a union + conditional max.
+    tall = est.select(
+        F.lit("e").alias("k"), F.col("est_join_size").alias("v")
+    ).unionAll(
+        exact.select(F.lit("x").alias("k"), F.col("exact_join_size").alias("v"))
+    )
+    return (
+        tall.agg(
+            F.max(F.when(F.col("k") == "x", F.col("v"))).alias("exact_join_size"),
+            F.max(F.when(F.col("k") == "e", F.col("v"))).alias("est_join_size"),
+        )
+        .select(
+            "exact_join_size",
+            "est_join_size",
+            (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+                "never_under"
+            ),
+            (F.col("est_join_size") * 100 <= 130 * F.col("exact_join_size")).alias(
+                "within_30pct"
+            ),
+        )
     )
 
 
