@@ -279,6 +279,46 @@ def test_simhash_near_dups_banding(spark):
     assert not any(5 in p for p in got)
 
 
+def test_simhash_near_dups_duplicate_fp_groups(spark):
+    """Pin the r15 fp-grouped bucket explosion (hamming once per
+    distinct-fingerprint pair, doc expansion only for passing pairs)
+    against a brute-force all-pairs reference on a duplicate-heavy
+    frame — the shape where the grouped path diverges most from the
+    old flat member explosion if it were wrong."""
+    base = 0x0123_4567_89AB_CDEF
+    rows = []
+    # three duplicate clusters (sizes 4/3/2) + two singletons; cluster
+    # fps within hamming 1-2 of each other and one far outlier
+    for d in range(4):
+        rows.append((d, base))
+    for d in range(10, 13):
+        rows.append((d, base ^ 0x1))           # hamming 1 from base
+    for d in range(20, 22):
+        rows.append((d, base ^ 0x6))           # hamming 2 from base, 3 from ^1
+    rows.append((30, base ^ (0x8000_0000_0000_0001 - 0x1_0000_0000_0000_0000)))
+    rows.append((31, -base))                   # far away
+    fps = spark.createDataFrame(rows, "doc long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_near_dups(fps, max_hamming=3).collect()
+    }
+    # brute-force reference: every pair within hamming<=3 (pigeonhole
+    # guarantees banding recall at this radius)
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFF_FFFF_FFFF_FFFF).count("1")
+
+    expect = {
+        (a, b, ham(fa, fb))
+        for i, (a, fa) in enumerate(rows)
+        for b, fb in rows[i + 1 :]
+        if ham(fa, fb) <= 3
+    }
+    expect = {(min(a, b), max(a, b), h) for a, b, h in expect}
+    assert got == expect
+    # duplicate clusters must pair exhaustively at hamming 0
+    assert sum(1 for a, b, h in got if h == 0) == 6 + 3 + 1
+
+
 def test_ivf_centroid_twins_bit_identical(spark):
     """The Spark collect path and the pyarrow oracle path must train
     BIT-IDENTICAL centroids from the same parquet — the whole basis of

@@ -454,32 +454,85 @@ def simhash_near_dups(
             )
         ).alias("e"),
     ).select("doc", "fp", F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+    # Bucket members are grouped BY FINGERPRINT before pair explosion
+    # (r15, guide §2 "don't compute things you throw away"): a flat
+    # member explosion evaluates xor+bit_count per DOC pair — on a
+    # duplicate-heavy corpus (the operator's whole reason to exist) a
+    # bucket of m docs holding g distinct fingerprints did m²/2 pair
+    # builds where g²/2 suffice, since hamming depends only on the
+    # fingerprints.  Doc-level pairs are expanded ONLY for fp pairs
+    # that pass the hamming filter (plus the always-emitted hamming-0
+    # pairs within an fp group), so struct construction is
+    # output-sized, not candidates-sized.  Pair SET and hamming
+    # values are identical: docs are unique within a bucket, doc
+    # order is enforced via least/greatest exactly as the sorted
+    # member explosion enforced it, and the trailing
+    # distinct+filter is unchanged.
+    fp_groups = exploded.groupBy("band", "bv", "fp").agg(
+        F.array_sort(F.collect_list("doc")).alias("docs")
+    )
     buckets = (
-        exploded.groupBy("band", "bv")
+        fp_groups.groupBy("band", "bv")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("doc"), F.col("fp")))
-            ).alias("members")
+            F.array_sort(F.collect_list(F.struct("fp", "docs"))).alias("groups"),
+            F.sum(F.size("docs")).alias("_m"),
         )
-        .filter(F.size("members") >= 2)
+        .filter(F.col("_m") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("members") <= max_bucket)
-    pair_arr = F.flatten(
+        buckets = buckets.filter(F.col("_m") <= max_bucket)
+    groups = F.col("groups")
+    same_arr = F.flatten(
         F.transform(
-            F.col("members"),
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    y["doc"].alias("doc_b"),
-                    F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
-                ),
+            groups,
+            lambda g: F.flatten(
+                F.transform(
+                    g["docs"],
+                    lambda x, i: F.transform(
+                        F.slice(g["docs"], i + 2, F.size(g["docs"])),
+                        lambda y: F.struct(
+                            x.alias("doc_a"),
+                            y.alias("doc_b"),
+                            F.bit_count(g["fp"].bitwiseXOR(g["fp"])).alias(
+                                "hamming"
+                            ),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    cross_arr = F.flatten(
+        F.transform(
+            groups,
+            lambda gx, i: F.flatten(
+                F.transform(
+                    F.filter(
+                        F.slice(groups, i + 2, F.size(groups)),
+                        lambda gy: F.bit_count(gx["fp"].bitwiseXOR(gy["fp"]))
+                        <= max_hamming,
+                    ),
+                    lambda gy: F.flatten(
+                        F.transform(
+                            gx["docs"],
+                            lambda a: F.transform(
+                                gy["docs"],
+                                lambda b: F.struct(
+                                    F.least(a, b).alias("doc_a"),
+                                    F.greatest(a, b).alias("doc_b"),
+                                    F.bit_count(
+                                        gx["fp"].bitwiseXOR(gy["fp"])
+                                    ).alias("hamming"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
             ),
         )
     )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(F.concat(same_arr, cross_arr)).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
