@@ -153,15 +153,29 @@ def refine_centroids_ml(
 
 
 def _centroid_scores(vec_col, centroids: list[list[float]]):
-    """Array of (dot, cell_id) structs against each inlined centroid."""
-    return F.array(
-        *[
-            F.struct(
-                _dot(vec_col, F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    """Array of (dot, cell_id) structs against each centroid.
+
+    Centroids ride as ONE folded array-of-arrays literal consumed by a
+    ``transform`` (r15): the original per-centroid ``F.array(64 ×
+    F.lit)`` unrolling built a ~1100-node expression tree through
+    ~1100 py4j calls — ~2 s of DRIVER time per call, and every IVF
+    query builds this expression several times (both join sides, every
+    prefix width).  The dot is the same ``zip_with`` + left-fold as
+    :func:`similarity._dot` over the same doubles, so scores are
+    bit-identical; only the plan size changes (constant in k·dim)."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    return F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec_col, c, lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
     )
 
 
@@ -371,9 +385,9 @@ def encode_ivfpq_residual(
     from xero_api_etl_utilities_spark.operators.quantize import pq_codes
 
     assigned = assign_cells(corpus, centroids, vec_col, 1)
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # one folded nested-array literal (see _centroid_scores) — same
+    # doubles, constant-size plan
+    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
     rv = F.zip_with(
         F.col(vec_col).cast("array<double>"),
         F.element_at(cent_arr, F.col("cell") + 1),

@@ -169,8 +169,41 @@ def pq_codes(
     double-array min/position scan."""
     cols = [F.col(id_col)]
     ds = len(codebooks[0][0])
-    for s, book in enumerate(codebooks):
-        arr = F.array(*[_sub_dist(vec_col, c, s * ds) for c in book])
+    # Codebooks ride as ONE folded nested-array literal consumed by a
+    # per-subspace ``transform`` (r15): the unrolled per-code
+    # ``_sub_dist`` expression built ~2000 nodes through as many py4j
+    # calls — ~12 s of DRIVER plan-construction per index build.  The
+    # distance fold is the same left-to-right (v-c)² sum over the same
+    # doubles (a leading 0.0 is exact: squares are never -0.0), so
+    # codes are bit-identical; only plan size changes.
+    books = F.lit(
+        [[[float(x) for x in c] for c in book] for book in codebooks]
+    )
+    # NOTE: the per-code lambda must stay SINGLE-ARG — pyspark binds a
+    # two-parameter lambda as the (element, index) form, which would
+    # silently rebind any defaulted closure arg to the array index.
+    def _dist_fn(lo: int):
+        def _dist(c):
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(ds - 1)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + (
+                    (
+                        F.element_at(F.col(vec_col), d + lo + 1).cast("double")
+                        - F.element_at(c, d + 1)
+                    )
+                    * (
+                        F.element_at(F.col(vec_col), d + lo + 1).cast("double")
+                        - F.element_at(c, d + 1)
+                    )
+                ),
+            )
+
+        return _dist
+
+    for s, _book in enumerate(codebooks):
+        arr = F.transform(F.element_at(books, s + 1), _dist_fn(s * ds))
         cols.append(
             (F.array_position(arr, F.array_min(arr)) - 1)
             .cast("int")

@@ -235,11 +235,39 @@ def hyperplane_buckets(
     array literals — tiny, broadcast with the plan itself.
     """
     planes = hyperplanes(n_planes, dim, seed)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket + F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1 << i)).otherwise(0)
+    # planes ride as ONE folded array-of-arrays literal folded by an
+    # aggregate (r15, see ivf._centroid_scores): same dot fold, same
+    # left-to-right integer bit sum (shiftleft(1L, i) == 1 << i), so
+    # bucket ids are identical; plan size is constant in planes·dim.
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bucket = _plane_bucket(F.col(vec_col), planes_lit, n_planes)
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def _plane_bucket(vec_col, planes_lit, n_planes: int):
+    """Sign-bit bucket id: Σ_i (dot(vec, plane_i) >= 0 ? 1<<i : 0),
+    folded left-to-right from 0L exactly like the unrolled form (the
+    bit values ride as a literal long array — integer sums are exact,
+    so the bucket id is identical)."""
+    bits = F.lit([1 << i for i in range(n_planes)])
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.element_at(planes_lit, i + 1),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            >= 0,
+            F.element_at(bits, i + 1),
+        ).otherwise(F.lit(0).cast("long")),
+    )
 
 
 def topk_lsh(
@@ -269,19 +297,24 @@ def topk_lsh(
     per-table joins, so the algorithmic oracle is unaffected.
     """
     all_planes = [hyperplanes(n_planes, dim, seed=7 + t) for t in range(n_tables)]
+    # all tables' planes as ONE folded 3-level literal; per-table
+    # bucket via the same left-to-right sign-bit fold as the unrolled
+    # form (see _plane_bucket) — identical bucket ids, constant-size
+    # plan instead of tables·planes·dim literal nodes
+    tables_lit = F.lit(
+        [[[float(x) for x in p] for p in planes] for planes in all_planes]
+    )
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        entries = []
-        for t, planes in enumerate(all_planes):
-            bucket = F.lit(0).cast("long")
-            for i, plane in enumerate(planes):
-                p = F.array(*[F.lit(x) for x in plane])
-                bucket = bucket + F.when(
-                    _dot(F.col(vec_col), p) >= 0, F.lit(1 << i)
-                ).otherwise(0)
-            entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+        entries = F.transform(
+            tables_lit,
+            lambda tp, t: F.struct(
+                t.alias("tbl"),
+                _plane_bucket(F.col(vec_col), tp, n_planes).alias("bkt"),
+            ),
+        )
         return df.select(
-            F.col(id_col).alias(out_id), F.explode(F.array(*entries)).alias("e")
+            F.col(id_col).alias(out_id), F.explode(entries).alias("e")
         ).select(out_id, F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt"))
 
     qb = bucketed(queries, "query_id")
