@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xero_api_etl_utilities_spark.operators.litfold import lit_doubles
 from xero_api_etl_utilities_spark.operators.similarity import _dot, _norm, cosine
 
 
@@ -162,8 +163,12 @@ def _centroid_scores(vec_col, centroids: list[list[float]]):
     query builds this expression several times (both join sides, every
     prefix width).  The dot is the same ``zip_with`` + left-fold as
     :func:`similarity._dot` over the same doubles, so scores are
-    bit-identical; only the plan size changes (constant in k·dim)."""
-    cents = F.lit([[float(x) for x in c] for c in centroids])
+    bit-identical; only the plan size changes (constant in k·dim).
+    The literal itself is rendered as one SQL expression string
+    (operators/litfold.py): ``F.lit`` on a nested list still pays one
+    py4j call per element — measured 0.6–4 s of driver time per build
+    for 16×64, charged to every timed plan construction."""
+    cents = lit_doubles([[float(x) for x in c] for c in centroids])
     return F.transform(
         cents,
         lambda c, i: F.struct(
@@ -386,8 +391,8 @@ def encode_ivfpq_residual(
 
     assigned = assign_cells(corpus, centroids, vec_col, 1)
     # one folded nested-array literal (see _centroid_scores) — same
-    # doubles, constant-size plan
-    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
+    # doubles, constant-size plan, one-call construction
+    cent_arr = lit_doubles([[float(x) for x in c] for c in centroids])
     rv = F.zip_with(
         F.col(vec_col).cast("array<double>"),
         F.element_at(cent_arr, F.col("cell") + 1),

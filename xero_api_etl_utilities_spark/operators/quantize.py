@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xero_api_etl_utilities_spark.operators.litfold import lit_doubles
+
 
 def sq8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, dim, code) int8 scalar-quantization codes, one row per
@@ -176,7 +178,7 @@ def pq_codes(
     # distance fold is the same left-to-right (v-c)² sum over the same
     # doubles (a leading 0.0 is exact: squares are never -0.0), so
     # codes are bit-identical; only plan size changes.
-    books = F.lit(
+    books = lit_doubles(
         [[[float(x) for x in c] for c in book] for book in codebooks]
     )
     # NOTE: the per-code lambda must stay SINGLE-ARG — pyspark binds a

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xero_api_etl_utilities_spark.operators.litfold import lit_doubles
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -239,7 +241,7 @@ def hyperplane_buckets(
     # aggregate (r15, see ivf._centroid_scores): same dot fold, same
     # left-to-right integer bit sum (shiftleft(1L, i) == 1 << i), so
     # bucket ids are identical; plan size is constant in planes·dim.
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    planes_lit = lit_doubles([[float(x) for x in p] for p in planes])
     bucket = _plane_bucket(F.col(vec_col), planes_lit, n_planes)
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
@@ -301,7 +303,7 @@ def topk_lsh(
     # bucket via the same left-to-right sign-bit fold as the unrolled
     # form (see _plane_bucket) — identical bucket ids, constant-size
     # plan instead of tables·planes·dim literal nodes
-    tables_lit = F.lit(
+    tables_lit = lit_doubles(
         [[[float(x) for x in p] for p in planes] for planes in all_planes]
     )
 

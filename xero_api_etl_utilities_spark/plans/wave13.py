@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xero_api_etl_utilities_spark.functions.crosshash import h32, h32_sql
+from xero_api_etl_utilities_spark.operators.litfold import lit_longs
 from xero_api_etl_utilities_spark.plans.catalog import register
 from xero_api_etl_utilities_spark.sources.parquet import load_table
 
@@ -69,7 +70,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xero_api_etl_utilities_spark.operators.dedup import tokens
 
     weights = qm.weights_from_parquet(sf_dir)
-    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    w_arr = lit_longs([int(w) for w in weights])
     toks = tokens(F.col("text"))
     # coalesce: NULL text -> NULL fold, but the DuckDB oracle COALESCEs
     # its list_sum to 0 — a NULL-text document scores 0 (ADVICE r14)
@@ -304,7 +305,7 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xero_api_etl_utilities_spark.operators.textstats import quality_flags
 
     weights = qm.weights_from_parquet(sf_dir)
-    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    w_arr = lit_longs([int(w) for w in weights])
     toks = tokens(F.col("text"))
     # coalesce: NULL text -> NULL fold, but the DuckDB oracle COALESCEs
     # its list_sum to 0 — a NULL-text document scores 0 (ADVICE r14)

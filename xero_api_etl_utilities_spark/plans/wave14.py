@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xero_api_etl_utilities_spark.functions.crosshash import h32, h32_sql
+from xero_api_etl_utilities_spark.operators.litfold import lit_longs
 from xero_api_etl_utilities_spark.plans.catalog import register
 from xero_api_etl_utilities_spark.sources.parquet import load_table
 
@@ -232,7 +233,7 @@ def _score_expr(weights: list[int], toks) -> F.Column:
     the token array against a broadcast integer-weight literal."""
     from xero_api_etl_utilities_spark.operators import quality_model as qm
 
-    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    w_arr = lit_longs([int(w) for w in weights])
     # NULL text -> NULL token array -> NULL fold; the DuckDB oracle
     # COALESCEs its list_sum to 0, so match it exactly (a NULL-text
     # document scores 0 = rejected, not NULL) — ADVICE r14
@@ -272,8 +273,8 @@ def drift_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each token once (2 md5/token) and accumulates both scores in the
     # same element order, so each sum is bit-identical to its
     # single-model fold.
-    wa_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in w_a])
-    wb_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in w_b])
+    wa_arr = lit_longs([int(w) for w in w_a])
+    wb_arr = lit_longs([int(w) for w in w_b])
     feats = F.transform(
         tokens(F.col("text")),
         lambda t: F.struct(
