@@ -38,6 +38,18 @@ def h64(col):
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def h32_spark(expr: str) -> str:
+    """SPARK-SQL string twin of :func:`h32`, for builders that render
+    their repeated-expression loops as one ``F.expr`` string instead
+    of hundreds of py4j column ops (operators/litfold.py rationale:
+    plan-construction driver time).  Must stay textually equivalent to
+    the Column form — conv() returns STRING, hence the outer CAST."""
+    return (
+        f"CAST(conv(substring(md5(CAST({expr} AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
 def h32_sql(expr: str) -> str:
     """DuckDB twin of :func:`h32` (UBIGINT value in [0, 2^32))."""
     return f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS UBIGINT)"

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from xero_api_etl_utilities_spark.functions.crosshash import h32, h64
+from xero_api_etl_utilities_spark.functions.crosshash import h32, h32_spark, h64
 from xero_api_etl_utilities_spark.operators.materialize import materialize
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family.
@@ -307,8 +307,11 @@ def minhash_signatures(
         F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias("sh"),
     )
     base = shingled.withColumn("hx", h32(F.col("sh")) % _P)
+    # each permutation as ONE parsed expression string (r15, litfold
+    # rationale): the Column-op form built ~6 py4j nodes per hash —
+    # ~1.1 s of driver time per plan build for the 64-permutation loop
     mins = [
-        F.min((F.col("hx") * F.lit(a) + F.lit(b)) % _P).alias(f"mh_{i}")
+        F.expr(f"min((hx * {a} + {b}) % {_P}) AS mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return base.groupBy("doc").agg(*mins)
@@ -324,26 +327,22 @@ def band_rows(
     :func:`minhash_lsh_candidates` (h32 of the '|'-joined signature
     slots), kept separate so the batch self-join path keeps its
     bucket-explosion shape unchanged."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                h32(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
+    # one parsed expression for the whole banding explode (r15,
+    # litfold rationale: the struct loop built ~10 py4j nodes per band
+    # — ~0.5 s of driver time per plan build, paid per timed iteration
+    # by every catalog-backed consumer)
+    def _bh(b: int) -> str:
+        slots = ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        return h32_spark(f"concat_ws('|', {slots})")
+
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'bh', {_bh(b)})" for b in range(bands)
     )
-    return sigs.select(F.col("doc"), F.explode(band_structs).alias("e")).select(
-        "doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
-    )
+    return sigs.select(
+        F.col("doc"), F.expr(f"explode(array({entries}))").alias("e")
+    ).select("doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
 
 
 def minhash_lsh_candidates(
@@ -376,20 +375,20 @@ def minhash_lsh_candidates(
     combinations from one collect_list whose size ``max_bucket``
     bounds.
     """
-    band_cols = [
-        h32(
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    # parsed expression strings (r15, litfold rationale — see band_rows)
+    def _bh(b: int) -> str:
+        slots = ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        return h32_spark(f"concat_ws('|', {slots})")
+
+    band_cols = [F.expr(f"{_bh(b)} AS band_{b}") for b in range(bands)]
     banded = sigs.select(F.col("doc"), *band_cols)
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'bh', band_{b})" for b in range(bands)
+    )
     pairs = banded.select(
-        "doc",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
-        ).alias("e"),
+        "doc", F.expr(f"explode(array({entries}))").alias("e")
     ).select("doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     buckets = (
         pairs.groupBy("band", "bh")
@@ -548,23 +547,27 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit_j(doc) = 1 iff sum_t sign(bit_j(hash(t))) > 0. Expressed as 64
     conditional sums in ONE aggregation pass (map-side combinable).
     """
-    one = F.lit(1).cast("long")
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("th", h64(F.col("tok")))
     # shiftleft wraps to the sign bit at j=63, which is exactly the
-    # two's-complement bit mask we want on a signed long.
+    # two's-complement bit mask we want on a signed long.  Both loops
+    # render as parsed expression strings (r15, litfold rationale):
+    # the Column-op form built ~14 py4j nodes per bit — ~1.6 s of
+    # driver time per plan build, paid per timed iteration.
     bit_sums = [
-        F.sum(
-            F.when(F.col("th").bitwiseAND(F.shiftleft(one, j)) != 0, 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.expr(
+            f"sum(CASE WHEN (th & shiftleft(1L, {j})) != 0"
+            f" THEN 1 ELSE -1 END) AS b{j}"
+        )
         for j in range(64)
     ]
     agg = toks.groupBy("doc").agg(*bit_sums)
-    fp = F.lit(0).cast("long")
-    for j in range(64):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
-        )
+    fp_terms = " | ".join(
+        f"(CASE WHEN b{j} > 0 THEN shiftleft(1L, {j})"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
+    )
+    fp = F.expr(f"CAST(0 AS BIGINT) | {fp_terms}")
     return agg.select("doc", fp.alias("simhash"))
