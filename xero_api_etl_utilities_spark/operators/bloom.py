@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xero_api_etl_utilities_spark.functions.crosshash import h32
+from xero_api_etl_utilities_spark.operators.litfold import lit_longs
 
 M_BITS_DEFAULT = 8192
 K_HASHES_DEFAULT = 4
@@ -77,7 +78,10 @@ def bloom_might_contain(
 ) -> Column:
     """Membership-test expression over the literal word array: true iff
     ALL k bits are set. Pure codegen — no join, no shuffle, no python."""
-    lit_words = F.array(*[F.lit(w) for w in words])
+    # one-parser-call literal (operators/litfold.py): at the 2^17-bit
+    # cap this is 2048 longs — element-wise F.lit cost ~1.5 s of
+    # driver time per plan build
+    lit_words = lit_longs(words)
     cond = None
     for p in _positions(key, k, m):
         word = F.element_at(lit_words, (p / 64).cast("int") + 1)

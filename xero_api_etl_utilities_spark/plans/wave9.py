@@ -574,18 +574,20 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the memoized once-per-session sketch (r11) — zero re-shingling
     sigs = minhash_sigs(spark, sf_dir)
-    sa = sigs.select(
-        F.col("doc").alias("doc_a"),
-        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(64)],
+    # selectExpr strings + one parsed 64-term sum (r15, litfold
+    # rationale): the Column-op loops built ~450 py4j nodes — ~0.8 s
+    # of driver time per plan build
+    sa = sigs.selectExpr(
+        "doc AS doc_a", *[f"mh_{i} AS _a{i}" for i in range(64)]
     )
-    sb = sigs.select(
-        F.col("doc").alias("doc_b"),
-        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(64)],
+    sb = sigs.selectExpr(
+        "doc AS doc_b", *[f"mh_{i} AS _b{i}" for i in range(64)]
     )
-    match = None
-    for i in range(64):
-        term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
-        match = term if match is None else match + term
+    match = F.expr(
+        " + ".join(
+            f"(CASE WHEN _a{i} = _b{i} THEN 1 ELSE 0 END)" for i in range(64)
+        )
+    )
     est = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
