@@ -302,24 +302,12 @@ def corpus_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the memoized once-per-session sketch (r11) — same params, zero
     # re-shingling
     sigs = minhash_sigs(spark, sf_dir)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            h32(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    melted = sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("e")
-    ).select("doc", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    # same banding recipe as the shared catalog projection — reuse the
+    # (string-built, r15) band_rows operator instead of a local
+    # 16-struct Column loop; identical (doc, band, bh) rows
+    from xero_api_etl_utilities_spark.operators.dedup import band_rows
+
+    melted = band_rows(sigs, bands=bands, rows_per_band=rows_per_band)
     src = docs.select(F.col("doc_id").alias("doc"), "source")
     occ = (
         melted.join(src, "doc")
