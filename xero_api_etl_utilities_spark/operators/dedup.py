@@ -162,6 +162,7 @@ def jaccard_verify(
     min_sim_num: int = 7,
     min_sim_den: int = 10,
     checkpoint_dir: str | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of CANDIDATE pairs — the stage a
     production dedup pipeline runs between LSH candidate generation
@@ -180,12 +181,19 @@ def jaccard_verify(
     (doc, shingle), re-aggregate — shuffles every (pair, shingle) ROW
     and measured ~3× slower at sf0.1.) Same integer (inter, union)
     output contract as :func:`jaccard_pairs`.
+
+    ``parallelism``: corpus-scale callers pass the cluster's compute
+    width (``sc.defaultParallelism``) to opt the shared substrate into
+    its materialized wide shape (see :func:`_pair_intersections`);
+    small/streaming callers leave it None and keep the lazy plan.
     """
-    pairs = _pair_intersections(cands, docs, id_col, text_col, n, checkpoint_dir)
+    pairs = _pair_intersections(
+        cands, docs, id_col, text_col, n, checkpoint_dir, parallelism
+    )
     return (
         pairs.withColumn(
             "union_size",
-            (F.size("sh_a") + F.size("sh_b")).cast("bigint") - F.col("inter_size"),
+            F.col("size_a") + F.col("size_b") - F.col("inter_size"),
         )
         # union_size > 0 keeps the contract of the inverted-index form
         # (and the SQL twin): a pair of empty documents never appears
@@ -202,14 +210,45 @@ def _pair_intersections(
     text_col: str,
     n: int,
     checkpoint_dir: str | None,
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Shared verify substrate: each candidate pair with both deduped
-    shingle arrays and their exact intersection size attached.
+    """Shared verify substrate: each candidate pair with its exact
+    per-pair (|A∩B|, |A|, |B|) integers attached — columns
+    (doc_a, doc_b, inter_size, size_a, size_b).
 
     jaccard_verify and containment_verify are two THRESHOLD RULES over
-    the same per-pair (|A∩B|, |A|, |B|) integers; the expensive part —
-    semi-join shrink, shingle-set build, per-pair ``array_intersect``
-    — lives here once."""
+    the same integers; the expensive part — semi-join shrink,
+    shingle-set build, per-pair ``array_intersect`` — lives here once.
+
+    ``parallelism`` opts a CORPUS-SCALE caller into the wide
+    materialized shape (r15, guide §2.5 parallelism / §7.2 duplicated
+    expressions — both measured at sf0.1 on the 2.1 M-pair batch
+    substrate):
+
+    - the pair-stats frame is materialized BEFORE the threshold
+      filters.  Returned as a plan, the filters collapse into the
+      attach join and each conjunct re-derives ``inter_size``, so
+      ``array_intersect`` evaluates up to 3× per pair (the before-plan
+      pinned the join condition carrying two copies); the narrow
+      integer barrier (5 ints/pair) makes it evaluate exactly once —
+      verify 6.6 → 4.3 s.
+    - the candidate frame is repartitioned to ``parallelism`` before
+      the CPU-bound intersect pass.  Candidates arrive from an
+      AQE-coalesced distinct (10 partitions at sf0.1 — a 34 MB shuffle
+      coalesces under the 64 MB advisory size), so the per-pair
+      set-intersection ran on a third of the cores; callers pass
+      ``sc.defaultParallelism``, the compute width on any cluster —
+      verify 4.3 → 1.2 s.  All verify columns are integers (ids,
+      md5-derived set sizes), so partition order cannot perturb any
+      value.
+
+    With ``parallelism=None`` (small batches, streaming micro-batches)
+    the frame comes back as a lazy plan on the input partitioning: for
+    a few-thousand-pair verify, the extra exchange + two checkpoint
+    jobs of the wide shape cost more than the duplicate intersect they
+    remove (measured on the wave15 store entries: +0.4–0.6 s each)."""
+    if parallelism is not None:
+        cands = cands.repartition(parallelism)
     # The candidate frame is consumed three times (both union sides of
     # pair_ids and the main join): materialize it once or the whole
     # upstream candidate generation re-executes per consumer —
@@ -235,16 +274,33 @@ def _pair_intersections(
         ),
         checkpoint_dir,
     )
-    a = sets.select(F.col("doc").alias("doc_a"), F.col("shset").alias("sh_a"))
-    b = sets.select(F.col("doc").alias("doc_b"), F.col("shset").alias("sh_b"))
-    return (
+    a = sets.select(
+        F.col("doc").alias("doc_a"),
+        F.col("shset").alias("sh_a"),
+        F.size("shset").cast("bigint").alias("size_a"),
+    )
+    b = sets.select(
+        F.col("doc").alias("doc_b"),
+        F.col("shset").alias("sh_b"),
+        F.size("shset").cast("bigint").alias("size_b"),
+    )
+    stats = (
         cands.select("doc_a", "doc_b")
         .join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn(
-            "inter_size", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias(
+                "inter_size"
+            ),
+            "size_a",
+            "size_b",
         )
     )
+    if parallelism is None:
+        return stats
+    return materialize(stats, checkpoint_dir)
 
 
 def containment_verify(
@@ -256,6 +312,7 @@ def containment_verify(
     min_cont_num: int = 9,
     min_cont_den: int = 10,
     checkpoint_dir: str | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact-CONTAINMENT verification of candidate pairs: keep (a, b)
     when |A∩B| ≥ τ·min(|A|, |B|) — i.e. the smaller document's shingle
@@ -272,10 +329,12 @@ def containment_verify(
     Empty shingle sets never pass (min size 0 ⇒ the strict ``> 0``
     size guard filters the pair), mirroring jaccard's union_size > 0.
     """
-    pairs = _pair_intersections(cands, docs, id_col, text_col, n, checkpoint_dir)
+    pairs = _pair_intersections(
+        cands, docs, id_col, text_col, n, checkpoint_dir, parallelism
+    )
     return (
         pairs.withColumn(
-            "min_size", F.least(F.size("sh_a"), F.size("sh_b")).cast("bigint")
+            "min_size", F.least(F.col("size_a"), F.col("size_b"))
         )
         .filter(F.col("min_size") > 0)
         .filter(min_cont_den * F.col("inter_size") >= min_cont_num * F.col("min_size"))

@@ -305,6 +305,11 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from xero_api_etl_utilities_spark.operators import dedup as dd
 
         docs = load_table(spark, sf_dir, "documents")
+        # Negative result (r15): repartitioning the docs scan before
+        # the tokenize+shingle+64-min pass measured SLOWER cold (the
+        # extra exchange stage costs more to JIT+run than the
+        # single-row-group scan task saves at this corpus size: 8.0 →
+        # 10.7 s cold A/B) — left on the scan's natural partitioning.
         sigs = dd.minhash_signatures(docs, "doc_id", "text", n=1, num_hashes=64)
         _SIGS_CACHE[key] = sigs.localCheckpoint()
     return _SIGS_CACHE[key]
@@ -322,7 +327,13 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = dd.minhash_lsh_candidates(
             minhash_sigs(spark, sf_dir), bands=16, rows_per_band=4, max_bucket=500
         )
-        _CANDS_CACHE[key] = cands.localCheckpoint()
+        # Checkpoint at compute width (r15, guide §2.5): the distinct's
+        # 34 MB shuffle AQE-coalesces to ~10 partitions at sf0.1, and
+        # every CPU-bound consumer of this memo (exact verify,
+        # calibration's sampled-intersect census) would inherit that
+        # under-parallelism.  Integer pair rows — order-insensitive.
+        par = spark.sparkContext.defaultParallelism
+        _CANDS_CACHE[key] = cands.repartition(par).localCheckpoint()
     return _CANDS_CACHE[key]
 
 
@@ -333,7 +344,12 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs = load_table(spark, sf_dir, "documents")
         pairs = dd.jaccard_verify(
-            lsh_candidates(spark, sf_dir), docs, "doc_id", "text", n=1
+            lsh_candidates(spark, sf_dir),
+            docs,
+            "doc_id",
+            "text",
+            n=1,
+            parallelism=spark.sparkContext.defaultParallelism,
         )
         _PAIRS_CACHE[key] = pairs.localCheckpoint()
     return _PAIRS_CACHE[key]

@@ -48,7 +48,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     cands = corpus_ops.lsh_candidates(spark, sf_dir)
-    return dd.containment_verify(cands, docs, "doc_id", "text", n=1)
+    return dd.containment_verify(
+        cands,
+        docs,
+        "doc_id",
+        "text",
+        n=1,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _containment_oracle() -> str:

@@ -234,7 +234,14 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    verified = dd.jaccard_verify(cands, docs, "doc_id", "text", n=1)
+    verified = dd.jaccard_verify(
+        cands,
+        docs,
+        "doc_id",
+        "text",
+        n=1,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     is_a_new = F.col("doc_a") % 5 == 4
     return verified.select(
         F.when(is_a_new, F.col("doc_a"))

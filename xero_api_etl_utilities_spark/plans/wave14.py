@@ -184,7 +184,14 @@ def dedup_catalog_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     cands = incremental_cands_from_disk(spark, sf_dir)
-    verified = dd.jaccard_verify(cands, docs, "doc_id", "text", n=1)
+    verified = dd.jaccard_verify(
+        cands,
+        docs,
+        "doc_id",
+        "text",
+        n=1,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     is_a_new = F.col("doc_a") % 5 == 4
     return (
         verified.select(

@@ -594,7 +594,14 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", match.alias("_m"))
     )
     exact = dd.jaccard_verify(
-        cands, docs, "doc_id", "text", n=1, min_sim_num=0, min_sim_den=1
+        cands,
+        docs,
+        "doc_id",
+        "text",
+        n=1,
+        min_sim_num=0,
+        min_sim_den=1,
+        parallelism=spark.sparkContext.defaultParallelism,
     ).filter(
         # zero-overlap band collisions: the array-set verify keeps
         # them, the oracle's shingle-inner-join form drops them —
