@@ -226,7 +226,7 @@ def pagerank_int(
         contrib = withdeg.join(ranks, withdeg.src == ranks.v).select(
             F.col("dst"), F.expr("rank div deg").alias("c")
         )
-        ranks = materialize(
+        ranks = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
             .select(
@@ -235,9 +235,17 @@ def pagerank_int(
                     F.lit(base)
                     + F.expr(f"{damping_pct} * in_sum div 100").cast("long")
                 ).alias("rank"),
-            ),
-            checkpoint_dir,
+            )
         )
+        # FIXED round count and no driver-side convergence check, so
+        # the whole recurrence stays ONE lazy plan — per-round
+        # materialization spent a checkpoint job + driver round-trip
+        # per iteration for a 5-deep lineage (r15, guide §5: measured
+        # 4.6 → 2.5 s at sf0.1).  With a reliable checkpoint_dir the
+        # per-round truncation is kept: that knob exists exactly so a
+        # multi-hour 100 TB run survives executor loss mid-recurrence.
+        if checkpoint_dir is not None:
+            ranks = materialize(ranks, checkpoint_dir)
     return ranks
 
 
@@ -281,14 +289,18 @@ def label_propagation(
         msgs = directed.join(labels, directed.src == labels.v).select(
             F.col("dst"), F.col("label")
         )
-        labels = materialize(
+        labels = (
             msgs.groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .groupBy("dst")
             .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
-            .select(F.col("dst").alias("v"), "label"),
-            checkpoint_dir,
+            .select(F.col("dst").alias("v"), "label")
         )
+        # fixed rounds, no driver convergence check → lazy recurrence,
+        # same rationale (and the same checkpoint_dir escape hatch for
+        # fault tolerance) as pagerank_int above
+        if checkpoint_dir is not None:
+            labels = materialize(labels, checkpoint_dir)
     return labels
 
 
@@ -326,8 +338,14 @@ def bfs_depths(
             .distinct()
             .join(visited.select("v"), "v", "left_anti")
         )
+        # nxt feeds BOTH the next round's frontier and the visited
+        # accumulator, so it must materialize (lazy would double-execute
+        # every prior round's subtree — exponential in depth); visited
+        # itself is just a union of already-materialized frontiers, so
+        # its own per-round checkpoint bought nothing (r15, guide §5:
+        # one checkpoint job per round instead of two)
         nxt = materialize(nxt.select("v", F.lit(k).alias("depth")), checkpoint_dir)
-        visited = materialize(visited.unionAll(nxt), checkpoint_dir)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("v")
     return visited
 
