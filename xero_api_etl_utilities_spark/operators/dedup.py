@@ -465,10 +465,20 @@ def minhash_lsh_candidates(
             ),
         )
     )
+    # The pair-set dedup runs as an explicit pair-keyed repartition at
+    # compute width + partition-local dropDuplicates instead of a bare
+    # .distinct() (r15, guide §2.4/§2.5): the aggregate reuses the
+    # explicit HashPartitioning, so this is ONE exchange — and the
+    # dedup runs at defaultParallelism instead of whatever AQE
+    # coalesces the 34 MB pair shuffle to (~10 partitions at sf0.1,
+    # which then under-parallelized every checkpoint consumer).
+    # Cold build 7.7 → 5.6 s median at sf0.1; same distinct pair set.
+    par = sigs.sparkSession.sparkContext.defaultParallelism
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+        .repartition(par, "doc_a", "doc_b")
+        .dropDuplicates()
     )
 
 

@@ -327,13 +327,12 @@ def lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = dd.minhash_lsh_candidates(
             minhash_sigs(spark, sf_dir), bands=16, rows_per_band=4, max_bucket=500
         )
-        # Checkpoint at compute width (r15, guide §2.5): the distinct's
-        # 34 MB shuffle AQE-coalesces to ~10 partitions at sf0.1, and
-        # every CPU-bound consumer of this memo (exact verify,
-        # calibration's sampled-intersect census) would inherit that
-        # under-parallelism.  Integer pair rows — order-insensitive.
-        par = spark.sparkContext.defaultParallelism
-        _CANDS_CACHE[key] = cands.repartition(par).localCheckpoint()
+        # The operator's pair-keyed dedup already lands the frame at
+        # compute width (see minhash_lsh_candidates), so the memo
+        # checkpoints it as-is and every CPU-bound consumer (exact
+        # verify, calibration's sampled-intersect census) inherits the
+        # parallelism.
+        _CANDS_CACHE[key] = cands.localCheckpoint()
     return _CANDS_CACHE[key]
 
 
