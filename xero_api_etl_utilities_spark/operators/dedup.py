@@ -163,6 +163,7 @@ def jaccard_verify(
     min_sim_den: int = 10,
     checkpoint_dir: str | None = None,
     parallelism: int | None = None,
+    cands_at_width: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of CANDIDATE pairs — the stage a
     production dedup pipeline runs between LSH candidate generation
@@ -186,9 +187,13 @@ def jaccard_verify(
     width (``sc.defaultParallelism``) to opt the shared substrate into
     its materialized wide shape (see :func:`_pair_intersections`);
     small/streaming callers leave it None and keep the lazy plan.
+    ``cands_at_width``: skip the candidate repartition+materialize when
+    the input is already checkpointed at compute width (see
+    :func:`_pair_intersections`).
     """
     pairs = _pair_intersections(
-        cands, docs, id_col, text_col, n, checkpoint_dir, parallelism
+        cands, docs, id_col, text_col, n, checkpoint_dir, parallelism,
+        cands_at_width,
     )
     return (
         pairs.withColumn(
@@ -211,6 +216,7 @@ def _pair_intersections(
     n: int,
     checkpoint_dir: str | None,
     parallelism: int | None = None,
+    cands_at_width: bool = False,
 ) -> DataFrame:
     """Shared verify substrate: each candidate pair with its exact
     per-pair (|A∩B|, |A|, |B|) integers attached — columns
@@ -246,14 +252,26 @@ def _pair_intersections(
     the frame comes back as a lazy plan on the input partitioning: for
     a few-thousand-pair verify, the extra exchange + two checkpoint
     jobs of the wide shape cost more than the duplicate intersect they
-    remove (measured on the wave15 store entries: +0.4–0.6 s each)."""
-    if parallelism is not None:
+    remove (measured on the wave15 store entries: +0.4–0.6 s each).
+
+    ``cands_at_width=True`` (r16, ADVICE r15): the caller asserts the
+    candidate frame is ALREADY lineage-truncated at compute width —
+    the memoized ``corpus_ops.lsh_candidates`` checkpoint (landed wide
+    by its pair-keyed exchange) or a narrow filter of it.  Both the
+    round-robin repartition and the defensive re-materialization are
+    skipped: re-checkpointing an already-checkpointed 2.1 M-pair frame
+    was one full copy job per verify call, and the repartition a
+    redundant full exchange on top (guide §2.4: remove shuffles the
+    data's existing layout already paid for)."""
+    if parallelism is not None and not cands_at_width:
         cands = cands.repartition(parallelism)
     # The candidate frame is consumed three times (both union sides of
     # pair_ids and the main join): materialize it once or the whole
     # upstream candidate generation re-executes per consumer —
-    # measured ~40% of this operator's runtime at sf0.1.
-    cands = materialize(cands, checkpoint_dir)
+    # measured ~40% of this operator's runtime at sf0.1.  (Unless the
+    # caller vouches it is already materialized — see above.)
+    if not cands_at_width:
+        cands = materialize(cands, checkpoint_dir)
     pair_ids = (
         cands.select(F.col("doc_a").alias("doc"))
         .union(cands.select(F.col("doc_b").alias("doc")))
@@ -313,6 +331,7 @@ def containment_verify(
     min_cont_den: int = 10,
     checkpoint_dir: str | None = None,
     parallelism: int | None = None,
+    cands_at_width: bool = False,
 ) -> DataFrame:
     """Exact-CONTAINMENT verification of candidate pairs: keep (a, b)
     when |A∩B| ≥ τ·min(|A|, |B|) — i.e. the smaller document's shingle
@@ -330,7 +349,8 @@ def containment_verify(
     size guard filters the pair), mirroring jaccard's union_size > 0.
     """
     pairs = _pair_intersections(
-        cands, docs, id_col, text_col, n, checkpoint_dir, parallelism
+        cands, docs, id_col, text_col, n, checkpoint_dir, parallelism,
+        cands_at_width,
     )
     return (
         pairs.withColumn(

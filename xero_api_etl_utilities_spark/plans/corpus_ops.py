@@ -349,6 +349,10 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             n=1,
             parallelism=spark.sparkContext.defaultParallelism,
+            # the memoized candidate checkpoint already sits at compute
+            # width (pair-keyed exchange in minhash_lsh_candidates) —
+            # skip the redundant re-exchange + re-checkpoint (r16)
+            cands_at_width=True,
         )
         _PAIRS_CACHE[key] = pairs.localCheckpoint()
     return _PAIRS_CACHE[key]

@@ -55,6 +55,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=1,
         parallelism=spark.sparkContext.defaultParallelism,
+        # memoized checkpoint, already at compute width (r16)
+        cands_at_width=True,
     )
 
 

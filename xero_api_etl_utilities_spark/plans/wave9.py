@@ -602,6 +602,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_sim_num=0,
         min_sim_den=1,
         parallelism=spark.sparkContext.defaultParallelism,
+        # a narrow filter of the memoized compute-width checkpoint:
+        # partitioning is inherited, and re-running the 1/8 hash-slice
+        # filter per consumer is cheaper than re-checkpointing (r16)
+        cands_at_width=True,
     ).filter(
         # zero-overlap band collisions: the array-set verify keeps
         # them, the oracle's shingle-inner-join form drops them —
