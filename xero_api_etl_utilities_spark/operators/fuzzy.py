@@ -61,12 +61,31 @@ def fuzzy_pairs_distance1(
     repeated runs (zero-padded codes — exactly the name shape here)
     made that a quadratic duplicate fan-out (guide §2.3: shuffle and
     compute fewer rows; measured 8.1 → 4.8 s at sf0.1 on the
-    fuzzy_name_match catalog query, identical output)."""
-    sides = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(name_col).alias("_name"),
-        F.explode(F.array_distinct(deletion_variants(name_col))).alias("_v"),
-    ).select("_id", "_name", F.xxhash64("_v").alias("_variant"))
+    fuzzy_name_match catalog query, identical output).
+
+    Two r16 changes (guide §2.5 parallelism, §1.2 per-task work):
+
+    - the exploded variant frame is hash-repartitioned on the variant
+      key at compute width BEFORE the self-join.  The small side
+      broadcasts, so the verify chain otherwise runs at the SCAN's
+      parallelism — one task on a single-row-group input — and the
+      explicit width is immune to AQE coalescing.  Both join branches
+      are the identical exchange, so ReuseExchange computes the
+      explode once.
+    - the verify is the THRESHOLD form ``levenshtein(a, b, 1) != -1``:
+      the banded DP costs O(len·1) per pair instead of O(len²), and
+      the return contract (distance if ≤ 1 else -1) makes the
+      predicate exactly ≡ ``levenshtein(a, b) <= 1``."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sides = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(name_col).alias("_name"),
+            F.explode(F.array_distinct(deletion_variants(name_col))).alias("_v"),
+        )
+        .select("_id", "_name", F.xxhash64("_v").alias("_variant"))
+        .repartition(par, "_variant")
+    )
     a = sides.select(
         F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "_variant"
     )
@@ -76,7 +95,7 @@ def fuzzy_pairs_distance1(
     return (
         a.join(b, "_variant")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .filter(F.levenshtein("name_a", "name_b", 1) != -1)
         .select("id_a", "id_b", "name_a", "name_b")
         .distinct()
     )
