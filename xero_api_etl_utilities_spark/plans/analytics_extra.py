@@ -1491,6 +1491,11 @@ def diag_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     already uses), then the bounded 4-row report shaped driver-side
     (the diag_data_contract precedent)."""
     od = load_table(spark, sf_dir, "orders")
+    # r16 negative result (guide §1 discipline): repartitioning the
+    # 1-task orders scan to compute width before the Expand aggregate
+    # measured a WASH (isolated A/B: narrow 0.72–0.87 s vs wide
+    # 0.85–1.0 s) — the exchange + extra stage costs what the wide
+    # Expand saves at this row count.  Left on the scan partitioning.
     aggs = []
     for i, (lhs, rhs) in enumerate(_FD_CANDIDATES):
         aggs.append(F.countDistinct(F.col(lhs)).alias(f"_l{i}"))

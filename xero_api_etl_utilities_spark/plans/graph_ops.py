@@ -373,6 +373,15 @@ def diag_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k")
     )
+    # r16 (guide §2.5 parallelism): both the CMS build (posexplode ×d
+    # md5 buckets per row) and the exact per-key counts ran on the
+    # single-task scans.  One key-keyed exchange per side at compute
+    # width feeds BOTH branches — the per-key groupBy reuses the hash
+    # partitioning (no second exchange) and the sketch explode runs
+    # wide; every output is an integer count, partitioning-independent.
+    par = spark.sparkContext.defaultParallelism
+    od = od.repartition(par, "k")
+    li = li.repartition(par, "k")
     sa = cms_build(od, "k", d=_JS_D, w=_JS_W)
     sb = cms_build(li, "k", d=_JS_D, w=_JS_W)
     est = (
