@@ -146,6 +146,45 @@ class TestPageRankInt:
         # integer truncation loses a bounded amount of mass, never gains
         assert scale * 0.99 < total <= scale
 
+    def test_lazy_rounds_guard_preserves_values(self, spark):
+        """The periodic localCheckpoint guard for deep fixed-round
+        recurrences (r16, ADVICE r15) must be value-invariant: a round
+        count crossing _LAZY_ROUNDS_MAX (guarded lazy plan) must equal
+        the per-round-materialized form byte for byte."""
+        from xero_api_etl_utilities_spark.operators.graph import (
+            _LAZY_ROUNDS_MAX,
+            label_propagation,
+            pagerank_int,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (6, 7)],
+            "u1 long, u2 long",
+        )
+        iters = _LAZY_ROUNDS_MAX + 2  # crosses one guard checkpoint
+        lazy = {r["v"]: r["rank"] for r in pagerank_int(edges, iters=iters).collect()}
+        lpa_lazy = {
+            r["v"]: r["label"]
+            for r in label_propagation(edges, iters=iters).collect()
+        }
+        # reference: the checkpoint_dir path materializes every round
+        # (a completely different physical plan, same recurrence)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as ck:
+            pr_ck = {
+                r["v"]: r["rank"]
+                for r in pagerank_int(edges, iters=iters, checkpoint_dir=ck).collect()
+            }
+            lpa_ck = {
+                r["v"]: r["label"]
+                for r in label_propagation(
+                    edges, iters=iters, checkpoint_dir=ck
+                ).collect()
+            }
+        assert lazy == pr_ck
+        assert lpa_lazy == lpa_ck
+
 
 class TestStreamingCms:
     def test_sketch_maintained_by_ivm_sink(self, spark, tmp_path):

@@ -19,10 +19,17 @@ Scale design:
 - rounds needed = graph diameter, which for near-dup graphs is tiny
   (duplicate clusters are near-cliques); ``max_iters`` bounds the
   pathological chain case;
-- lineage is truncated every round (iterative self-joins otherwise
-  grow the plan exponentially and overwhelm the optimizer long before
-  data size matters) via :func:`materialize` — executor-local by
-  default, reliable DFS checkpointing when ``checkpoint_dir`` is set;
+- CONVERGENCE-CHECKED operators (connected_components, kcore,
+  cc_large_star_small_star, bfs_depths) truncate lineage every round
+  via :func:`materialize` — their driver-side fixpoint probes force
+  per-round execution anyway, and lazy rounds would re-execute prior
+  rounds' subtrees.  FIXED-ROUND operators (pagerank_int,
+  label_propagation) keep the whole recurrence as ONE lazy plan
+  (r15, guide §5 — no per-round checkpoint job or driver round-trip);
+  per-round truncation there is OPT-IN via ``checkpoint_dir`` (the
+  fault-tolerance knob), with a periodic localCheckpoint guard for
+  large ``iters`` so a deep recurrence cannot blow up Catalyst
+  analysis time;
 - convergence is detected by the label-sum invariant: labels only
   ever decrease, so an unchanged sum ⇔ fixpoint. The sum runs in
   DECIMAL(38,0) — a corpus of 10¹² documents with 64-bit ids would
@@ -35,6 +42,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xero_api_etl_utilities_spark.operators.materialize import materialize
+
+# Lazy-recurrence depth guard for the fixed-round operators: with
+# checkpoint_dir=None the plan nests one self-join per round and
+# Catalyst analysis cost grows super-linearly with depth, so every
+# _LAZY_ROUNDS_MAX-th intermediate round localCheckpoints.  The
+# catalog round counts (5 / 4) stay strictly below the guard, so their
+# plans are untouched.
+_LAZY_ROUNDS_MAX = 8
 
 
 def connected_components(
@@ -163,11 +178,15 @@ def triangles(
         "p", "x", "y"
     )
     # closing edge: (x, y) present in the oriented list in EITHER
-    # direction — probe the undirected canonical form instead
+    # direction — probe the undirected canonical form instead.  The
+    # wedge join guarantees x < y, so (x, y) IS already the canonical
+    # (lo, hi) pair: probing on the plain columns instead of computed
+    # least/greatest keys keeps the equi-join keys attribute-only
+    # (r16, guide §2.4 — measured ~0.3 s at sf0.1; identical pair set).
     closing = edges.select(a.alias("cx"), b.alias("cy"))
     tri = wedges.join(
         closing,
-        (F.least("x", "y") == F.col("cx")) & (F.greatest("x", "y") == F.col("cy")),
+        (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")),
     )
     srt = F.array_sort(F.array("p", "x", "y"))
     return tri.select(
@@ -202,10 +221,17 @@ def pagerank_int(
     Scale shape: per round ONE equi-join (edges × ranks on src) and
     ONE groupBy-sum — the same bounded pattern as
     :func:`connected_components`, with partial aggregation absorbing
-    hub skew map-side and lineage truncated per round via
-    :func:`materialize`. ``n`` is a 1-row driver scalar (documented
-    pattern). Undirected edges are expanded to both directions, so
-    every vertex has degree >= 1 — no dangling-mass term needed.
+    hub skew map-side. The round count is FIXED (no driver-side
+    convergence probe), so the whole recurrence stays ONE lazy plan;
+    per-round truncation is OPT-IN via ``checkpoint_dir`` (reliable
+    storage — the knob a multi-hour 100 TB run uses to survive
+    executor loss mid-recurrence). With ``checkpoint_dir=None`` a
+    periodic localCheckpoint every ``_LAZY_ROUNDS_MAX`` rounds bounds
+    Catalyst analysis time for large ``iters`` (the nested self-join
+    plan otherwise deepens per round). ``n`` is a 1-row driver scalar
+    (documented pattern). Undirected edges are expanded to both
+    directions, so every vertex has degree >= 1 — no dangling-mass
+    term needed.
     """
     a, b = F.col(a_col), F.col(b_col)
     # edges feeds both union branches: materialize so the upstream
@@ -222,7 +248,7 @@ def pagerank_int(
         F.col("src").alias("v"), F.lit(scale // n).cast("long").alias("rank")
     )
     withdeg = directed.join(deg, "src")
-    for _ in range(iters):
+    for it in range(iters):
         contrib = withdeg.join(ranks, withdeg.src == ranks.v).select(
             F.col("dst"), F.expr("rank div deg").alias("c")
         )
@@ -244,8 +270,13 @@ def pagerank_int(
         # 4.6 → 2.5 s at sf0.1).  With a reliable checkpoint_dir the
         # per-round truncation is kept: that knob exists exactly so a
         # multi-hour 100 TB run survives executor loss mid-recurrence.
+        # With checkpoint_dir=None, deep fixed round counts still
+        # truncate every _LAZY_ROUNDS_MAX rounds (ADVICE r15: Catalyst
+        # analysis of the nested recurrence grows super-linearly).
         if checkpoint_dir is not None:
             ranks = materialize(ranks, checkpoint_dir)
+        elif (it + 1) % _LAZY_ROUNDS_MAX == 0 and (it + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -272,10 +303,10 @@ def label_propagation(
 
     Per round: ONE equi-join (edges × labels on src) + ONE
     (dst, label) count aggregate + ONE per-dst argmax via ``max_by``
-    — the same bounded shuffle pattern as :func:`pagerank_int`, with
-    map-side partial aggregation absorbing hub skew and lineage
-    truncated per round via :func:`materialize`.  Returns
-    ``(v, label)``."""
+    — the same bounded shuffle pattern as :func:`pagerank_int`, and
+    the same laziness contract: fixed rounds, one lazy plan, per-round
+    truncation opt-in via ``checkpoint_dir``, periodic localCheckpoint
+    guard for large ``iters``.  Returns ``(v, label)``."""
     a, b = F.col(a_col), F.col(b_col)
     edges = materialize(edges, checkpoint_dir)
     directed = edges.select(a.alias("src"), b.alias("dst")).unionAll(
@@ -285,7 +316,7 @@ def label_propagation(
     labels = directed.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
-    for _ in range(iters):
+    for it in range(iters):
         msgs = directed.join(labels, directed.src == labels.v).select(
             F.col("dst"), F.col("label")
         )
@@ -298,9 +329,12 @@ def label_propagation(
         )
         # fixed rounds, no driver convergence check → lazy recurrence,
         # same rationale (and the same checkpoint_dir escape hatch for
-        # fault tolerance) as pagerank_int above
+        # fault tolerance, plus the same large-iters analysis guard)
+        # as pagerank_int above
         if checkpoint_dir is not None:
             labels = materialize(labels, checkpoint_dir)
+        elif (it + 1) % _LAZY_ROUNDS_MAX == 0 and (it + 1) < iters:
+            labels = labels.localCheckpoint()
     return labels
 
 
