@@ -28,6 +28,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def compute_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit exchange to the cluster compute width
+    (``sc.defaultParallelism``) — the r15/r16 lever for CPU-bound
+    per-row chains (tokenize / shingle / hash / explode) that sit
+    between a scan and the first shuffle (guide §2.5).
+
+    On this engine's bench inputs every parquet table is a single row
+    group, so every scan is ONE task and the whole pre-exchange chain
+    runs single-threaded; AQE then coalesces the small downstream
+    shuffles, so nothing ever widens the plan.  An explicit keyed
+    repartition is immune to AQE coalescing and, when ``keys`` is a
+    subset of a downstream clustering requirement (groupBy /
+    dropDuplicates / join key), the downstream operator reuses the
+    partitioning — one exchange, full width.  On a 100 TB layout the
+    scan itself is already wide and this exchange is one narrow
+    balanced pass; keys should be high-cardinality (doc_id, orderkey).
+
+    ONLY for paths whose hashed outputs are partitioning-independent:
+    integer/decimal aggregates, hashes, exact counts.  Float sums are
+    NOT order-safe — leave those paths on their natural partitioning.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
 

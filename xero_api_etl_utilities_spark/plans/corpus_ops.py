@@ -485,13 +485,25 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:tokens/token_ngrams — the zip_with form, see
     PLANS.md lambda-CSE finding)."""
     from xero_api_etl_utilities_spark.operators.dedup import token_ngrams, tokens
+    from xero_api_etl_utilities_spark.operators.materialize import (
+        compute_width,
+        materialize,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(token_ngrams(tokens(F.col("text")), 2))).alias(
-            "ng"
-        ),
+    # r16 (guide §2.5 + §2.4): the tokenize + bigram explode otherwise
+    # runs on the single-task scan — and grams feeds BOTH the vocab
+    # aggregate and the scoring join (no cross-branch CSE), so it is
+    # also materialized once instead of tokenizing the corpus twice
+    docs = compute_width(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    grams = materialize(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(token_ngrams(tokens(F.col("text")), 2))
+            ).alias("ng"),
+        )
     )
     vocab = (
         grams.groupBy("ng")

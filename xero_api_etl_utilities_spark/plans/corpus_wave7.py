@@ -1084,6 +1084,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window, no joins beyond the word-score broadcast."""
     from xero_api_etl_utilities_spark.operators.textstats import STOPWORDS_EN
 
+    # r16 negative result (guide §1): BOTH a compute-width repartition
+    # of the docs scan and a materialize of the 3-consumer seg frame
+    # measured SLOWER here (1.31 → 2.20 s subset A/B at sf0.1) — the
+    # exchange + the 1.5M-row string checkpoint cost more than the
+    # single-task chain and the branch re-evaluations they remove at
+    # this corpus size.  Left on the scan partitioning.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -1299,6 +1305,10 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan), a bigram-keyed equi-join back (vocab-sized build side,
     shuffled not blind-broadcast), one doc aggregate, one source
     census — all map-side-combinable, no windows."""
+    # r16 negative result (guide §1): a compute-width repartition of
+    # the docs scan measured SLOWER here (1.26 → 1.37–1.49 s subset
+    # A/B at sf0.1) — the exchange costs more than the single-task
+    # bigram chain saves at this corpus size.  Left as scanned.
     docs = load_table(spark, sf_dir, "documents")
     wdocs = docs.select(
         "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("_w")
