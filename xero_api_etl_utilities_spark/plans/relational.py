@@ -392,8 +392,16 @@ def agg_balance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sum(sales)+sum(credits) === totalDebtors`, src/parse.ts:139-143):
     header totals vs computed lineitem totals per order date, with an
     `is_balanced` flag column."""
+    from xero_api_etl_utilities_spark.operators.materialize import (
+        compute_width,
+    )
+
     od = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # r16 (guide §2.5): the broadcast join + triple-decimal partial
+    # aggregation ran on the single-task lineitem scan; compute-width
+    # exchange first (warm A/B at sf0.1: 1.6 → 1.2 s).  Decimal sums
+    # are exact in any order.
+    li = compute_width(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     header = od.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
         F.sum(_money(F.col("o_totalprice"))).alias("header_total")
     )
@@ -621,7 +629,17 @@ def invoice_line_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an ordered, delimited rendering plus the line total. The true
     nested ArrayType(StructType) + to_json document form is covered by
     unit tests (JSON text isn't hash-comparable across engines)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from xero_api_etl_utilities_spark.operators.materialize import (
+        compute_width,
+    )
+
+    # r16 (guide §2.5): the per-line string formatting + sorted
+    # collect_list partial aggregation ran on the single-task lineitem
+    # scan; one orderkey-keyed exchange runs it at compute width and
+    # the groupBy reuses the partitioning (warm A/B at sf0.1:
+    # 1.9 → 0.65 s).  array_sort makes the rendering order-independent
+    # and the decimal sum is exact in any order.
+    li = compute_width(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     line = F.format_string(
         "%d:%d:%s",
         F.col("l_partkey"),
