@@ -753,6 +753,14 @@ def main() -> None:
             flush=True,
         )
 
+    # cpus is stamped into every detail/history row, and full runs ALSO
+    # write a per-core-count copy (BENCH_DETAIL_c<N>.json) so a later
+    # run at a different core count cannot clobber the only per-query
+    # record of this one (VERDICT r15 item 2: the driver's 8-core run
+    # overwrote the 32-core detail, leaving scaling attribution to
+    # journal archaeology).  BENCH_DETAIL.json stays the newest-run
+    # artifact for driver compatibility.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 0))
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BENCH_DETAIL.json" if not subset else "BENCH_SUBSET.json",
@@ -773,28 +781,34 @@ def main() -> None:
     except Exception:
         commit = ""
 
+    detail_doc = {
+        "sf": sf,
+        "unit": "sec",
+        "stat": "median_of_3",
+        "cpus": cpus,
+        "commit": commit,
+        "calibration": calib,
+        "recycle_every": RECYCLE_EVERY,
+        "n_recycles": state["recycles"],
+        "rewarm_sec": round(state["rewarm_sec"], 3),
+        "queries": timings,
+        "queries_best_of_3": best,
+        "bounded_baselines": {
+            "sf_dirs": BOUNDED_SF,
+            "queries": bounded,
+        },
+    }
     with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "sf": sf,
-                "unit": "sec",
-                "stat": "median_of_3",
-                "commit": commit,
-                "calibration": calib,
-                "recycle_every": RECYCLE_EVERY,
-                "n_recycles": state["recycles"],
-                "rewarm_sec": round(state["rewarm_sec"], 3),
-                "queries": timings,
-                "queries_best_of_3": best,
-                "bounded_baselines": {
-                    "sf_dirs": BOUNDED_SF,
-                    "queries": bounded,
-                },
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(detail_doc, f, indent=1, sort_keys=True)
+    if not subset:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_DETAIL_c{cpus}.json",
+            ),
+            "w",
+        ) as f:
+            json.dump(detail_doc, f, indent=1, sort_keys=True)
     # append-only history (VERDICT r9 item 5, completing ADVICE r8 low
     # #2): BENCH_DETAIL.json still holds the NEWEST full run for the
     # driver, but every full run ALSO appends one commit-stamped line
@@ -812,6 +826,7 @@ def main() -> None:
                         "ts": round(time.time(), 1),
                         "commit": commit,
                         "sf": sf,
+                        "cpus": cpus,
                         "stat": "median_of_3",
                         "headline_total": round(sum(timings.values()), 3),
                         "best_total": round(sum(best.values()), 3),
