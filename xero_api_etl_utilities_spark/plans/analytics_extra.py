@@ -770,7 +770,17 @@ def nested_invoice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-nested documents (the common lakehouse layout for
     order/invoice data) gets identical answers without exploding
     billions of line rows back out. All measures integer."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    from xero_api_etl_utilities_spark.operators.materialize import (
+        compute_width,
+    )
+
+    # r16 (guide §2.5): the document-assembly collect_list partial
+    # aggregation ran on the single-task lineitem scan; the groupBy
+    # reuses the explicit orderkey partitioning.  Every per-doc measure
+    # is order-independent (integer fold, exists, max, size).
+    li = compute_width(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    ).select(
         "l_orderkey",
         F.col("l_quantity").cast("long").alias("qty"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),

@@ -906,6 +906,11 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated re-scans. "Late" is ship-lag > 90 days (schema has no
     l_commitdate/l_receiptdate). The supplier→nation probe side is a
     broadcast dim chain, as in q7."""
+    # r16 negative result (guide §1): an explicit orderkey exchange at
+    # compute width ahead of this chain measured SLOWER (warm A/B at
+    # sf0.1: 1.34 → 1.7 s) — the two countDistinct aggregates already
+    # exchange on the orderkey, and the extra stage outweighs the wide
+    # scan-side work here.  Left on the scan partitioning.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
