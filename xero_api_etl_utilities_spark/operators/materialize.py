@@ -58,12 +58,16 @@ def materialize(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
 
     ``checkpoint_dir=None`` → ``localCheckpoint()`` (executor-local,
     fast, not fault-tolerant). A path → reliable ``checkpoint()``
-    into that directory (set once per SparkContext; Spark creates a
-    per-app subdirectory under it).
+    into that directory (Spark creates a per-set UUID subdirectory
+    under it).  The dir is (re-)pointed on every call: the previous
+    set-once-if-unset rule meant that once ANY caller had set a
+    checkpoint dir on the shared SparkContext, a later caller asking
+    for a DIFFERENT dir silently checkpointed into the first one
+    (r16: surfaced by the lazy-rounds guard test).  One extra mkdir
+    per materialize call is noise next to the checkpoint write.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(checkpoint_dir)
+    sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint()
